@@ -1,0 +1,255 @@
+"""The model-DAG executor — our equivalent of dbt-core.
+
+The reference's execution framework is: parse ``{{ source() }}`` /
+``{{ ref() }}`` Jinja to build a DAG of SQL models, topo-sort, and
+materialize each node as a view or table in the warehouse
+(ref: dbt_project.yml:9-17 for materialization config; SURVEY §3).
+
+Here a *model* is a Python function returning a DataFrame. Its
+dependencies are declared by parameter name: each parameter resolves to
+either a registered source table or an upstream model — the exact
+semantic of ``source()``/``ref()``, with the DAG edge captured by
+function signature instead of Jinja side effect.
+
+Materialization semantics (mirrors dbt):
+
+- ``view``  — the logical plan is registered as a temp view and handed
+  to consumers *lazily*; recomputed per downstream action, exactly like
+  a database view. No data is persisted.
+- ``table`` — the DataFrame is written to the warehouse as Parquet
+  (overwrite) and downstream consumers read the materialized files.
+
+Scale notes: a ``table`` write is the only action per node, so Catalyst
+sees each model's full plan and optimizes it end-to-end (predicate
+pushdown through views into the Parquet scans). ``threads`` submits
+independent subtrees concurrently — same role as dbt's ``threads: 4``
+(ref: profiles.example.yml:9) but for Spark job submission.
+"""
+
+from __future__ import annotations
+
+import inspect
+import time
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from oroboro_dw_dbt_spark.engine.tests import DataTest, TestResult
+
+
+class SourceRegistry:
+    """name → loader. The engine's version of ``sources.yml``.
+
+    A source is registered either as a Parquet path (the normal case:
+    columnar scans with pushdown) or as an explicit provider callable
+    (tests inject in-memory fixture DataFrames this way).
+    """
+
+    def __init__(self) -> None:
+        self._paths: dict[str, str] = {}
+        self._providers: dict[str, Callable[[SparkSession], DataFrame]] = {}
+        self._schemas: dict[str, T.StructType] = {}
+
+    def add_path(self, name: str, path: str, schema: T.StructType | None = None) -> None:
+        self._paths[name] = path
+        if schema is not None:
+            self._schemas[name] = schema
+
+    def add_provider(
+        self, name: str, provider: Callable[[SparkSession], DataFrame]
+    ) -> None:
+        self._providers[name] = provider
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._paths or name in self._providers
+
+    def names(self) -> list[str]:
+        return sorted(set(self._paths) | set(self._providers))
+
+    def load(self, spark: SparkSession, name: str) -> DataFrame:
+        if name in self._providers:
+            return self._providers[name](spark)
+        if name in self._paths:
+            reader = spark.read
+            if name in self._schemas:
+                reader = reader.schema(self._schemas[name])
+            return reader.parquet(self._paths[name])
+        raise KeyError(f"unknown source {name!r}; registered: {self.names()}")
+
+
+@dataclass
+class Model:
+    name: str
+    fn: Callable[..., DataFrame]
+    deps: tuple[str, ...]
+    materialized: str = "view"  # 'view' | 'table'
+    tags: tuple[str, ...] = ()
+    tests: tuple[DataTest, ...] = ()
+
+    def __post_init__(self) -> None:
+        if self.materialized not in ("view", "table"):
+            raise ValueError(f"{self.name}: materialized must be view|table")
+
+
+@dataclass
+class RunResult:
+    name: str
+    materialized: str
+    seconds: float
+    test_results: list[TestResult] = field(default_factory=list)
+
+    @property
+    def tests_passed(self) -> bool:
+        return all(t.passed for t in self.test_results)
+
+
+def model(
+    *,
+    name: str | None = None,
+    materialized: str = "view",
+    tags: tuple[str, ...] = (),
+    tests: tuple[DataTest, ...] = (),
+) -> Callable[[Callable[..., DataFrame]], Model]:
+    """Decorator: declare a model; deps are the function's parameter names."""
+
+    def wrap(fn: Callable[..., DataFrame]) -> Model:
+        deps = tuple(inspect.signature(fn).parameters)
+        return Model(
+            name=name or fn.__name__,
+            fn=fn,
+            deps=deps,
+            materialized=materialized,
+            tags=tags,
+            tests=tuple(tests),
+        )
+
+    return wrap
+
+
+class ModelGraph:
+    """Registry + topo-order executor for a set of models."""
+
+    def __init__(
+        self,
+        sources: SourceRegistry,
+        warehouse_dir: str | None = None,
+        threads: int = 4,
+    ) -> None:
+        self.sources = sources
+        self.warehouse_dir = warehouse_dir
+        self.threads = threads
+        self.models: dict[str, Model] = {}
+
+    def add(self, *models: Model) -> "ModelGraph":
+        for m in models:
+            if m.name in self.models:
+                raise ValueError(f"duplicate model {m.name!r}")
+            self.models[m.name] = m
+        return self
+
+    # -- graph ------------------------------------------------------------
+
+    def _edges(self) -> dict[str, set[str]]:
+        """node → set of upstream *model* deps (sources are leaves)."""
+        edges: dict[str, set[str]] = {}
+        for m in self.models.values():
+            up = set()
+            for d in m.deps:
+                if d in self.models:
+                    up.add(d)
+                elif d not in self.sources:
+                    raise KeyError(
+                        f"model {m.name!r} depends on {d!r}, which is neither a "
+                        f"model nor a registered source"
+                    )
+            edges[m.name] = up
+        return edges
+
+    def topo_order(self) -> list[str]:
+        return list(TopologicalSorter(self._edges()).static_order())
+
+    # -- execution --------------------------------------------------------
+
+    def run(
+        self,
+        spark: SparkSession,
+        select: list[str] | None = None,
+        run_tests: bool = True,
+    ) -> dict[str, Any]:
+        """Build all (or selected) models in DAG order.
+
+        Returns {model_name: RunResult}; built DataFrames are available
+        via :meth:`frame` afterwards. Independent ready nodes are
+        submitted concurrently on ``threads`` workers — only ``table``
+        materializations do real work (a Spark write action); views are
+        driver-side plan construction only.
+        """
+        want = self._closure(select) if select else set(self.models)
+        edges = {n: {d for d in up if d in want} for n, up in self._edges().items() if n in want}
+        self._frames: dict[str, DataFrame] = {}
+        results: dict[str, RunResult] = {}
+
+        ts = TopologicalSorter(edges)
+        ts.prepare()
+        with ThreadPoolExecutor(max_workers=self.threads) as pool:
+            while ts.is_active():
+                ready = list(ts.get_ready())
+                futs = {n: pool.submit(self._build, spark, n, run_tests) for n in ready}
+                for n, fut in futs.items():
+                    results[n] = fut.result()
+                    ts.done(n)
+        return results
+
+    def _closure(self, select: list[str]) -> set[str]:
+        """Selected models plus all their upstream models."""
+        edges = self._edges()
+        out: set[str] = set()
+        stack = list(select)
+        while stack:
+            n = stack.pop()
+            if n in out:
+                continue
+            out.add(n)
+            stack.extend(edges[n])
+        return out
+
+    def _build(self, spark: SparkSession, name: str, run_tests: bool) -> RunResult:
+        m = self.models[name]
+        t0 = time.monotonic()
+        kwargs = {}
+        for d in m.deps:
+            if d in self.models:
+                kwargs[d] = self._frames[d]
+            else:
+                kwargs[d] = self.sources.load(spark, d)
+        df = m.fn(**kwargs)
+
+        if m.materialized == "table":
+            if self.warehouse_dir is None:
+                raise ValueError(
+                    f"model {name!r} is materialized as table but the graph has "
+                    f"no warehouse_dir"
+                )
+            out = f"{self.warehouse_dir}/{name}"
+            df.write.mode("overwrite").parquet(out)
+            df = spark.read.parquet(out)
+        df.createOrReplaceTempView(name)
+        self._frames[name] = df
+
+        test_results: list[TestResult] = []
+        if run_tests:
+            test_results = [t.run(df) for t in m.tests]
+        return RunResult(
+            name=name,
+            materialized=m.materialized,
+            seconds=time.monotonic() - t0,
+            test_results=test_results,
+        )
+
+    def frame(self, name: str) -> DataFrame:
+        return self._frames[name]

@@ -1,0 +1,49 @@
+"""Query catalog: every operator exposed to the correctness harness.
+
+Each entry pairs a Spark builder ``(spark, sf_dir) -> DataFrame`` with
+the equivalent ANSI SQL for the DuckDB oracle. The driver compares
+row-count + schema + order-insensitive value hash at sf0.01, so:
+
+- every computed column is aliased identically on both sides;
+- queries are deterministic (explicit tiebreaks in every window /
+  top-k — SURVEY §2.5 W4 is the cautionary tale);
+- floats are rounded where engines could differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    survey_ref: str = ""  # SURVEY §2 inventory rows this exercises
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, survey_ref: str = "") -> Callable:
+    """Register a catalog entry; the decorated fn is (spark, sf_dir) → DF."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query {name!r}")
+        QUERIES[name] = QuerySpec(name=name, builder=fn, oracle=oracle, survey_ref=survey_ref)
+        return fn
+
+    return wrap
+
+
+def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.builder for n, s in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {n: s.oracle for n, s in QUERIES.items() if s.oracle is not None}

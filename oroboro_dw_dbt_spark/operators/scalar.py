@@ -1,0 +1,175 @@
+"""Scalar-function operator suites (SURVEY §2.8 strings, §2.9 dates/
+conditionals, §2.11 macro) over the testdata tables.
+
+Dialect notes encoded here (each verified against DuckDB 1.0):
+
+- DuckDB ``regexp_replace`` replaces the FIRST match unless given the
+  ``'g'`` flag; Spark replaces all → oracle uses ``, 'g'``.
+- DuckDB ``concat`` skips NULLs while Spark's propagates → oracle uses
+  ``||`` (NULL-propagating) where that matters.
+- DuckDB ``year()`` returns BIGINT, Spark INT → cast both to BIGINT.
+- ``try_to_date`` (Spark) ≙ ``try_cast(... AS DATE)`` (DuckDB) — both
+  NULL on malformed input, reproducing BigQuery ``SAFE.PARSE_DATE``
+  (ref: models/marts/user_base.sql:52).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oroboro_dw_dbt_spark.functions import (
+    bq_date_diff_year,
+    coalesce_trim,
+    format_date_mmdd,
+    safe_parse_date,
+)
+from oroboro_dw_dbt_spark.operators.catalog import query
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+# Fixed anchor so both engines agree regardless of wall clock; the
+# reference uses current_date (user_base.sql:51) — injectable in our
+# functions layer, pinned here for the correctness harness.
+ANCHOR = "1998-06-15"
+
+
+# ---------------------------------------------------------------------------
+# F1-F9: the string-function surface (ref: user_base.sql:13-16, :52-54;
+# locations_clean.sql:64-67; stacked_users_partners.sql:57).
+# ---------------------------------------------------------------------------
+@query(
+    "f_string_suite",
+    oracle="""
+    SELECT
+      p_partkey,
+      lower(trim(p_name)) AS lname,
+      regexp_replace(p_name, '\\s+', '', 'g') AS squished,
+      CAST(p_name LIKE '%green%' AS INT) AS has_green,
+      CAST(p_name LIKE '%red' AS INT) AS ends_red,
+      CAST(p_type LIKE 'STANDARD ANODIZED COPPER' AS INT) AS exact_like,
+      CAST(regexp_matches(p_name, '\\b(tan|red|blue)\\b') AS INT) AS rx_color,
+      substring(p_name, 1, 8) AS prefix8,
+      p_brand || '-' || p_type AS brand_type
+    FROM part
+    """,
+    survey_ref="§2.8 F1-F9",
+)
+def f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower(F.trim(F.col("p_name"))).alias("lname"),
+        F.regexp_replace("p_name", r"\s+", "").alias("squished"),
+        F.col("p_name").like("%green%").cast("int").alias("has_green"),
+        F.col("p_name").like("%red").cast("int").alias("ends_red"),
+        F.col("p_type").like("STANDARD ANODIZED COPPER").cast("int").alias("exact_like"),
+        F.col("p_name").rlike(r"\b(tan|red|blue)\b").cast("int").alias("rx_color"),
+        F.substring("p_name", 1, 8).alias("prefix8"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1-D5: date surface with BigQuery semantics (ref: user_base.sql:48-54).
+# The malformed-date branch exercises the SAFE.PARSE_DATE NULL path; the
+# year-diff uses boundary-count semantics; the MMDD compare applies the
+# pre-birthday −1 adjustment.
+# ---------------------------------------------------------------------------
+@query(
+    "d_date_suite",
+    oracle=f"""
+    SELECT
+      o_orderkey,
+      CAST(o_orderdate AS DATE) AS odate,
+      try_cast(
+        CAST(year(o_orderdate) AS VARCHAR) || '-' ||
+        lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') || '-' ||
+        CASE WHEN o_orderkey % 5 = 0 THEN '40' ELSE '15' END
+        AS DATE) AS parsed_mid_month,
+      CAST(year(DATE '{ANCHOR}') - year(o_orderdate) AS BIGINT) AS years_since,
+      strftime(CAST(o_orderdate AS DATE), '%m%d') AS mmdd,
+      CAST(CASE WHEN strftime(DATE '{ANCHOR}', '%m%d')
+                     < strftime(CAST(o_orderdate AS DATE), '%m%d')
+                THEN year(DATE '{ANCHOR}') - year(o_orderdate) - 1
+                ELSE year(DATE '{ANCHOR}') - year(o_orderdate)
+           END AS BIGINT) AS adjusted_years
+    FROM orders
+    """,
+    survey_ref="§2.9 D1-D5",
+)
+def d_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    odate = F.col("o_orderdate").cast("date")
+    anchor = F.lit(ANCHOR).cast("date")
+    raw_str = F.concat(
+        F.year(odate).cast("string"),
+        F.lit("-"),
+        F.lpad(F.month(odate).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.when(F.col("o_orderkey") % 5 == 0, "40").otherwise("15"),
+    )
+    years_since = bq_date_diff_year(anchor, odate).cast("bigint")
+    pre = format_date_mmdd(anchor) < format_date_mmdd(odate)
+    return orders.select(
+        "o_orderkey",
+        odate.alias("odate"),
+        safe_parse_date(raw_str).alias("parsed_mid_month"),
+        years_since.alias("years_since"),
+        format_date_mmdd(odate).alias("mmdd"),
+        F.when(pre, years_since - 1).otherwise(years_since).cast("bigint").alias("adjusted_years"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1-C3: CASE chains, additive flag sums, coalesce
+# (ref: user_base.sql:9-34 user_type/race logic, :62-65 geo defaults;
+# locations_clean.sql:139-146 completeness score).
+# ---------------------------------------------------------------------------
+@query(
+    "c_case_suite",
+    oracle="""
+    SELECT
+      c_custkey,
+      CASE c_mktsegment
+        WHEN 'BUILDING' THEN 'Construction'
+        WHEN 'AUTOMOBILE' THEN 'Auto'
+        WHEN 'MACHINERY' THEN 'Industrial'
+        ELSE 'Other'
+      END AS segment_full_name,
+      CAST(
+        (CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) +
+        (CASE WHEN c_nationkey % 2 = 0 THEN 1 ELSE 0 END) +
+        (CASE WHEN c_mktsegment LIKE '%E%' THEN 1 ELSE 0 END)
+        AS BIGINT) AS flag_score,
+      CASE WHEN
+        (CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) +
+        (CASE WHEN c_nationkey % 2 = 0 THEN 1 ELSE 0 END) +
+        (CASE WHEN c_mktsegment LIKE '%E%' THEN 1 ELSE 0 END) > 1
+        THEN 'multi' ELSE 'single' END AS flag_bucket,
+      coalesce(trim(nullif(c_name, '')), 'Unknown') AS display_name,
+      coalesce(nullif(c_mktsegment, 'FURNITURE'), 'Prefer Not To Say') AS segment_or_default
+    FROM customer
+    """,
+    survey_ref="§2.9 C1-C3, §2.11 coalesce_trim macro",
+)
+def c_case_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    flag = (
+        F.when(F.col("c_acctbal") > 0, 1).otherwise(0)
+        + F.when(F.col("c_nationkey") % 2 == 0, 1).otherwise(0)
+        + F.when(F.col("c_mktsegment").like("%E%"), 1).otherwise(0)
+    )
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", "Construction")
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", "Auto")
+        .when(F.col("c_mktsegment") == "MACHINERY", "Industrial")
+        .otherwise("Other")
+        .alias("segment_full_name"),
+        flag.cast("bigint").alias("flag_score"),
+        F.when(flag > 1, "multi").otherwise("single").alias("flag_bucket"),
+        coalesce_trim(F.nullif(F.col("c_name"), F.lit("")), F.lit("Unknown")).alias("display_name"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("FURNITURE")), F.lit("Prefer Not To Say")).alias(
+            "segment_or_default"
+        ),
+    )

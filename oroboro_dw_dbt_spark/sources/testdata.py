@@ -1,0 +1,45 @@
+"""Readers for the driver-generated synthetic tables (TESTDATA.md).
+
+TPC-H-ish star schema plus ``events`` (event stream), ``documents``
+(text corpus) and ``embeddings`` (vector table). Parquet only — the
+reference's one connector is its warehouse adapter
+(ref: profiles.example.yml:5); ours is the columnar Parquet scan, which
+gives Catalyst filter pushdown + column pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; available: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() queries."""
+    for n in TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,110 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every catalog query on Spark and its oracle on DuckDB at the given
+sf dir, then compares row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted, values stringified).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "␀"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return h, len(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from oroboro_dw_dbt_spark.operators import QUERIES
+    from oroboro_dw_dbt_spark.session import get_spark
+    from oroboro_dw_dbt_spark.sources.testdata import TABLES
+
+    spark = get_spark("correctness_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.builder(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if spec.oracle is None:
+            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            ocur = con.execute(spec.oracle)
+            ocols = [d[0] for d in ocur.description]
+            orows = ocur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        sh, sn = table_hash(scols, srows)
+        oh, on = table_hash(ocols, orows)
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns differ spark={sorted(scols)} oracle={sorted(ocols)}")
+            failures.append(name)
+        elif sn != on:
+            print(f"FAIL {name}: rowcount spark={sn} oracle={on}")
+            failures.append(name)
+        elif sh != oh:
+            print(f"FAIL {name}: hash mismatch ({sn} rows)")
+            # show first differing line for debugging
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            sl = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in srows)
+            oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            ol = sorted("\x1f".join(norm_cell(r[i]) for i in oorder) for r in orows)
+            for a, b in zip(sl, ol):
+                if a != b:
+                    print(f"  spark : {a[:200]}")
+                    print(f"  oracle: {b[:200]}")
+                    break
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {sn} rows, hash {sh}")
+
+    n_run = len(only) if only else len(QUERIES)
+    print(f"\n{n_run - len(failures)}/{n_run} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
