@@ -1,0 +1,491 @@
+"""The reference's three models, re-expressed as Spark DataFrame plans.
+
+Sources: models/intermediate/stacked_users_partners.sql (4-route user →
+partner attribution), models/intermediate/locations_clean.sql (location
+entity resolution), models/marts/user_base.sql (final mart). Semantics
+are reproduced exactly — including the deliberately quirky business
+logic (exact-match LIKE, suffix-only LIKE, additive CASE flags, the
+Seoul special case, BigQuery date_diff boundary-count semantics) — but
+the execution is idiomatic Catalyst: chained DataFrame joins, window
+functions for every QUALIFY/top-1, `unionByName` with typed nulls, and
+a native-column haversine instead of ST_DISTANCE (no UDFs anywhere).
+
+Scale notes (100 TB design point):
+- the attribution routes join a large fact (memberships / invitations /
+  actions) against small dims (classroom / site / partner / codes) —
+  all broadcast under AQE, so each route is one scan, no shuffle;
+- the final per-route dedup (`GROUP BY 1..9` in the reference) is a
+  `dropDuplicates`, a partial+final hash aggregate (map-side combine);
+- locations_clean windows all partition by from_location_id — a single
+  hash partitioning reused across the window stages; AQE skew-join
+  covers the NULL-heavy location FK in the mart join (SURVEY §4);
+- the mart is materialized as a table (Parquet), intermediates as views
+  (lazy), matching dbt_project.yml:11-17.
+
+``today`` is injected (defaults pinned) so correctness runs are
+reproducible — the reference reads ``current_date`` at run time
+(user_base.sql:51), nondeterministic across midnight boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oroboro_dw_dbt_spark.engine.dag import Model, ModelGraph, SourceRegistry, model
+from oroboro_dw_dbt_spark.engine.tests import not_null, unique_combination_of_columns
+from oroboro_dw_dbt_spark.functions import st_distance_meters
+
+ANCHOR_DATE = "1998-06-15"
+
+
+def stacked_users_partners_df(
+    eclm: DataFrame, ec: DataFrame, ece: DataFrame, eci: DataFrame,
+    ecic: DataFrame, us: DataFrame, up: DataFrame, upic: DataFrame,
+    uu: DataFrame, act: DataFrame,
+) -> DataFrame:
+    """ref: models/intermediate/stacked_users_partners.sql:1-118."""
+    null_long = F.lit(None).cast("long")
+    null_str = F.lit(None).cast("string")
+
+    def tail(base: DataFrame) -> DataFrame:
+        return (
+            base.join(us.alias("us"), F.col("ec.site_id") == F.col("us.id"), "left")
+            .join(up.alias("up"), F.col("us.partner_id") == F.col("up.id"), "left")
+            .join(upic.alias("upic"), F.col("upic.partner_id") == F.col("up.id"), "left")
+            .join(ecic.alias("ecic"), F.col("ecic.classroom_id") == F.col("ec.id"), "left")
+        )
+
+    def out(educator_id: Column, learner_id: Column, site_id: Column,
+            site_name: Column, classroom_id: Column, classroom_name: Column,
+            classroom_code: Column) -> list[Column]:
+        return [
+            educator_id.alias("educator_id"),
+            learner_id.alias("learner_id"),
+            site_id.alias("site_id"),
+            site_name.alias("site_name"),
+            F.col("up.id").alias("partner_id"),
+            F.col("up.name").alias("partner_name"),
+            F.col("upic.code").alias("partner_code"),
+            classroom_id.alias("classroom_id"),
+            classroom_name.alias("classroom_name"),
+            classroom_code.alias("classroom_code"),
+        ]
+
+    classroom_cols = (
+        F.col("ec.site_id"), F.col("us.name"), F.col("ec.id"),
+        F.col("ec.name"), F.col("ecic.code"),
+    )
+
+    # Route 1: learners via membership → classroom → site → partner
+    r1 = tail(
+        eclm.alias("eclm").join(
+            ec.alias("ec"), F.col("ec.id") == F.col("eclm.classroom_id"), "left"
+        )
+    ).select(out(null_long, F.col("eclm.user_id"), *classroom_cols))
+
+    # Route 2: educators via the classroom-educators M2M
+    r2 = tail(
+        ece.alias("ece").join(
+            ec.alias("ec"), F.col("ece.classroom_id") == F.col("ec.id"), "left"
+        )
+    ).select(out(F.col("ece.user_id"), null_long, *classroom_cols))
+
+    # Route 3: learners invited by email (computed-key join + residual,
+    # SURVEY §2.3 J7) — INNER joins, then the same left tail
+    r3 = tail(
+        eci.alias("eci")
+        .join(
+            uu.alias("uu"),
+            (F.lower(F.trim(F.col("uu.email"))) == F.lower(F.trim(F.col("eci.email"))))
+            & (F.col("uu.type") != "IL"),
+        )
+        .join(ec.alias("ec"), F.col("ec.id") == F.col("eci.classroom_id"))
+    ).select(out(null_long, F.col("uu.id"), *classroom_cols))
+
+    # Route 4: learners who joined via a partner invite code
+    r4 = (
+        act.alias("a")
+        .filter(F.col("a.action_type") == "userjoins")
+        .join(
+            uu.alias("uu"),
+            (F.col("uu.id") == F.col("a.user_id")) & (F.col("uu.type") != "IL"),
+        )
+        .join(upic.alias("upic"), F.col("a.partner_invite_code_id") == F.col("upic.id"))
+        .join(up.alias("up"), F.col("up.id") == F.col("upic.partner_id"), "left")
+        .join(us.alias("us"), F.col("upic.site_id") == F.col("us.id"), "left")
+        .select(out(
+            null_long, F.col("uu.id"), F.col("upic.site_id"), F.col("us.name"),
+            null_long, null_str, null_str,
+        ))
+    )
+
+    attributions = r1.unionByName(r2).unionByName(r3).unionByName(r4)
+
+    # GROUP BY 1..9 == distinct over the 9 selected columns (SURVEY §2.4 A2)
+    def keyed(id_col: str) -> DataFrame:
+        return (
+            attributions.filter(F.col(id_col).isNotNull())
+            .select(
+                F.col(id_col).alias("user_id"),
+                "partner_id", "partner_name", "partner_code",
+                "classroom_id", "classroom_name", "classroom_code",
+                "site_id", "site_name",
+            )
+            .dropDuplicates()
+        )
+
+    return keyed("educator_id").unionByName(keyed("learner_id"))
+
+
+def locations_clean_df(loc: DataFrame, llac: DataFrame, lltypes: DataFrame) -> DataFrame:
+    """ref: models/intermediate/locations_clean.sql:1-168."""
+    valid_types = lltypes.filter(F.col("locationtype_id").isin(1, 3, 4, 7, 8))
+
+    comp_from_links = (
+        llac.alias("llac")
+        .join(loc.alias("tl"), F.col("llac.to_location_id") == F.col("tl.id"))
+        .join(valid_types.alias("t"), F.col("llac.to_location_id") == F.col("t.location_id"))
+        .select(
+            F.col("llac.from_location_id"),
+            F.col("tl.id").alias("to_location_id"),
+            F.col("tl.display_name"), F.col("tl.long_name"),
+            F.col("tl.latitude"), F.col("tl.longitude"),
+            F.col("t.locationtype_id"),
+        )
+    )
+    comp_self = (
+        loc.alias("fl")
+        .join(valid_types.alias("t"), F.col("fl.id") == F.col("t.location_id"))
+        .select(
+            F.col("fl.id").alias("from_location_id"),
+            F.col("fl.id").alias("to_location_id"),
+            F.col("fl.display_name"), F.col("fl.long_name"),
+            F.col("fl.latitude"), F.col("fl.longitude"),
+            F.col("t.locationtype_id"),
+        )
+    )
+    components = comp_from_links.unionByName(comp_self)
+
+    multiple = (
+        components.filter(
+            F.col("locationtype_id").isin(3, 4)
+            & (F.col("from_location_id") != F.col("to_location_id"))
+        )
+        .groupBy("from_location_id")
+        .agg(F.countDistinct("display_name").alias("n_names"))
+        .filter(F.col("n_names") > 1)
+        .select("from_location_id")
+    )
+
+    city_comps = components.filter(F.col("locationtype_id").isin(3, 4))
+    candidates = (
+        multiple.alias("m")
+        .join(loc.alias("fl"), F.col("fl.id") == F.col("m.from_location_id"))
+        .join(
+            city_comps.alias("city"),
+            F.col("city.from_location_id") == F.col("fl.id"),
+        )
+        .filter(
+            F.col("fl.latitude").isNotNull() & F.col("fl.longitude").isNotNull()
+            & F.col("city.latitude").isNotNull() & F.col("city.longitude").isNotNull()
+        )
+        .select(
+            F.col("fl.id").alias("from_location_id"),
+            F.col("city.to_location_id"),
+            F.col("city.display_name").alias("city"),
+            F.col("city.latitude").alias("city_latitude"),
+            F.col("city.longitude").alias("city_longitude"),
+            F.col("fl.display_name").alias("original_locale"),
+            F.col("fl.latitude").alias("og_latitude"),
+            F.col("fl.longitude").alias("og_longitude"),
+            (
+                st_distance_meters(
+                    F.col("city.latitude"), F.col("city.longitude"),
+                    F.col("fl.latitude"), F.col("fl.longitude"),
+                ) / F.lit(1609.34)
+            ).alias("distance_from_origin"),
+        )
+    )
+
+    w_nearest = Window.partitionBy("from_location_id").orderBy("distance_from_origin")
+    far = F.col("distance_from_origin") > 10
+    locale_lower = F.lower(F.col("original_locale"))
+    keep_original = (
+        far
+        & ~locale_lower.rlike(r"\d{1,5}\s+\w+")
+        & ~locale_lower.rlike(r"^[0-9a-z]{4}\+[0-9a-z]{2,}")
+        & ~locale_lower.rlike(r"\bst\b|\bave\b|\brd\b|\bdr\b|\bln\b")
+        & ~locale_lower.like("%county%")
+    )
+    replace = (
+        candidates.withColumn("rn", F.row_number().over(w_nearest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "from_location_id",
+            F.when(keep_original, F.col("original_locale")).otherwise(F.col("city")).alias("city_replace"),
+            F.when(far, F.col("og_latitude")).otherwise(F.col("city_latitude")).alias("city_latitude_replace"),
+            F.when(far, F.col("og_longitude")).otherwise(F.col("city_longitude")).alias("city_longitude_replace"),
+        )
+    )
+
+    # QUALIFY row_number() ... = 1 rewrites (SURVEY §2.5 W2)
+    w_first = Window.partitionBy("from_location_id").orderBy("to_location_id")
+
+    def best_of(type_filter: Column, cols: list[str]) -> DataFrame:
+        return (
+            components.filter(type_filter)
+            .withColumn("rn", F.row_number().over(w_first))
+            .filter(F.col("rn") == 1)
+            .select("from_location_id", *cols)
+        )
+
+    best_country = best_of(F.col("locationtype_id") == 1, ["display_name", "long_name"])
+    best_state = best_of(F.col("locationtype_id") == 7, ["display_name"])
+    best_county = best_of(F.col("locationtype_id") == 8, ["display_name"])
+    best_city = best_of(
+        F.col("locationtype_id").isin(3, 4),
+        ["display_name", "latitude", "longitude"],
+    )
+
+    flat = (
+        loc.alias("fl")
+        .join(replace.alias("rp"), F.col("fl.id") == F.col("rp.from_location_id"), "left")
+        .join(best_county.alias("bco"), F.col("fl.id") == F.col("bco.from_location_id"), "left")
+        .join(best_state.alias("bst"), F.col("fl.id") == F.col("bst.from_location_id"), "left")
+        .join(best_country.alias("bcn"), F.col("fl.id") == F.col("bcn.from_location_id"), "left")
+        .join(lltypes.alias("ty"), F.col("fl.id") == F.col("ty.location_id"), "left")
+        .join(best_city.alias("bci"), F.col("fl.id") == F.col("bci.from_location_id"), "left")
+        .select(
+            F.col("fl.id").alias("from_location_id"),
+            F.col("fl.display_name").alias("original_locale"),
+            F.when(F.col("rp.city_replace").isNotNull(), F.col("rp.city_replace"))
+            .when(F.col("ty.locationtype_id") == 1, F.lit(None).cast("string"))
+            .when(F.col("bci.display_name").isNotNull(), F.col("bci.display_name"))
+            .when(F.col("fl.display_name") == "Seoul", F.col("fl.display_name"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("city"),
+            F.coalesce(
+                F.col("rp.city_latitude_replace"), F.col("bci.latitude"), F.col("fl.latitude")
+            ).alias("city_latitude"),
+            F.coalesce(
+                F.col("rp.city_longitude_replace"), F.col("bci.longitude"), F.col("fl.longitude")
+            ).alias("city_longitude"),
+            F.col("bco.display_name").alias("county"),
+            F.when(F.col("ty.locationtype_id") == 1, F.lit(None).cast("string"))
+            .when(F.col("bst.display_name") == F.col("bcn.long_name"), F.lit(None).cast("string"))
+            .when(F.col("bst.display_name").isNotNull(), F.col("bst.display_name"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("state"),
+            F.col("bcn.long_name").alias("country"),
+            F.col("fl.latitude").alias("latitude"),
+            F.col("fl.longitude").alias("longitude"),
+        )
+    )
+
+    score = sum(
+        F.when(F.col(c).isNotNull(), 1).otherwise(0)
+        for c in ["city", "city_latitude", "city_longitude", "county",
+                  "state", "country", "latitude", "longitude"]
+    )
+    # ⚠️ the reference ranks by score desc with NO tiebreak
+    # (locations_clean.sql:153-156); fixtures guarantee ties only occur
+    # between rows whose output columns are identical (see fixtures.py)
+    w_score = Window.partitionBy("from_location_id").orderBy(F.col("score").desc())
+    return (
+        flat.filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
+        .withColumn("score", score)
+        .withColumn("row_rank", F.row_number().over(w_score))
+        .filter(F.col("row_rank") == 1)
+        .select(
+            "from_location_id", "original_locale", "city", "county",
+            "state", "country", "city_latitude", "city_longitude",
+        )
+    )
+
+
+def user_base_df(
+    uu: DataFrame, widget: DataFrame, stacked: DataFrame, locations: DataFrame,
+    today: str = ANCHOR_DATE,
+) -> DataFrame:
+    """ref: models/marts/user_base.sql:1-83 (current_date pinned to `today`)."""
+    anchor = F.lit(today).cast("date")
+    re_col = F.col("race_ethnicity")
+
+    def squished(c: Column) -> Column:
+        return F.regexp_replace(F.lower(F.trim(c)), r"\s+", "")
+
+    race_flags = (
+        F.when(re_col.like("%White%"), 1).otherwise(0)
+        + F.when(re_col.like("%Hispanic%") | re_col.like("%Latinx%"), 1).otherwise(0)
+        + F.when(re_col.like("%Black%") | re_col.like("%African American%"), 1).otherwise(0)
+        + F.when(re_col.like("%South Asian%") | re_col.like("%East Asian%"), 1).otherwise(0)
+        + F.when(re_col.like("%Native Hawaiian or other Pacific Islander%"), 1).otherwise(0)
+        + F.when(re_col.like("%Native American or Alaska Native"), 1).otherwise(0)  # suffix-only (F6)
+        + F.when(re_col.like("%Other%"), 1).otherwise(0)
+    )
+
+    gender = F.col("uu.gender")
+    birthday = F.col("uu.birthday")
+    birth_date = F.try_to_date(
+        F.concat(
+            F.substring(birthday, 4, 4), F.lit("-"),
+            F.substring(birthday, 1, 2), F.lit("-01"),
+        ),
+        "yyyy-MM-dd",
+    )
+    # BigQuery date_diff(..., year) counts boundaries = year(a) - year(b)
+    # (SURVEY §2.9 D3); the MMDD compare uses the raw birthday month + '01'
+    age = (
+        (F.year(anchor) - F.year(birth_date))
+        - F.when(
+            F.date_format(anchor, "MMdd") < F.concat(F.substring(birthday, 1, 2), F.lit("01")),
+            1,
+        ).otherwise(0)
+    )
+
+    users = (
+        uu.alias("uu")
+        .join(widget.alias("w"), F.col("w.user_id") == F.col("uu.id"), "left")
+        .select(
+            F.col("uu.id").alias("user_id"),
+            F.col("uu.uuid").alias("uuid"),
+            F.col("uu.first_name"), F.col("uu.last_name"), F.col("uu.email"),
+            F.col("uu.type").alias("user_type"),
+            F.when(F.col("w.id").isNotNull(), "Widget Account")
+            .when(F.col("uu.type") == "E", "Advisors")
+            .when(F.col("uu.type") == "CL", "Cohort Learners")
+            .when(F.col("uu.type") == "IL", "Independent Learners")
+            .alias("user_type_full_name"),
+            (
+                squished(F.col("uu.first_name")).like("%test%")
+                | squished(F.col("uu.last_name")).like("%test%")
+                | squished(F.col("uu.email")).like("%test%")
+                | F.col("uu.email").like("educatorst1@example.com")  # no-wildcard LIKE (F5)
+            ).alias("is_test_user"),
+            re_col.alias("race_ethnicity"),
+            F.when(
+                F.lower(re_col).like("%prefer not to say%") | re_col.isNull(),
+                "Prefer Not To Say",
+            )
+            .when(race_flags > 1, "Multiracial")
+            .when(re_col.like("Hispanic or Latinx"), "Hispanic")
+            .when(re_col.like("Black or African American"), "Black")
+            .when(re_col.like("%South Asian%") | re_col.like("%East Asian%"), "Asian")
+            .when(
+                re_col.like("Native Hawaiian or other Pacific Islander"),
+                "Native Hawaiian or other Pacific Islander",
+            )
+            .when(
+                re_col.like("Native American or Alaska Native"),
+                "Native American or Alaska Native",
+            )
+            .when(re_col.like("White"), "White")
+            .when(re_col.like("Other"), "Other")
+            .otherwise("Other")
+            .alias("race"),
+            gender.alias("gender"),
+            F.col("uu.self_describe_gender"),
+            F.when(gender.like("%Prefer not to say%") | gender.isNull(), "Prefer Not To Say")
+            .when(gender.like("%Prefer to self-describe%"), "Prefer Not To Say")
+            .when(gender.like("%Man%") & gender.like("%Woman%"), "Prefer Not To Say")
+            .when(gender.like("%Man%"), "Man")
+            .when(gender.like("%Woman%"), "Woman")
+            .otherwise("Non-binary")
+            .alias("gender_sum"),
+            F.col("uu.date_joined"),
+            F.col("uu.is_active"),
+            F.when(F.col("uu.is_active") == F.lit(False), "deactivated")
+            .otherwise("active")
+            .alias("account_status"),
+            F.col("uu.is_staff"),
+            F.when(birthday.isNull(), F.lit(None).cast("int")).otherwise(age).alias("age"),
+            F.col("uu.location_id"),
+        )
+    )
+
+    return (
+        users.alias("users")
+        .join(stacked.alias("upf"), F.col("users.user_id") == F.col("upf.user_id"), "left")
+        .join(
+            locations.alias("loc"),
+            F.col("users.location_id") == F.col("loc.from_location_id"),
+            "left",
+        )
+        .select(
+            F.col("users.*"),
+            F.coalesce(F.col("loc.country"), F.lit("Prefer Not To Say")).alias("country"),
+            F.coalesce(F.col("loc.state"), F.lit("Prefer Not To Say")).alias("state"),
+            F.coalesce(F.col("loc.county"), F.lit("Prefer Not To Say")).alias("county"),
+            F.coalesce(F.col("loc.city"), F.lit("Prefer Not To Say")).alias("city"),
+            F.col("loc.city_latitude"), F.col("loc.city_longitude"),
+            F.col("upf.partner_id"),
+            F.when(
+                F.col("upf.partner_name").isNull() & (F.col("users.user_type") == "CL"),
+                "No Partner associated with this account",
+            )
+            .when(
+                F.col("upf.partner_name").isNull() & (F.col("users.user_type") == "E"),
+                "No Partner associated with this account",
+            )
+            .when(F.col("users.user_type") == "IL", F.lit(None).cast("string"))
+            .otherwise(F.col("upf.partner_name"))
+            .alias("partner_name"),
+            F.col("upf.partner_code"),
+            F.col("upf.classroom_id"), F.col("upf.classroom_name"), F.col("upf.classroom_code"),
+            F.col("upf.site_id"), F.col("upf.site_name"),
+        )
+        .orderBy("user_id", "partner_id", "classroom_id", F.col("site_id").asc())
+    )
+
+
+def build_reference_graph(
+    sources: SourceRegistry,
+    warehouse_dir: str | None = None,
+    today: str = ANCHOR_DATE,
+) -> ModelGraph:
+    """Assemble the 3-model DAG exactly as dbt_project.yml configures it:
+    intermediates as views, the mart as a table with its two data tests
+    (ref: dbt_project.yml:11-17, marts_schema.yml:5-15)."""
+
+    @model(name="stacked_users_partners", materialized="view", tags=("intermediate",))
+    def stacked_users_partners(
+        educator_classroomlearnermembership, educator_classroom,
+        educator_classroom_educators, educator_classroominvitation,
+        educator_classroominvitecode, user_site, user_partner,
+        user_partnerinvitecode, user_user, action_userjoinsaction,
+    ):
+        return stacked_users_partners_df(
+            educator_classroomlearnermembership, educator_classroom,
+            educator_classroom_educators, educator_classroominvitation,
+            educator_classroominvitecode, user_site, user_partner,
+            user_partnerinvitecode, user_user, action_userjoinsaction,
+        )
+
+    @model(name="locations_clean", materialized="view", tags=("intermediate",))
+    def locations_clean(
+        location_location, location_location_address_components, location_location_types
+    ):
+        return locations_clean_df(
+            location_location, location_location_address_components, location_location_types
+        )
+
+    @model(
+        name="user_base",
+        materialized="table" if warehouse_dir else "view",
+        tags=("marts",),
+        tests=(
+            not_null("user_id"),
+            unique_combination_of_columns("user_id", "partner_id", "site_id"),
+        ),
+    )
+    def user_base(user_user, widget_widgetuserapikey, stacked_users_partners, locations_clean):
+        return user_base_df(
+            user_user, widget_widgetuserapikey, stacked_users_partners, locations_clean,
+            today=today,
+        )
+
+    return ModelGraph(sources, warehouse_dir=warehouse_dir).add(
+        stacked_users_partners, locations_clean, user_base
+    )

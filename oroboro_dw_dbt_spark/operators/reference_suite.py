@@ -1,0 +1,66 @@
+"""Catalog entries for the three reference models, end-to-end.
+
+Each builder derives the 14 raw-source fixture tables from the testdata
+parquet (models/fixtures.py — same SQL text the oracle uses as CTEs),
+assembles the model DAG on the engine (models/reference_models.py), and
+returns the requested model's DataFrame. The oracle is an independent
+DuckDB-dialect statement of the same semantics (models/oracle.py), so a
+hash match certifies the full pipeline: fixture derivation + 4-route
+attribution + location entity resolution + the mart's wide projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oroboro_dw_dbt_spark.engine.dag import ModelGraph, SourceRegistry
+from oroboro_dw_dbt_spark.models.fixtures import FIXTURE_SQL, register_fixture_views
+from oroboro_dw_dbt_spark.models.oracle import (
+    locations_clean_oracle,
+    stacked_users_partners_oracle,
+    user_base_oracle,
+)
+from oroboro_dw_dbt_spark.models.reference_models import build_reference_graph
+from oroboro_dw_dbt_spark.operators.catalog import query
+
+
+def reference_graph(spark: SparkSession, sf_dir: str) -> ModelGraph:
+    """Fixture views + the 3-model DAG, ready to run."""
+    register_fixture_views(spark, sf_dir)
+    sources = SourceRegistry()
+    for name in FIXTURE_SQL:
+        sources.add_provider(name, lambda s, n=name: s.table(n))
+    return build_reference_graph(sources)
+
+
+def _run_model(spark: SparkSession, sf_dir: str, model_name: str) -> DataFrame:
+    graph = reference_graph(spark, sf_dir)
+    graph.run(spark, select=[model_name], run_tests=False)
+    return graph.frame(model_name)
+
+
+@query(
+    "ref_stacked_users_partners",
+    oracle=stacked_users_partners_oracle(),
+    survey_ref="§2.3 J7-J10, §2.4 A2/A3, §2.7 U2/U3 (full model)",
+)
+def ref_stacked_users_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_model(spark, sf_dir, "stacked_users_partners")
+
+
+@query(
+    "ref_locations_clean",
+    oracle=locations_clean_oracle(),
+    survey_ref="§2.2 P3-P7, §2.3 J4-J6/J11, §2.4 A1, §2.5 W1-W4, §2.10 G1/G2 (full model)",
+)
+def ref_locations_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_model(spark, sf_dir, "locations_clean")
+
+
+@query(
+    "ref_user_base",
+    oracle=user_base_oracle(),
+    survey_ref="§1.3 output model; §2.2 P1/P2, §2.3 J1-J3, §2.6 O1, §2.8-2.9 all (full mart)",
+)
+def ref_user_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_model(spark, sf_dir, "user_base")

@@ -1,0 +1,187 @@
+"""Reference-model tests: DAG execution, mart invariants, and the exotic
+CASE branches that the derived driver fixtures can't all reach at small
+scale (Seoul special case, >10-mile city_replace heuristics, the
+state=country-long-name nulling — ref: locations_clean.sql:63-70,
+:101-114; marts_schema.yml:5-15)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from oroboro_dw_dbt_spark.models.reference_models import locations_clean_df
+from oroboro_dw_dbt_spark.operators.reference_suite import reference_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def mart_results(spark):
+    graph = reference_graph(spark, SF)
+    results = graph.run(spark, run_tests=True)
+    return graph, results
+
+
+class TestReferenceDag:
+    def test_topo_order(self, mart_results):
+        graph, _ = mart_results
+        order = graph.topo_order()
+        assert order.index("user_base") > order.index("stacked_users_partners")
+        assert order.index("user_base") > order.index("locations_clean")
+
+    def test_mart_dbt_tests_pass(self, mart_results):
+        """The reference's own data tests: not_null(user_id) and
+        unique(user_id, partner_id, site_id) — marts_schema.yml:5-15."""
+        _, results = mart_results
+        ub = results["user_base"]
+        assert ub.test_results, "mart must declare tests"
+        for t in ub.test_results:
+            assert t.passed, f"{t.name}: {t.n_violations} violations, e.g. {t.sample}"
+
+    def test_mart_covers_all_user_types(self, mart_results):
+        graph, _ = mart_results
+        rows = {
+            r["user_type_full_name"]
+            for r in graph.frame("user_base").select("user_type_full_name").distinct().collect()
+        }
+        assert {"Advisors", "Cohort Learners", "Independent Learners", "Widget Account"} <= rows
+
+    def test_attribution_routes_populated(self, mart_results):
+        graph, _ = mart_results
+        stacked = graph.frame("stacked_users_partners")
+        # routes land as: educators (route 2), learners w/ classroom
+        # (routes 1+3), learners w/o classroom (route 4)
+        assert stacked.filter("classroom_id IS NULL AND partner_id IS NOT NULL").count() > 0
+        assert stacked.filter("classroom_id IS NOT NULL").count() > 0
+
+
+def _loc_fixtures(spark, venues, comps, types):
+    loc = spark.createDataFrame(
+        venues,
+        "id long, display_name string, long_name string, latitude double, longitude double, slug string",
+    )
+    llac = spark.createDataFrame(comps, "from_location_id long, to_location_id long")
+    lltypes = spark.createDataFrame(types, "location_id long, locationtype_id long")
+    return loc, llac, lltypes
+
+
+class TestLocationsCleanBranches:
+    """Hand-built minimal location graphs, one per quirky branch."""
+
+    def test_seoul_special_case(self, spark):
+        # venue typed 2 (out-of-set), no city components, named Seoul →
+        # the `display_name = 'Seoul'` branch fires (locations_clean.sql:105)
+        loc, llac, lltypes = _loc_fixtures(
+            spark,
+            [(1, "Seoul", "Seoul Proper", 37.55, 126.99, "seoul")],
+            [],
+            [(1, 2)],
+        )
+        out = locations_clean_df(loc, llac, lltypes).collect()
+        assert len(out) == 1
+        assert out[0]["city"] == "Seoul"
+
+    def test_far_city_keeps_clean_locale(self, spark):
+        # nearest city > 10 mi and original locale is a clean name → keep it
+        loc, llac, lltypes = _loc_fixtures(
+            spark,
+            [
+                (1, "Riverton", "Riverton", 40.0, -100.0, "v"),
+                (100, "CityA", "CityA", 40.5, -100.0, "a"),  # ~35 mi
+                (101, "CityB", "CityB", 41.5, -100.0, "b"),  # ~104 mi
+            ],
+            [(1, 100), (1, 101)],
+            [(1, 2), (100, 3), (101, 4)],
+        )
+        row = locations_clean_df(loc, llac, lltypes).filter("from_location_id = 1").first()
+        assert row["city"] == "Riverton"
+        assert row["city_latitude"] == 40.0  # og coords kept in the >10 branch
+
+    @pytest.mark.parametrize(
+        "locale",
+        ["123 Main St", "87g8+2x plaza", "Fairfax County", "Lakeside Ave"],
+    )
+    def test_far_city_replaces_addressy_locale(self, spark, locale):
+        # > 10 mi but the locale looks like an address/plus-code/county →
+        # replaced by the nearest city name
+        loc, llac, lltypes = _loc_fixtures(
+            spark,
+            [
+                (1, locale, locale, 40.0, -100.0, "v"),
+                (100, "CityA", "CityA", 40.5, -100.0, "a"),
+                (101, "CityB", "CityB", 41.5, -100.0, "b"),
+            ],
+            [(1, 100), (1, 101)],
+            [(1, 2), (100, 3), (101, 4)],
+        )
+        row = locations_clean_df(loc, llac, lltypes).filter("from_location_id = 1").first()
+        assert row["city"] == "CityA"
+        # but coords still keep the origin in the >10 branch
+        assert row["city_latitude"] == 40.0
+
+    def test_near_city_always_replaces(self, spark):
+        # nearest city ≤ 10 mi → city name used regardless of locale shape
+        loc, llac, lltypes = _loc_fixtures(
+            spark,
+            [
+                (1, "Riverton", "Riverton", 40.0, -100.0, "v"),
+                (100, "CityA", "CityA", 40.05, -100.0, "a"),  # ~3.5 mi
+                (101, "CityB", "CityB", 41.5, -100.0, "b"),
+            ],
+            [(1, 100), (1, 101)],
+            [(1, 2), (100, 3), (101, 4)],
+        )
+        row = locations_clean_df(loc, llac, lltypes).filter("from_location_id = 1").first()
+        assert row["city"] == "CityA"
+        assert row["city_latitude"] == 40.05
+
+    def test_state_nulled_when_equals_country_long_name(self, spark):
+        loc, llac, lltypes = _loc_fixtures(
+            spark,
+            [
+                (1, "Venue", "Venue", 10.0, 10.0, "v"),
+                (200, "Wales", "Wales", 52.0, -3.7, "st"),
+                (400, "UK", "Wales", 54.0, -2.0, "cn"),  # long_name == state name
+            ],
+            [(1, 200), (1, 400)],
+            [(1, 2), (200, 7), (400, 1)],
+        )
+        row = locations_clean_df(loc, llac, lltypes).filter("from_location_id = 1").first()
+        assert row["state"] is None
+        assert row["country"] == "Wales"
+
+    def test_country_typed_venue_nulls_city_and_state(self, spark):
+        # a venue itself typed 1 (country) → city and state forced NULL
+        loc, llac, lltypes = _loc_fixtures(
+            spark,
+            [
+                (1, "France", "France", 46.0, 2.0, "v"),
+                (200, "Occitanie", "Occitanie", 43.7, 2.1, "st"),
+            ],
+            [(1, 200)],
+            [(1, 1), (200, 7)],
+        )
+        row = locations_clean_df(loc, llac, lltypes).filter("from_location_id = 1").first()
+        assert row["city"] is None
+        assert row["state"] is None
+
+    def test_null_coord_venues_dropped(self, spark):
+        loc, llac, lltypes = _loc_fixtures(
+            spark,
+            [(1, "Nowhere", "Nowhere", None, None, "v")],
+            [],
+            [(1, 3)],
+        )
+        assert locations_clean_df(loc, llac, lltypes).count() == 0
+
+    def test_seoul_branch_reached_at_sf01(self, spark):
+        """At sf0.1 the derived fixtures produce s ≡ 108 (mod 210) venues
+        where the Seoul branch fires end-to-end (fixtures.py docstring)."""
+        graph = reference_graph(spark, "/root/testdata/sf0.1")
+        graph.run(spark, select=["locations_clean"], run_tests=False)
+        seoul = (
+            graph.frame("locations_clean")
+            .filter("city = 'Seoul' AND original_locale = 'Seoul'")
+            .count()
+        )
+        assert seoul > 0
