@@ -1,0 +1,17 @@
+from oroboro_dw_dbt_spark.dedup.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_band_index,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+
+__all__ = [
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "minhash_band_index",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_groups",
+]

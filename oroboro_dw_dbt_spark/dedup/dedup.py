@@ -1,0 +1,184 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+Five families, each with a distinct scale profile:
+
+- **exact**        — hash-groupBy on a normalized fingerprint. One
+  shuffle on the 32-hex key; partial agg collapses dups map-side.
+- **n-gram Jaccard** — pairwise verify *within blocks* (never a global
+  cross join): block key = (lang, length band). At 100 TB block sizes
+  stay bounded, so the join is a per-block nested loop that AQE handles;
+  skewed blocks split via adaptive skew-join.
+- **MinHash + LSH** — the scale path (Broder 1997, banding per Leskovec
+  et al. MMDS ch.3): signature k=8, 4 bands × 2 rows. Candidates =
+  bucket-join on (band, band-key) — equi-join, shuffle on band keys,
+  O(collisions) not O(n²) — then exact-Jaccard verification of
+  candidates only.
+- **SimHash**      — 16-bit fingerprint; near-dup groups = identical
+  fingerprint (Hamming-0 buckets; Hamming≤k would OR k bit-flip probes).
+- **embedding cosine** — near-dup pairs above a cosine threshold within
+  a label block (coarse quantization stands in for IVF cells).
+
+All expressions are Column trees (no UDFs) and every operator has an
+exact DuckDB twin in operators/training_suite.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from oroboro_dw_dbt_spark.text.analysis import (
+    doc_fingerprint,
+    minhash_signature,
+    shingles,
+    simhash16,
+)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """One survivor (min doc_id) per normalized-text fingerprint;
+    n_dups counts collapsed copies."""
+    return (
+        docs.select(doc_fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def _block_key(docs: DataFrame, band_chars: int = 100) -> DataFrame:
+    return docs.withColumn(
+        "block", F.concat_ws("|", F.col("lang"), (F.col("n_chars") / band_chars).cast("int"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, band_chars: int = 100
+) -> DataFrame:
+    """Near-dup pairs with shingle-Jaccard ≥ threshold, blocked by
+    (lang, ⌊n_chars/band⌋) so the pairwise compare never goes global."""
+    sh = _block_key(docs, band_chars).select(
+        "doc_id", "block", shingles("text", n).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_band_index(
+    docs: DataFrame, n: int = 3, num_hashes: int = 8, band_rows: int = 2
+) -> DataFrame:
+    """(doc_id, band, band_key) posting list — the LSH index itself.
+    band_key concatenates `band_rows` signature elements; docs sharing a
+    (band, band_key) bucket are candidate near-dups."""
+    n_bands = num_hashes // band_rows
+    sig = docs.select(
+        "doc_id", minhash_signature(shingles("text", n), num_hashes).alias("sig")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "", *[F.col("sig")[b * band_rows + r] for r in range(band_rows)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        sig.select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from LSH bucket collisions, then exact-Jaccard
+    verified. The O(n²) compare only ever touches bucket collisions."""
+    index = minhash_band_index(docs, n, num_hashes, band_rows)
+    a, b = index.alias("a"), index.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    sh = docs.select("doc_id", shingles("text", n).alias("sh"))
+    jac = (
+        F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast("double")
+        / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+    )
+    return (
+        candidates.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_groups(docs: DataFrame) -> DataFrame:
+    """Docs sharing a 16-bit SimHash fingerprint (Hamming-0 buckets)."""
+    return (
+        docs.select("doc_id", simhash16("text").alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Vector near-dups: cosine ≥ threshold within a label block.
+    The label plays the IVF-cell role — at scale, replace with a
+    k-means-ish coarse quantizer; the join shape is identical."""
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(col: str) -> F.Column:
+        return F.sqrt(
+            F.aggregate(F.col(col), F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+
+    cos = dot / (norm("a.v") * norm("b.v"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,331 @@
+"""Catalog entries for the training-data pipeline operators:
+text analysis, deduplication (exact / n-gram / MinHash-LSH / SimHash /
+embedding-cosine), and similarity search (brute-force + LSH-bucketed).
+
+Every oracle is an independent DuckDB statement of the same math. The
+cross-engine determinism rules:
+
+- hashing is md5-only (hex strings are identical everywhere; engine
+  hash() functions are not);
+- float outputs are ROUND(x, 6) on both sides before compare/order;
+- the LSH hyperplanes are Python-side literal constants (search.py)
+  embedded into both the Spark plan and the SQL text;
+- shingling/banding index arithmetic is mirrored 0-based (Spark) vs
+  1-based (DuckDB) with the same element count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oroboro_dw_dbt_spark.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_band_index,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from oroboro_dw_dbt_spark.operators.catalog import query
+from oroboro_dw_dbt_spark.similarity import brute_force_topk, lsh_bucketed_topk, lsh_planes
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+from oroboro_dw_dbt_spark.text.analysis import (
+    BPE_ISH_PATTERN,
+    LANG_STOPWORDS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    min_shingle_fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (the text-analysis primitives' twins)
+# ---------------------------------------------------------------------------
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SHINGLES_3 = (
+    f"CASE WHEN len({_TOKS}) >= 3 THEN list_distinct(list_transform("
+    f"range(1, len({_TOKS}) - 1),"
+    f" i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
+    f" ELSE [array_to_string({_TOKS}, ' ')] END"
+)
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _hits_sql(lang: str) -> str:
+    return f"len(list_filter({_TOKS}, x -> list_contains({_sql_list(LANG_STOPWORDS[lang])}, x)))"
+
+
+QUERY_VEC_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "t_text_profile",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+      round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+            * 1.0 / length(text), 6) AS punct_ratio,
+      round({_hits_sql('en')} * 1.0 / len({_TOKS}), 6) AS stopword_ratio,
+      round(0.3 * (CASE WHEN len({_TOKS}) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+          + 0.2 * (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                             * 1.0 / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
+          + 0.2 * (CASE WHEN {_hits_sql('en')} > 0 THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (len(list_distinct({_TOKS})) * 1.0 / len({_TOKS})), 6) AS quality,
+      CASE WHEN {_hits_sql('en')} + {_hits_sql('de')} + {_hits_sql('fr')} + {_hits_sql('es')} = 0
+             THEN 'und'
+           WHEN {_hits_sql('en')} >= {_hits_sql('de')} AND {_hits_sql('en')} >= {_hits_sql('fr')}
+                AND {_hits_sql('en')} >= {_hits_sql('es')} THEN 'en'
+           WHEN {_hits_sql('de')} >= {_hits_sql('fr')} AND {_hits_sql('de')} >= {_hits_sql('es')}
+             THEN 'de'
+           WHEN {_hits_sql('fr')} >= {_hits_sql('es')} THEN 'fr'
+           ELSE 'es' END AS lang_pred,
+      md5(array_to_string(list_transform({_TOKS}, x -> lower(x)), ' ')) AS fingerprint,
+      list_aggregate(list_transform({_SHINGLES_3}, s -> md5(s)), 'min') AS shingle_fp
+    FROM documents
+    """,
+    survey_ref="beyond-reference: text analysis (lang-ID, quality, tokens, fingerprints)",
+)
+def t_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One scan, zero shuffles, zero UDFs — every signal is a Column tree
+    # evaluated inside whole-stage codegen.
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("lang_pred"),
+        doc_fingerprint("text").alias("fingerprint"),
+        min_shingle_fingerprint("text").alias("shingle_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@query(
+    "dd_exact",
+    oracle=f"""
+    SELECT md5(array_to_string(list_transform({_TOKS}, x -> lower(x)), ' ')) AS fp,
+           min(doc_id) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    survey_ref="beyond-reference: exact dedup (hash groupBy)",
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dd_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             lang || '|' || CAST(CAST(floor(n_chars / 100) AS INT) AS STRING) AS block,
+             {_SHINGLES_3} AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a
+    JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+                / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+    """,
+    survey_ref="beyond-reference: n-gram Jaccard near-dup (blocked pairwise)",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_cte() -> str:
+    return f"""
+    sh AS (SELECT doc_id, {_SHINGLES_3} AS shingles FROM documents),
+    mh AS (
+      SELECT doc_id, h, min(md5(CAST(h AS STRING) || '|' || s)) AS mv
+      FROM sh, unnest(shingles) AS u(s), range(8) AS r(h)
+      GROUP BY doc_id, h
+    ),
+    sig AS (SELECT doc_id, list(mv ORDER BY h) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, CAST(b AS INT) AS band, sig[2*b+1] || sig[2*b+2] AS band_key
+      FROM sig, range(4) AS rb(b)
+    )"""
+
+
+@query(
+    "dd_minhash_bands",
+    oracle=f"""
+    WITH {_minhash_cte()}
+    SELECT doc_id, band, band_key FROM bands
+    """,
+    survey_ref="beyond-reference: MinHash signatures + LSH banding index",
+)
+def dd_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_band_index(load_table(spark, sf_dir, "documents")).withColumn(
+        "band", F.col("band").cast("int")
+    )
+
+
+@query(
+    "dd_minhash_lsh",
+    oracle=f"""
+    WITH {_minhash_cte()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) * 1.0
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON cand.doc_a = sa.doc_id
+    JOIN sh sb ON cand.doc_b = sb.doc_id
+    WHERE round(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) * 1.0
+                / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= 0.5
+    """,
+    survey_ref="beyond-reference: MinHash+LSH near-dup (bucket join + verify)",
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    md5s = f"list_transform(list_distinct({_TOKS}), t -> md5(t))"
+    low = "('0','1','2','3','4','5','6','7')"
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({md5s}, m -> CASE WHEN substr(m, {j + 1}, 1)"
+        f" IN {low} THEN 1 ELSE -1 END)) > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"({bits})"
+
+
+@query(
+    "dd_simhash",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM documents)
+    SELECT CAST(simhash AS INT) AS simhash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM s
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+    survey_ref="beyond-reference: SimHash near-dup buckets",
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_groups(load_table(spark, sf_dir, "documents")).withColumn(
+        "simhash", F.col("simhash").cast("int")
+    )
+
+
+@query(
+    "dd_embedding_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM v a
+    JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                6) >= 0.4
+    """,
+    survey_ref="beyond-reference: embedding-cosine near-dup (label-blocked)",
+)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+_COS = (
+    "round(list_dot_product(q.v, c.v)"
+    " / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)"
+)
+
+
+@query(
+    "ss_bruteforce_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS} AS cosine
+      FROM v q JOIN v c ON q.vec_id != c.vec_id
+      WHERE q.vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs
+    ) t WHERE rank <= 5
+    """,
+    survey_ref="beyond-reference: ANN brute-force cosine top-k baseline",
+)
+def ss_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def _planes_dot_sql(alias: str, num_planes: int = 6, dim: int = 64) -> str:
+    """bucket expr: bit p = sign(Σ_d v[d]·w_pd), same literal constants
+    and left-assoc summation order as search.hyperplane_bucket."""
+    planes = lsh_planes(num_planes, dim)
+    terms = []
+    for p, plane in enumerate(planes):
+        dot = " + ".join(f"{alias}.v[{d + 1}] * ({w})" for d, w in enumerate(plane))
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {2**p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "ss_lsh_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_planes_dot_sql('v')} AS bucket FROM v),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS} AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs
+    ) t WHERE rank <= 5
+    """,
+    survey_ref="beyond-reference: ANN via random-hyperplane LSH buckets",
+)
+def ss_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bucketed_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5
+    ).withColumn("rank", F.col("rank").cast("int"))

@@ -1,0 +1,15 @@
+from oroboro_dw_dbt_spark.similarity.search import (
+    brute_force_topk,
+    cosine_similarity,
+    hyperplane_bucket,
+    lsh_bucketed_topk,
+    lsh_planes,
+)
+
+__all__ = [
+    "brute_force_topk",
+    "cosine_similarity",
+    "hyperplane_bucket",
+    "lsh_bucketed_topk",
+    "lsh_planes",
+]

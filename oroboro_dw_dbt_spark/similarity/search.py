@@ -1,0 +1,130 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths, same surface (query vecs → top-k neighbors by cosine):
+
+- **brute force** — the correctness baseline: queries × candidates with
+  the dot product as a zip_with/aggregate Column tree. Fine when the
+  query set is small (broadcast) and the corpus scan is one pass; the
+  k-selection is a per-query window top-k (TakeOrdered shape, no global
+  sort).
+- **LSH-bucketed** — the scale path: random-hyperplane signatures
+  (Charikar 2002 SimHash for angles). Each vector gets a `num_planes`-bit
+  bucket; query and candidate must share the bucket to be compared, so
+  the pairwise compare is an equi-join on the bucket id — O(collisions),
+  and exactly the plan shape an IVF index produces with cells ≡ buckets.
+  Recall loss is the standard LSH trade; multi-probe = OR over
+  bit-flipped buckets (not implemented here).
+
+The hyperplane matrix is a deterministic Python-side constant
+(sin-based, rounded to 6 decimals) embedded as literals in BOTH the
+Spark plan and the SQL oracle — no engine-native RNG or libm calls whose
+last-ulp behavior could diverge between JVM and C.
+
+No UDFs anywhere: dot products are zip_with + aggregate (codegen). For
+very wide vectors (≥1k dims) a pandas_udf BLAS batch would win — that
+variant belongs in multimodal.py's Arrow plumbing.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def lsh_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: sin(p·131 + d·7 + 1)
+    rounded to 6 decimals — identical constants on any engine."""
+    return [
+        [round(math.sin(p * 131 + d * 7 + 1), 6) for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit p = sign(vec · plane_p)."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        dot = F.lit(0.0)
+        # plane constants are literals — Catalyst folds them into codegen
+        for d, w in enumerate(plane):
+            if w != 0.0:
+                dot = dot + vec[d] * F.lit(w)
+        bucket = bucket + F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def _topk(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Queries are a tiny broadcast side; candidates stream once. Ties
+    break on vec_id so results are total-ordered (SURVEY §2.5 W4 lesson).
+    """
+    v = emb.select("vec_id", _as_double("embedding").alias("v"))
+    q = v.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(v, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    return _topk(pairs, k)
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5, num_planes: int = 6, dim: int = 64
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine within the bucket. The bucket equi-join is
+    the whole trick — at 100 TB it shuffles on bucket id instead of
+    comparing all pairs."""
+    planes = lsh_planes(num_planes, dim)
+    v = emb.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "bucket", hyperplane_bucket(F.col("v"), planes)
+    )
+    q = v.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(v, (F.col("qb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    return _topk(pairs, k)

@@ -1,0 +1,150 @@
+"""Unit tests for the training-data pipeline operators (text analysis,
+dedup families, similarity search) on hand-built micro-fixtures plus
+recall checks on the real documents/embeddings tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oroboro_dw_dbt_spark.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from oroboro_dw_dbt_spark.similarity import brute_force_topk, lsh_bucketed_topk
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+from oroboro_dw_dbt_spark.text.analysis import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    simhash16,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+class TestTextPrimitives:
+    def test_token_counts(self, spark):
+        df = _docs(spark, ["one two three", "  padded   tokens  ", "word"])
+        out = df.select(token_count("text").alias("n")).collect()
+        assert [r["n"] for r in out] == [3, 2, 1]
+
+    def test_bpe_ish_segments(self, spark):
+        df = _docs(spark, ["hello, world! x2"])
+        # hello , world ! x 2 → 6 segments
+        assert df.select(bpe_ish_token_count("text").alias("n")).first()["n"] == 6
+
+    def test_punct_ratio(self, spark):
+        df = _docs(spark, ["ab.,", "abcd"])
+        out = [r["p"] for r in df.select(punct_ratio("text").alias("p")).collect()]
+        assert out == [0.5, 0.0]
+
+    def test_lang_id_heuristic(self, spark):
+        df = _docs(
+            spark,
+            [
+                "the cat sat on the mat and it is fine",
+                "der hund und die katze ist nicht da",
+                "le chat est dans la maison pour que",
+                "xyzzy qwerty plugh",
+            ],
+        )
+        out = [r["lang"] for r in df.select(lang_id("text").alias("lang")).collect()]
+        assert out == ["en", "de", "fr", "und"]
+
+    def test_fingerprint_normalizes(self, spark):
+        df = _docs(spark, ["Hello  World", "hello world", "hello  world "])
+        fps = [r["fp"] for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
+        assert fps[0] == fps[1] == fps[2]
+
+    def test_quality_score_range(self, spark):
+        docs = load_table(spark, SF, "documents")
+        bad = docs.select(quality_score("text").alias("q")).filter(
+            (F.col("q") < 0) | (F.col("q") > 1)
+        )
+        assert bad.count() == 0
+
+    def test_simhash_deterministic_and_16bit(self, spark):
+        df = _docs(spark, ["spark filter join", "spark filter join", "other words here"])
+        out = [r["s"] for r in df.select(simhash16("text").alias("s")).collect()]
+        assert out[0] == out[1] != out[2]
+        assert all(0 <= s < 2**16 for s in out)
+
+
+class TestDedup:
+    def test_exact_dedup_collapses_case_and_spacing(self, spark):
+        df = _docs(spark, ["Alpha  Beta", "alpha beta", "gamma delta"])
+        out = exact_dedup(df).orderBy("keep_doc_id").collect()
+        assert len(out) == 2
+        assert out[0]["keep_doc_id"] == 0 and out[0]["n_dups"] == 2
+
+    def test_ngram_jaccard_finds_planted_pair(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+        far = "one two three four five six seven eight nine ten"
+        df = _docs(spark, [base, near, far])
+        pairs = ngram_jaccard_pairs(df, threshold=0.3).collect()
+        assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(0, 1)]
+        assert 0.3 < pairs[0]["jaccard"] < 1.0
+
+    def test_minhash_lsh_recovers_ngram_pairs(self, spark):
+        """LSH candidates ⊇ high-jaccard pairs on the real corpus: every
+        pair with jaccard ≥ 0.5 must surface through the band join
+        (4 bands × 2 rows → collision probability 1-(1-j²)⁴ ≈ .97 at j=.7,
+        and the driver's planted dups sit well above that)."""
+        docs = load_table(spark, SF, "documents")
+        lsh = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+        }
+        assert lsh, "planted near-dups must be found"
+        assert all(j >= 0.5 for j in lsh.values())
+
+    def test_simhash_groups_only_multi(self, spark):
+        df = _docs(spark, ["same token set", "token same set", "different things entirely"])
+        groups = simhash_groups(df).collect()
+        # docs 0 and 1 share the token SET → identical simhash
+        assert len(groups) == 1 and groups[0]["n_docs"] == 2
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_shape(self, spark):
+        emb = load_table(spark, SF, "embeddings")
+        out = brute_force_topk(emb, [0, 1], k=3)
+        rows = out.collect()
+        assert len(rows) == 6
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            ranks = [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])]
+            assert ranks == [1, 2, 3]
+            cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+            assert cosines == sorted(cosines, reverse=True)
+            assert all(r["vec_id"] != q for r in rs)
+
+    def test_lsh_results_subset_of_bucket_and_exact_cosine(self, spark):
+        """Every LSH hit must carry the same cosine the brute-force path
+        computes (the bucket only restricts candidates, never rescores)."""
+        emb = load_table(spark, SF, "embeddings")
+        brute = {
+            (r["query_id"], r["vec_id"]): r["cosine"]
+            for r in brute_force_topk(emb, [0, 1, 2], k=200).collect()
+        }
+        lsh = lsh_bucketed_topk(emb, [0, 1, 2], k=5).collect()
+        for r in lsh:
+            key = (r["query_id"], r["vec_id"])
+            if key in brute:  # brute k=200 may truncate below LSH hits
+                assert brute[key] == pytest.approx(r["cosine"], abs=1e-9)
