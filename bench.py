@@ -17,16 +17,22 @@ from oroboro_dw_dbt_spark.operators import QUERIES
 from oroboro_dw_dbt_spark.session import get_spark
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "q3_top_revenue_orders",
-    "j1_left_fanout",
     "j7_computed_key_join",
     "j9_dim_chain_rollup",
-    "a1_having_count_distinct",
     "w1_top1_per_group",
-    "u2_union_typed_nulls",
-    "f_string_suite",
-    "d_date_suite",
+    # the reference pipeline end-to-end (fixtures + 3-model DAG)
+    "ref_user_base",
+    # training-data ops
+    "t_text_profile",
+    "dd_minhash_lsh",
+    "ss_bruteforce_topk",
+    "mm_sample_frames",
+    # event analytics + streaming
+    "st_sessionize",
+    "st_stream_windowed",
 ]
 
 

@@ -29,9 +29,9 @@ from pyspark.sql import functions as F
 
 from oroboro_dw_dbt_spark.text.analysis import (
     doc_fingerprint,
-    minhash_signature,
     shingles,
     simhash16,
+    with_minhash_signature,
 )
 
 
@@ -77,16 +77,33 @@ def ngram_jaccard_pairs(
     )
 
 
+def _shingled(docs: DataFrame, n: int, materialize: bool) -> DataFrame:
+    """(doc_id, sh) with shingling optionally cut from lineage: the
+    self-join and the verify step would otherwise recompute the shingle
+    arrays once per reference (4× at sf0.1 ≈ 4 full md5 passes).
+    localCheckpoint ≙ the persist-before-reuse a production pipeline
+    does; storage is freed with the DataFrame."""
+    sh = docs.select("doc_id", shingles("text", n).alias("sh"))
+    # EAGER: a lazy checkpoint is not reliably shared between the
+    # branches of the downstream self-join inside a single job — each
+    # branch can recompute the full md5 pipeline (observed 141s vs 5s
+    # at sf0.1). Materializing at build time pins it.
+    return sh.localCheckpoint(eager=True) if materialize else sh
+
+
 def minhash_band_index(
-    docs: DataFrame, n: int = 3, num_hashes: int = 8, band_rows: int = 2
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    _shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_key) posting list — the LSH index itself.
     band_key concatenates `band_rows` signature elements; docs sharing a
     (band, band_key) bucket are candidate near-dups."""
     n_bands = num_hashes // band_rows
-    sig = docs.select(
-        "doc_id", minhash_signature(shingles("text", n), num_hashes).alias("sig")
-    )
+    sh = _shingles_df if _shingles_df is not None else _shingled(docs, n, False)
+    sig = with_minhash_signature(sh, "sh", num_hashes, out="sig").select("doc_id", "sig")
     bands = F.array(
         *[
             F.struct(
@@ -110,10 +127,16 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_rows: int = 2,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate pairs from LSH bucket collisions, then exact-Jaccard
-    verified. The O(n²) compare only ever touches bucket collisions."""
-    index = minhash_band_index(docs, n, num_hashes, band_rows)
+    verified. The O(n²) compare only ever touches bucket collisions;
+    shingles and the band index are materialized once and reused on both
+    sides of the self-join (and in the verify step)."""
+    sh = _shingled(docs, n, materialize)
+    index = minhash_band_index(docs, n, num_hashes, band_rows, _shingles_df=sh)
+    if materialize:
+        index = index.localCheckpoint(eager=True)
     a, b = index.alias("a"), index.alias("b")
     candidates = (
         a.join(
@@ -125,7 +148,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
-    sh = docs.select("doc_id", shingles("text", n).alias("sh"))
     jac = (
         F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast("double")
         / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))

@@ -1,4 +1,10 @@
 from oroboro_dw_dbt_spark.operators.catalog import QUERIES, QuerySpec, oracle_sql_map, queries_map, query  # noqa: F401
 
 # Importing these modules populates the catalog.
-from oroboro_dw_dbt_spark.operators import reference_suite, relational, scalar, training_suite  # noqa: F401,E402
+from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
+    events_suite,
+    reference_suite,
+    relational,
+    scalar,
+    training_suite,
+)

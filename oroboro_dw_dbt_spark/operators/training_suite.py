@@ -157,11 +157,19 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_cte() -> str:
+    # chunked scheme (text.analysis.with_minhash_signature): hash h =
+    # min over shingles of substr(md5('<h/4>|'+s), 1 + 8*(h%4), 8)
     return f"""
     sh AS (SELECT doc_id, {_SHINGLES_3} AS shingles FROM documents),
+    salted AS (
+      SELECT doc_id, md5('0|' || s) AS m0, md5('1|' || s) AS m1
+      FROM sh, unnest(shingles) AS u(s)
+    ),
     mh AS (
-      SELECT doc_id, h, min(md5(CAST(h AS STRING) || '|' || s)) AS mv
-      FROM sh, unnest(shingles) AS u(s), range(8) AS r(h)
+      SELECT doc_id, h,
+             min(substr(CASE WHEN h < 4 THEN m0 ELSE m1 END,
+                        1 + 8 * CAST(h % 4 AS INT), 8)) AS mv
+      FROM salted, range(8) AS r(h)
       GROUP BY doc_id, h
     ),
     sig AS (SELECT doc_id, list(mv ORDER BY h) AS sig FROM mh GROUP BY doc_id),

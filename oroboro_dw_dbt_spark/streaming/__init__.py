@@ -1,0 +1,13 @@
+from oroboro_dw_dbt_spark.streaming.jobs import (
+    run_stream_windowed_counts,
+    sessionize_batch,
+    stateful_sessions_stream,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "run_stream_windowed_counts",
+    "sessionize_batch",
+    "stateful_sessions_stream",
+    "windowed_event_counts",
+]

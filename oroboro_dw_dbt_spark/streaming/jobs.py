@@ -1,0 +1,233 @@
+"""Structured Streaming jobs over the events table.
+
+The reference is pure batch ELT (SURVEY §2.12: no streaming of any
+kind), so this module is part of the beyond-reference scale surface:
+the same event analytics a training-data pipeline runs over a live
+ingest feed, expressed with the Structured Streaming primitives —
+file source → watermark → event-time window aggregation → sink, plus
+an applyInPandasWithState custom stateful operator (sessionization).
+
+Correctness story: `run_stream_windowed_counts` executes the STREAMING
+job to completion (Trigger.AvailableNow, complete-mode memory sink) and
+its result is hash-compared against a plain batch GROUP BY oracle — the
+exactly-once contract in one assertion. The stateful sessionizer is
+compared against the batch window-function sessionization
+(`sessionize_batch`) in tests; closed sessions must agree.
+
+Scale notes: the windowed agg shuffles once on (window, event_type) with
+partial aggregation map-side; watermark bounds state to
+(max event-time − 1h). Sessionization state is per-user and bounded by
+the 30-min gap timeout; at 100 TB the groupBy(user_id) hash-partitions
+state across executors — RocksDB state store in production.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_GAP_MIN = 30
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The file streaming source needs a DIRECTORY of µs-timestamp
+    parquet; the testdata ships one ns-timestamp FILE. Materialize a
+    converted copy under /tmp once per sf_dir (in production the ingest
+    layout is already a directory feed — this shim is test-env only)."""
+    if sf_dir not in _STREAM_DIRS:
+        from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+        out = tempfile.mkdtemp(prefix="events_stream_")
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+        _STREAM_DIRS[sf_dir] = out
+    return _STREAM_DIRS[sf_dir]
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Hourly tumbling-window counts/sums per event_type. Works on both
+    a static and a streaming DataFrame (same logical plan either way)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_windowed_counts(
+    spark: SparkSession, sf_dir: str, name: str = "stream_windowed_counts"
+) -> DataFrame:
+    """Execute the windowed agg as a REAL stream over the events parquet
+    (file source, AvailableNow trigger, complete-mode memory sink) and
+    return the settled result as a batch DataFrame."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _events_stream_dir(spark, sf_dir)
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # settle: memory sink table is complete once the query terminates
+    while q.isActive:  # pragma: no cover
+        time.sleep(0.1)
+    return spark.table(name)
+
+
+def sessionize_batch(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization with window functions (the batch oracle
+    shape): a new session starts when the per-user gap exceeds
+    `gap_min`. Returns one row per session with bounds and counts."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = float(gap_min * 60)
+    # timestamp → double epoch-seconds keeps microsecond precision in the
+    # gap compare (unix_timestamp would truncate to whole seconds)
+    with_flag = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > gap_s)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        with_flag.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .withColumn("session_seq", F.col("session_seq").cast("bigint"))
+    )
+
+
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, sum_value double"
+)
+_STATE_SCHEMA = "last_us bigint, start_us bigint, n bigint, total double"
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user stateful sessionizer: emits every CLOSED session (a gap
+    > 30 min ends the previous session). The trailing open session stays
+    in state — exactly the semantics a live stream needs; tests compare
+    closed sessions against sessionize_batch.
+
+    Time is integer epoch-MICROSECONDS throughout (pd.Timestamp.value is
+    ns): float epoch-seconds roundtrips manufacture sub-µs noise that
+    Arrow then refuses to narrow back to timestamp[us]."""
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    (user_id,) = key
+    if state.exists:
+        last_us, start_us, n, total = state.get
+    else:
+        last_us = start_us = None
+        n, total = 0, 0.0
+
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            ts_us = ts.value // 1000
+            if last_us is not None and ts_us - last_us > gap_us:
+                out.append((user_id, start_us, last_us, n, round(total, 2)))
+                start_us, n, total = ts_us, 0, 0.0
+            if start_us is None:
+                start_us = ts_us
+            last_us = ts_us
+            n += 1
+            total += float(value)
+    state.update((last_us, start_us, n, total))
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([o[0] for o in out], dtype="int64"),
+                "session_start": [pd.Timestamp(o[1] * 1000, unit="ns") for o in out],
+                "session_end": [pd.Timestamp(o[2] * 1000, unit="ns") for o in out],
+                "n_events": pd.Series([o[3] for o in out], dtype="int64"),
+                "sum_value": [o[4] for o in out],
+            }
+        )
+
+
+def stateful_sessions_stream(
+    spark: SparkSession, sf_dir: str, name: str = "stateful_sessions"
+) -> DataFrame:
+    """Custom stateful operator on a real stream: per-user session state
+    via applyInPandasWithState (Arrow-batched, partitioned by user_id —
+    the `queries()` entry is rows-only-checked; the semantics are pinned
+    against sessionize_batch in tests)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _events_stream_dir(spark, sf_dir)
+    )
+    sessions = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

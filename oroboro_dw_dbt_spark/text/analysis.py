@@ -135,15 +135,51 @@ def min_shingle_fingerprint(text: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
-    """MinHash signature as array<string>: element h = min over shingles
-    of md5('<h>|' + shingle). md5 keeps Spark and any SQL oracle
-    bit-identical; lexicographic min over hex = min over the hash ints."""
-    def salted(h: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{h}|"), s))
+    """MinHash signature as array<string> — hash h is the min over
+    shingles of an 8-hex-char CHUNK of a salted md5: md5('<k>|'+s)
+    yields 4 independent 32-bit hashes, so 8 hashes cost 2 md5 calls per
+    shingle instead of 8. md5 keeps Spark and the SQL oracle
+    bit-identical (engine hash() functions differ); lexicographic min
+    over fixed-width hex = numeric min.
+
+    Prefer `with_minhash_signature` on a DataFrame — it names the salted
+    md5 arrays as intermediate columns evaluated once per row; this
+    expression form re-evaluates them per hash."""
+
+    def salted_chunk(h: int):
+        k, i = divmod(h, 4)
+        return lambda s: F.substring(F.md5(F.concat(F.lit(f"{k}|"), s)), 1 + 8 * i, 8)
 
     return F.array(
-        *[F.array_min(F.transform(shingle_col, salted(h))) for h in range(num_hashes)]
+        *[F.array_min(F.transform(shingle_col, salted_chunk(h))) for h in range(num_hashes)]
     )
+
+
+def with_minhash_signature(
+    df, shingles_col: str = "sh", num_hashes: int = 8, out: str = "sig"
+):
+    """Add a MinHash signature column, evaluating each salted md5 array
+    ONCE per row (named intermediates cross a projection boundary, so
+    all chunk-mins share them)."""
+    n_md5 = (num_hashes + 3) // 4
+
+    def salted(k: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{k}|"), s))
+
+    tmp = df
+    for k in range(n_md5):
+        tmp = tmp.withColumn(f"_mh{k}", F.transform(F.col(shingles_col), salted(k)))
+
+    def chunk(i: int):
+        return lambda m: F.substring(m, 1 + 8 * i, 8)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col(f"_mh{h // 4}"), chunk(h % 4)))
+            for h in range(num_hashes)
+        ]
+    )
+    return tmp.withColumn(out, sig).drop(*[f"_mh{k}" for k in range(n_md5)])
 
 
 def simhash16(text: Column | str) -> Column:

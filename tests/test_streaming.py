@@ -1,0 +1,106 @@
+"""Streaming + multimodal tests: streaming/batch parity for the
+windowed agg, stateful sessionizer vs the batch window-function oracle,
+and the Arrow plumbing contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oroboro_dw_dbt_spark.multimodal import (
+    decode_media,
+    extract_media_features,
+    media_from_documents,
+    sample_frames,
+)
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+from oroboro_dw_dbt_spark.streaming import (
+    run_stream_windowed_counts,
+    sessionize_batch,
+    stateful_sessions_stream,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestStreaming:
+    def test_stream_equals_batch_windowed(self, spark):
+        """Exactly-once contract: the AvailableNow streaming run of the
+        windowed agg returns the same rows as the batch plan."""
+        batch = {
+            tuple(r)
+            for r in windowed_event_counts(load_table(spark, SF, "events")).collect()
+        }
+        stream = {
+            tuple(r)
+            for r in run_stream_windowed_counts(spark, SF, name="t_stream_eq").collect()
+        }
+        assert stream == batch
+
+    def test_stateful_sessions_match_batch_closed_sessions(self, spark):
+        """Every emitted (closed) session must exist identically in the
+        batch sessionization; the only missing ones are each user's
+        trailing OPEN session (still held in state)."""
+        events = load_table(spark, SF, "events")
+        batch = sessionize_batch(events).collect()
+        stream = stateful_sessions_stream(spark, SF, name="t_state_sess").collect()
+
+        batch_keyed = {
+            (r["user_id"], r["session_start"], r["session_end"]): (
+                r["n_events"],
+                r["sum_value"],
+            )
+            for r in batch
+        }
+        assert stream, "closed sessions must be emitted"
+        for r in stream:
+            key = (r["user_id"], r["session_start"], r["session_end"])
+            assert key in batch_keyed, f"spurious session {key}"
+            n, total = batch_keyed[key]
+            assert r["n_events"] == n
+            assert r["sum_value"] == pytest.approx(total, abs=0.02)
+
+        # batch = closed + exactly one open trailing session per user
+        n_users = events.select("user_id").distinct().count()
+        assert len(batch) - len(stream) == n_users
+
+    def test_watermark_present_in_streaming_plan(self, spark):
+        # the builder must attach a watermark to streaming input (bounds
+        # window state at scale); verify it lands in the analyzed plan
+        from oroboro_dw_dbt_spark.streaming.jobs import EVENTS_SCHEMA, _events_stream_dir
+
+        src = spark.readStream.schema(EVENTS_SCHEMA).parquet(_events_stream_dir(spark, SF))
+        plan = windowed_event_counts(src)._jdf.queryExecution().analyzed().toString()
+        assert "EventTimeWatermark" in plan
+
+
+class TestMultimodal:
+    def test_media_schema_and_payload(self, spark):
+        media = media_from_documents(load_table(spark, SF, "documents"))
+        assert dict(media.dtypes)["payload"] == "binary"
+        row = media.first()
+        assert isinstance(row["payload"], (bytes, bytearray))
+        assert row["meta"]["n_bytes"] == len(row["payload"])
+
+    def test_features_match_text(self, spark):
+        docs = load_table(spark, SF, "documents")
+        feats = extract_media_features(media_from_documents(docs))
+        joined = feats.join(docs, "doc_id").filter(
+            (F.col("n_bytes") != F.length("text"))
+            | (F.col("first_byte") != F.ascii(F.col("text")))
+        )
+        assert joined.count() == 0
+
+    def test_frame_fanout_count(self, spark):
+        docs = load_table(spark, SF, "documents")
+        frames = sample_frames(media_from_documents(docs))
+        expect = docs.select(
+            F.ceil(F.length("text") / 100.0).cast("long").alias("k")
+        ).agg(F.sum("k")).first()[0]
+        assert frames.count() == expect
+
+    def test_decode_stub_gated(self, spark):
+        media = media_from_documents(load_table(spark, SF, "documents"))
+        with pytest.raises(NotImplementedError):
+            decode_media(media)
