@@ -1,0 +1,90 @@
+"""Physical-plan audit: the scale-readiness half of the feedback loop.
+
+For each catalog query, capture `.explain("formatted")` and assert the
+plan properties that matter at 100 TB:
+
+- no `CartesianProduct` / `BroadcastNestedLoopJoin` anywhere (an
+  accidental cross join is a cluster-killer; the intentional ANN
+  brute-force baseline is allowlisted);
+- `ReadSchema` stays narrow (column pruning reached the scan; a ~30-col
+  read for a few-column query means a projection didn't prune);
+- no Python `BatchEvalPython` (row-at-a-time UDF) nodes — Arrow
+  (`MapInPandas`/`FlatMapGroupsInPandas*`) is the only Python allowed.
+
+(No codegen check: under AQE the pre-execution formatted plan prints
+`AdaptiveSparkPlan isFinalPlan=false` without codegen ids, so their
+absence proves nothing. JVM-sidedness is covered by the
+BatchEvalPython check instead.)
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+Writes per-query plans under /tmp/plan_audit/ and prints a PASS/FLAG
+line per query + a summary; exit 1 on any flag.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+from oroboro_dw_dbt_spark.operators import QUERIES  # noqa: E402
+from oroboro_dw_dbt_spark.session import get_spark  # noqa: E402
+
+# queries where an all-pairs product IS the declared algorithm
+NESTED_LOOP_OK = {"ss_bruteforce_topk", "g2_haversine_pairs", "dd_ngram_jaccard"}
+# streaming entries execute eagerly inside the builder; explain() on the
+# returned batch result reflects the memory sink, not the stream plan
+SKIP = {"st_stream_windowed", "st_stateful_sessions"}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit_one(name: str, plan: str) -> list[str]:
+    flags: list[str] = []
+    if name not in NESTED_LOOP_OK and re.search(
+        r"CartesianProduct|BroadcastNestedLoopJoin", plan
+    ):
+        flags.append("nested-loop/cartesian join in plan")
+    if "BatchEvalPython" in plan:
+        flags.append("row-at-a-time Python UDF (BatchEvalPython)")
+    # every parquet scan should prune columns unless the query is SELECT *
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        if len(m.group(1).split(",")) > 24:
+            flags.append(f"wide scan ({len(m.group(1).split(','))} cols) — pruning?")
+    return flags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or [n for n in QUERIES if n not in SKIP]
+    spark = get_spark("plan_audit")
+    out_dir = Path("/tmp/plan_audit")
+    out_dir.mkdir(exist_ok=True)
+    n_flags = 0
+    for name in names:
+        if name in SKIP:
+            continue
+        df = QUERIES[name].builder(spark, sf_dir)
+        plan = plan_text(df)
+        (out_dir / f"{name}.txt").write_text(plan)
+        flags = audit_one(name, plan)
+        if flags:
+            n_flags += len(flags)
+            print(f"FLAG {name}: {'; '.join(flags)}")
+        else:
+            print(f"pass {name}")
+    print(f"\n{n_flags} flags across {len(names)} plans (plans in {out_dir}/)")
+    return 1 if n_flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
