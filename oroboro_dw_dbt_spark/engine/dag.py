@@ -11,13 +11,24 @@ either a registered source table or an upstream model — the exact
 semantic of ``source()``/``ref()``, with the DAG edge captured by
 function signature instead of Jinja side effect.
 
-Materialization semantics (mirrors dbt):
+Materialization semantics (mirrors dbt's four modes):
 
 - ``view``  — the logical plan is registered as a temp view and handed
   to consumers *lazily*; recomputed per downstream action, exactly like
   a database view. No data is persisted.
 - ``table`` — the DataFrame is written to the warehouse as Parquet
   (overwrite) and downstream consumers read the materialized files.
+  ``partition_by`` writes hive-style partition directories so
+  downstream filters on those columns become partition pruning.
+- ``ephemeral`` — never materialized and not even registered as a temp
+  view; the plan is inlined into every consumer (dbt's CTE semantics).
+- ``incremental`` — on first run, identical to ``table``; afterwards
+  only the model's new output is merged into the existing table:
+  existing rows whose ``unique_key`` matches a new row are replaced
+  (delete+insert), everything else is kept. This is the 100 TB mart
+  story — a daily build touches the day's rows, not the full history.
+  Local parquet swap is staged-then-renamed; a production deployment
+  would put Delta/Iceberg under the same interface for atomicity.
 
 Scale notes: a ``table`` write is the only action per node, so Catalyst
 sees each model's full plan and optimizes it end-to-end (predicate
@@ -50,13 +61,27 @@ class SourceRegistry:
     (tests inject in-memory fixture DataFrames this way).
     """
 
+    FORMATS = ("parquet", "csv", "json", "orc")
+
     def __init__(self) -> None:
-        self._paths: dict[str, str] = {}
+        self._paths: dict[str, tuple[str, str, dict[str, str]]] = {}
         self._providers: dict[str, Callable[[SparkSession], DataFrame]] = {}
         self._schemas: dict[str, T.StructType] = {}
 
-    def add_path(self, name: str, path: str, schema: T.StructType | None = None) -> None:
-        self._paths[name] = path
+    def add_path(
+        self,
+        name: str,
+        path: str,
+        schema: T.StructType | None = None,
+        format: str = "parquet",
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Register a file-backed source. Non-parquet formats want an
+        explicit ``schema`` — csv/json inference is a full extra pass
+        over the data, which at 100 TB is not a default anyone means."""
+        if format not in self.FORMATS:
+            raise ValueError(f"{name}: format must be one of {self.FORMATS}")
+        self._paths[name] = (path, format, dict(options or {}))
         if schema is not None:
             self._schemas[name] = schema
 
@@ -75,11 +100,15 @@ class SourceRegistry:
         if name in self._providers:
             return self._providers[name](spark)
         if name in self._paths:
-            reader = spark.read
+            path, fmt, options = self._paths[name]
+            reader = spark.read.format(fmt).options(**options)
             if name in self._schemas:
                 reader = reader.schema(self._schemas[name])
-            return reader.parquet(self._paths[name])
+            return reader.load(path)
         raise KeyError(f"unknown source {name!r}; registered: {self.names()}")
+
+
+MATERIALIZATIONS = ("view", "table", "ephemeral", "incremental")
 
 
 @dataclass
@@ -87,13 +116,21 @@ class Model:
     name: str
     fn: Callable[..., DataFrame]
     deps: tuple[str, ...]
-    materialized: str = "view"  # 'view' | 'table'
+    materialized: str = "view"  # one of MATERIALIZATIONS
     tags: tuple[str, ...] = ()
     tests: tuple[DataTest, ...] = ()
+    partition_by: tuple[str, ...] = ()  # table/incremental only
+    unique_key: tuple[str, ...] = ()  # incremental merge key
 
     def __post_init__(self) -> None:
-        if self.materialized not in ("view", "table"):
-            raise ValueError(f"{self.name}: materialized must be view|table")
+        if self.materialized not in MATERIALIZATIONS:
+            raise ValueError(
+                f"{self.name}: materialized must be one of {MATERIALIZATIONS}"
+            )
+        if self.materialized == "incremental" and not self.unique_key:
+            raise ValueError(f"{self.name}: incremental models need a unique_key")
+        if self.partition_by and self.materialized not in ("table", "incremental"):
+            raise ValueError(f"{self.name}: partition_by requires a table write")
 
 
 @dataclass
@@ -114,6 +151,8 @@ def model(
     materialized: str = "view",
     tags: tuple[str, ...] = (),
     tests: tuple[DataTest, ...] = (),
+    partition_by: tuple[str, ...] = (),
+    unique_key: tuple[str, ...] = (),
 ) -> Callable[[Callable[..., DataFrame]], Model]:
     """Decorator: declare a model; deps are the function's parameter names."""
 
@@ -126,6 +165,8 @@ def model(
             materialized=materialized,
             tags=tags,
             tests=tuple(tests),
+            partition_by=tuple(partition_by),
+            unique_key=tuple(unique_key),
         )
 
     return wrap
@@ -229,16 +270,15 @@ class ModelGraph:
                 kwargs[d] = self.sources.load(spark, d)
         df = m.fn(**kwargs)
 
-        if m.materialized == "table":
+        if m.materialized in ("table", "incremental"):
             if self.warehouse_dir is None:
                 raise ValueError(
-                    f"model {name!r} is materialized as table but the graph has "
-                    f"no warehouse_dir"
+                    f"model {name!r} is materialized as {m.materialized} but the "
+                    f"graph has no warehouse_dir"
                 )
-            out = f"{self.warehouse_dir}/{name}"
-            df.write.mode("overwrite").parquet(out)
-            df = spark.read.parquet(out)
-        df.createOrReplaceTempView(name)
+            df = self._write_table(spark, m, df)
+        if m.materialized != "ephemeral":
+            df.createOrReplaceTempView(name)
         self._frames[name] = df
 
         test_results: list[TestResult] = []
@@ -250,6 +290,39 @@ class ModelGraph:
             seconds=time.monotonic() - t0,
             test_results=test_results,
         )
+
+    def _write_table(self, spark: SparkSession, m: Model, df: DataFrame) -> DataFrame:
+        """Materialize ``df`` at ``warehouse_dir/name`` and return the
+        on-disk frame. ``incremental``: delete+insert by unique_key —
+        the new output is the authority for every key it contains; all
+        other existing rows survive. The merge anti-joins existing
+        against the (small) new-key set — broadcast under AQE, so an
+        incremental run never shuffles the full history."""
+        import shutil
+        from pathlib import Path
+
+        out = Path(self.warehouse_dir) / m.name
+        first_build = not out.exists()
+
+        if m.materialized == "incremental" and not first_build:
+            existing = spark.read.parquet(str(out))
+            keys = [k for k in m.unique_key]
+            kept = existing.join(df.select(*keys).dropDuplicates(), on=keys, how="left_anti")
+            merged = kept.unionByName(df)
+            # parquet can't overwrite a dir it is reading: stage then swap
+            staging = Path(self.warehouse_dir) / f"{m.name}__staging"
+            w = merged.write.mode("overwrite")
+            if m.partition_by:
+                w = w.partitionBy(*m.partition_by)
+            w.parquet(str(staging))
+            shutil.rmtree(out)
+            staging.rename(out)
+        else:
+            w = df.write.mode("overwrite")
+            if m.partition_by:
+                w = w.partitionBy(*m.partition_by)
+            w.parquet(str(out))
+        return spark.read.parquet(str(out))
 
     def frame(self, name: str) -> DataFrame:
         return self._frames[name]

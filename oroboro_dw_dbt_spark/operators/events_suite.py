@@ -25,6 +25,7 @@ from oroboro_dw_dbt_spark.streaming import (
     run_stream_windowed_counts,
     sessionize_batch,
     stateful_sessions_stream,
+    stream_dedup_events,
     windowed_event_counts,
 )
 
@@ -96,6 +97,18 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful_sessions_stream(spark, sf_dir)
+
+
+@query(
+    "st_stream_dedup",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    survey_ref="beyond-reference: streaming exactly-once dedup "
+    "(dropDuplicatesWithinWatermark over an at-least-once feed)",
+)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Spark side streams the events DOUBLED; matching the pristine
+    # batch table proves every duplicate was dropped, none over-dropped
+    return stream_dedup_events(spark, sf_dir)
 
 
 @query(

@@ -1,6 +1,7 @@
 from oroboro_dw_dbt_spark.streaming.jobs import (
     run_stream_windowed_counts,
     sessionize_batch,
+    stream_dedup_events,
     stateful_sessions_stream,
     windowed_event_counts,
 )
@@ -8,6 +9,7 @@ from oroboro_dw_dbt_spark.streaming.jobs import (
 __all__ = [
     "run_stream_windowed_counts",
     "sessionize_batch",
+    "stream_dedup_events",
     "stateful_sessions_stream",
     "windowed_event_counts",
 ]

@@ -112,6 +112,51 @@ def run_stream_windowed_counts(
     return spark.table(name)
 
 
+_DUP_STREAM_DIRS: dict[str, str] = {}
+
+
+def _duplicated_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A directory holding the events TWICE (two file copies) — the
+    at-least-once ingest a streaming dedup exists to clean up."""
+    if sf_dir not in _DUP_STREAM_DIRS:
+        from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+        out = tempfile.mkdtemp(prefix="events_dup_")
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").parquet(out)
+        ev.write.mode("append").parquet(out)
+        _DUP_STREAM_DIRS[sf_dir] = out
+    return _DUP_STREAM_DIRS[sf_dir]
+
+
+def stream_dedup_events(
+    spark: SparkSession, sf_dir: str, name: str = "stream_dedup"
+) -> DataFrame:
+    """Exactly-once repair over an at-least-once feed: stream the
+    doubled events directory and emit each event_id once via
+    dropDuplicatesWithinWatermark. State holds only keys younger than
+    the watermark delay — bounded, unlike a plain dropDuplicates, which
+    is what makes this the 100 TB-stream shape. The result must equal
+    the ORIGINAL (pre-duplication) events table, which is the oracle."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _duplicated_stream_dir(spark, sf_dir)
+    )
+    # delay ≥ the data's full time span: both copies arrive in one
+    # AvailableNow pass, so no true duplicate can outlive the state
+    deduped = stream.withWatermark("ts", "366 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def sessionize_batch(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Gap-based sessionization with window functions (the batch oracle
     shape): a new session starts when the per-user gap exceeds

@@ -109,3 +109,89 @@ def test_relationship_test(spark):
     fact = spark.createDataFrame([(1, 10), (2, 99), (3, None)], "k long, id long")
     r = relationship("id", dim, "id").run(fact)
     assert not r.passed and r.n_violations == 1  # only the 99; NULL FK allowed
+
+
+def test_ephemeral_inlined_not_registered(spark, sources, tmp_path):
+    @model(materialized="ephemeral")
+    def users_eph(raw_users):
+        return raw_users.filter(F.col("email").isNotNull())
+
+    @model(materialized="table")
+    def mart(users_eph):
+        return users_eph.select("id", "email")
+
+    g = ModelGraph(sources, warehouse_dir=str(tmp_path), threads=1)
+    g.add(users_eph, mart)
+    g.run(spark, run_tests=False)
+    assert g.frame("mart").count() == 2
+    assert not spark.catalog.tableExists("users_eph")
+    assert not (tmp_path / "users_eph").exists()
+
+
+def test_partitioned_table_write(spark, sources, tmp_path):
+    @model(materialized="table", partition_by=("city",))
+    def by_city(raw_locs):
+        return raw_locs
+
+    g = ModelGraph(sources, warehouse_dir=str(tmp_path), threads=1)
+    g.add(by_city)
+    g.run(spark, run_tests=False)
+    # hive-style partition dirs on disk → downstream filters prune
+    assert (tmp_path / "by_city" / "city=NY").exists()
+    assert g.frame("by_city").filter(F.col("city") == "SF").count() == 1
+
+
+def test_incremental_merge_by_key(spark, tmp_path):
+    batches = {
+        "n": 1,
+        1: [(1, "a", "2024-01-01"), (2, "b", "2024-01-01")],
+        2: [(2, "B2", "2024-01-02"), (3, "c", "2024-01-02")],
+    }
+    reg = SourceRegistry()
+    reg.add_provider(
+        "raw_batch",
+        lambda s: s.createDataFrame(
+            batches[batches["n"]], "id long, val string, day string"
+        ),
+    )
+
+    @model(materialized="incremental", unique_key=("id",))
+    def inc(raw_batch):
+        return raw_batch
+
+    g = ModelGraph(reg, warehouse_dir=str(tmp_path), threads=1)
+    g.add(inc)
+    g.run(spark, run_tests=False)
+    assert g.frame("inc").count() == 2
+
+    batches["n"] = 2
+    g.run(spark, run_tests=False)
+    rows = {r.id: (r.val, r.day) for r in g.frame("inc").collect()}
+    # key 1 kept from batch 1; key 2 replaced; key 3 inserted
+    assert rows == {
+        1: ("a", "2024-01-01"),
+        2: ("B2", "2024-01-02"),
+        3: ("c", "2024-01-02"),
+    }
+
+
+def test_incremental_requires_unique_key():
+    with pytest.raises(ValueError, match="unique_key"):
+        @model(materialized="incremental")
+        def bad(raw_batch):  # pragma: no cover
+            return raw_batch
+
+
+def test_csv_json_sources(spark, tmp_path):
+    (tmp_path / "u.csv").write_text("id,name\n1,ann\n2,bo\n")
+    (tmp_path / "v.json").write_text('{"id": 1, "score": 0.5}\n{"id": 2, "score": 0.9}\n')
+    reg = SourceRegistry()
+    reg.add_path(
+        "u", str(tmp_path / "u.csv"), schema="id long, name string",
+        format="csv", options={"header": "true"},
+    )
+    reg.add_path("v", str(tmp_path / "v.json"), schema="id long, score double", format="json")
+    u, v = reg.load(spark, "u"), reg.load(spark, "v")
+    joined = u.join(v, "id")
+    assert joined.count() == 2
+    assert {r.name for r in joined.collect()} == {"ann", "bo"}

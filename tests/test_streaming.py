@@ -104,3 +104,14 @@ class TestMultimodal:
         media = media_from_documents(load_table(spark, SF, "documents"))
         with pytest.raises(NotImplementedError):
             decode_media(media)
+
+
+def test_stream_dedup_recovers_original(spark):
+    from oroboro_dw_dbt_spark.sources.testdata import load_table
+    from oroboro_dw_dbt_spark.streaming import stream_dedup_events
+
+    sf = "/root/testdata/sf0.001"
+    deduped = stream_dedup_events(spark, sf, name="dedup_test")
+    orig = load_table(spark, sf, "events")
+    assert deduped.count() == orig.count()
+    assert deduped.select("event_id").distinct().count() == orig.count()
