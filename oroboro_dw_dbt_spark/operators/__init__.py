@@ -6,5 +6,6 @@ from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     reference_suite,
     relational,
     scalar,
+    scale_suite,
     training_suite,
 )

@@ -1,0 +1,97 @@
+"""Scale-pattern ops: salting equivalence and sketch error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oroboro_dw_dbt_spark.ops import (
+    approx_distinct_by,
+    approx_quantiles_by,
+    salted_join,
+    two_phase_distinct_agg,
+)
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSalting:
+    def test_salted_join_equals_plain_join(self, spark):
+        events = load_table(spark, SF, "events")
+        dim = load_table(spark, SF, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_name"
+        )
+        plain = events.join(dim, "user_id").select("event_id", "c_name")
+        salted = salted_join(events, dim, "user_id", salt_buckets=5).select(
+            "event_id", "c_name"
+        )
+        assert plain.count() == salted.count()
+        assert plain.exceptAll(salted).count() == 0
+        assert salted.exceptAll(plain).count() == 0
+
+    def test_salted_left_join_keeps_unmatched(self, spark):
+        events = load_table(spark, SF, "events")
+        # user_id 0 exists in events but custkey starts at 1
+        dim = load_table(spark, SF, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_name"
+        )
+        plain = events.join(dim, "user_id", "left")
+        salted = salted_join(events, dim, "user_id", "left", salt_buckets=3)
+        assert salted.count() == plain.count() == events.count()
+        assert (
+            salted.filter(F.col("c_name").isNull()).count()
+            == plain.filter(F.col("c_name").isNull()).count()
+        )
+
+    def test_two_phase_distinct_matches_exact(self, spark):
+        events = load_table(spark, SF, "events")
+        got = two_phase_distinct_agg(
+            events,
+            "event_type",
+            "user_id",
+            aggs={"n_events": F.count(F.lit(1)).cast("bigint")},
+        )
+        exact = events.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_distinct"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        g = {r.event_type: (r.n_distinct, r.n_events) for r in got.collect()}
+        e = {r.event_type: (r.n_distinct, r.n_events) for r in exact.collect()}
+        assert g == e
+
+
+class TestSketches:
+    def test_hll_within_rsd(self, spark):
+        events = load_table(spark, SF, "events")
+        approx = {
+            r.event_type: r.approx_distinct
+            for r in approx_distinct_by(events, "event_type", "user_id").collect()
+        }
+        exact = {
+            r.event_type: r.n
+            for r in events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        for k, n in exact.items():
+            # rsd=0.02 → 5σ bound; tiny groups get an absolute floor
+            assert abs(approx[k] - n) <= max(3, 0.1 * n), (k, approx[k], n)
+
+    def test_quantiles_rank_error(self, spark):
+        events = load_table(spark, SF, "events")
+        qs = approx_quantiles_by(events, "event_type", "value")
+        assert set(qs.columns) == {"event_type", "q_50", "q_95", "q_99"}
+        row = qs.filter(F.col("event_type").isNotNull()).first()
+        vals = [
+            r.value
+            for r in events.filter(F.col("event_type") == row.event_type)
+            .select("value")
+            .collect()
+        ]
+        vals.sort()
+        # GK guarantees rank error ≤ n/accuracy; check the 50th pctile
+        # lands within 1% of the true rank
+        import bisect
+
+        rank = bisect.bisect_left(vals, row.q_50)
+        assert abs(rank - 0.5 * len(vals)) <= max(2, 0.01 * len(vals)) + 1
