@@ -3,6 +3,7 @@ from oroboro_dw_dbt_spark.operators.catalog import QUERIES, QuerySpec, oracle_sq
 # Importing these modules populates the catalog.
 from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     events_suite,
+    extended_suite,
     reference_suite,
     relational,
     scalar,

@@ -1,0 +1,184 @@
+"""Catalog entries widening the relational surface beyond the
+reference: temporal joins (as-of, bucketed range), analytic windows
+(lead/lag/frames), set operations, rollup, and pivot.
+
+The reference uses none of these (SURVEY §2.12 absent-list), but a user
+migrating real warehouse workloads expects them; each is expressed as a
+single declarative plan and oracle-checked against DuckDB (which has
+native ASOF JOIN — the as-of entry's oracle — and BETWEEN joins for the
+range entry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oroboro_dw_dbt_spark.operators.catalog import query
+from oroboro_dw_dbt_spark.ops import asof_join, bucketed_range_join
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+
+@query(
+    "tj_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    survey_ref="beyond-reference: as-of join (latest prior click per "
+    "purchase) — union + running last(), one shuffle, no join node",
+)
+def tj_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(purchases, clicks, key="user_id")
+
+
+@query(
+    "tj_range_join",
+    oracle="""
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_events
+    FROM events e
+    JOIN (SELECT ts AS lo, ts + INTERVAL 5 MINUTE AS hi
+          FROM events WHERE event_type = 'error') r
+      ON e.ts >= r.lo AND e.ts <= r.hi
+    GROUP BY e.event_type
+    """,
+    survey_ref="beyond-reference: bucketed range join (points-in-"
+    "intervals as equi-join on time bucket + residual, not nested loop)",
+)
+def tj_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("hi"),
+    )
+    pairs = bucketed_range_join(
+        ev.select("event_id", "event_type", "ts"), intervals, "ts", "lo", "hi"
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("event_id").cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "w_lead_lag_frames",
+    oracle="""
+    SELECT event_id,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           CAST(round(sum(CAST(value AS DECIMAL(12,4)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS rsum3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    survey_ref="beyond-reference: lead/lag + explicit ROWS frame "
+    "(absent from the reference, SURVEY §2.12)",
+)
+def w_lead_lag_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,4)")).over(w.rowsBetween(-2, 0)), 2
+        )
+        .cast("double")
+        .alias("rsum3"),
+    )
+
+
+@query(
+    "set_intersect_except",
+    oracle="""
+    SELECT user_id, 'both' AS op FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT user_id, 'click_only' AS op FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    survey_ref="beyond-reference: INTERSECT / EXCEPT (absent-list §2.12)",
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # intersect/subtract are the DISTINCT set ops, matching SQL
+    # INTERSECT / EXCEPT (exceptAll would be the multiset variant)
+    return clicks.intersect(buys).withColumn("op", F.lit("both")).unionByName(
+        clicks.subtract(buys).withColumn("op", F.lit("click_only"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT)
+             AS grp_id,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+    """,
+    survey_ref="beyond-reference: ROLLUP with grouping ids (absent-list §2.12)",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select("event_type", "day", "grp_id", "n")
+    )
+
+
+_EVENT_TYPES = ("click", "signup", "error", "view", "purchase")
+
+
+@query(
+    "pivot_wide",
+    oracle="""
+    SELECT user_id,
+           {cols}
+    FROM events
+    GROUP BY user_id
+    """.format(
+        cols=",\n           ".join(
+            f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS n_{t}"
+            for t in _EVENT_TYPES
+        )
+    ),
+    survey_ref="beyond-reference: PIVOT to wide per-entity features "
+    "(explicit value list — no extra distinct pass at scale)",
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.select(
+        "user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in _EVENT_TYPES]
+    )

@@ -6,10 +6,16 @@ from oroboro_dw_dbt_spark.ops.skew import (
     salted_join,
     two_phase_distinct_agg,
 )
+from oroboro_dw_dbt_spark.ops.temporal import (
+    asof_join,
+    bucketed_range_join,
+)
 
 __all__ = [
     "approx_distinct_by",
     "approx_quantiles_by",
+    "asof_join",
+    "bucketed_range_join",
     "salted_join",
     "two_phase_distinct_agg",
 ]

@@ -1,0 +1,104 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+(bucketed) range join — each expressed as a composition of DataFrame
+ops that keeps a single hash-shuffle plan, never a nested loop.
+
+As-of join (the union trick): to attach, for every left row, the most
+recent right row with the same key and ts_right <= ts_left, tag both
+inputs, union them, and take a running ``last(right_payload,
+ignorenulls=True)`` over (key) ordered by (ts, tag) with right rows
+sorted before left rows at equal ts (inclusive semantics). One shuffle
+on key; no join at all. This is how kdb/QuestDB/Flink users expect
+``asof`` to behave and matches DuckDB's ASOF JOIN, which serves as the
+oracle.
+
+Bucketed range join: joining points to intervals on ``ts BETWEEN lo AND
+hi`` with no equi-key is a nested loop in Spark (BroadcastNestedLoop —
+fine for a tiny interval side, quadratic death otherwise). The scale
+path: quantize time into fixed buckets, explode each interval into the
+buckets it covers, equi-join points to intervals on the bucket id, then
+apply the exact BETWEEN as a residual filter. Shuffle is proportional to
+points + interval-bucket expansions; pick ``bucket_s`` near the median
+interval length so expansion stays O(1) per interval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: tuple[str, ...] = (),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach ``right_ts`` and ``right_payload`` of
+    the latest right row with the same ``key`` and ts <= the left ts
+    (NULLs when no such row). Left columns pass through unchanged."""
+    payload = [c for c in right_payload if c != right_ts]
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.col(right_ts).alias(f"{prefix}ts"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+        *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
+    )
+    l_ = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{prefix}ts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
+            for c in payload
+        ],
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+        for c in ["ts", *payload]
+    ]
+    out = r.unionByName(l_).select(key, "_ts", "_tag", *carried, *[f"_l_{c}" for c in left.columns])
+    out = out.filter(F.col("_tag") == 1).drop("_tag", "_ts", key)
+    for c in left.columns:
+        out = out.withColumnRenamed(f"_l_{c}", c)
+    return out.select(*left.columns, *[f"{prefix}{c}" for c in ["ts", *payload]])
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    lo: str,
+    hi: str,
+    bucket_s: int = 300,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join-shaped point-in-interval join: points.ts ∈ [lo, hi].
+    Returns points columns + intervals columns (inner) — one output row
+    per (point, covering interval) pair, like the BETWEEN join it
+    replaces. Quantizes to ``bucket_s``-second buckets."""
+    if how != "inner":
+        raise ValueError("bucketed_range_join supports inner only")
+    b = lambda c: (F.col(c).cast("double") / bucket_s).cast("long")  # noqa: E731
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(b(lo), b(hi))),
+    )
+    pt = points.withColumn("_bucket", b(point_ts))
+    return (
+        pt.join(iv, "_bucket")
+        .filter((F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) <= F.col(hi)))
+        .drop("_bucket")
+    )

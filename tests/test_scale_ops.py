@@ -95,3 +95,44 @@ class TestSketches:
 
         rank = bisect.bisect_left(vals, row.q_50)
         assert abs(rank - 0.5 * len(vals)) <= max(2, 0.01 * len(vals)) + 1
+
+
+class TestTemporalJoins:
+    def test_asof_basic_and_no_prior(self, spark):
+        from oroboro_dw_dbt_spark.ops import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10.0, "L1"), (1, 20.0, "L2"), (2, 5.0, "L3")],
+            "k long, ts double, lbl string",
+        )
+        right = spark.createDataFrame(
+            [(1, 10.0, "R@10"), (1, 15.0, "R@15"), (2, 6.0, "R@6")],
+            "k long, ts double, val string",
+        )
+        out = {
+            r.lbl: (r.asof_ts, r.asof_val)
+            for r in asof_join(
+                left, right, key="k", right_payload=("val",)
+            ).collect()
+        }
+        assert out["L1"] == (10.0, "R@10")  # inclusive ts_right <= ts_left
+        assert out["L2"] == (15.0, "R@15")  # latest prior, not first
+        assert out["L3"] == (None, None)  # right row is AFTER left → null
+
+    def test_bucketed_range_join_inclusive_bounds(self, spark):
+        from oroboro_dw_dbt_spark.ops import bucketed_range_join
+
+        points = spark.createDataFrame(
+            [(1, 100.0), (2, 600.0), (3, 601.0), (4, 99.9)],
+            "pid long, ts double",
+        )
+        intervals = spark.createDataFrame(
+            [(100.0, 600.0)], "lo double, hi double"
+        )
+        got = sorted(
+            r.pid
+            for r in bucketed_range_join(
+                points, intervals, "ts", "lo", "hi", bucket_s=250
+            ).collect()
+        )
+        assert got == [1, 2]  # lo and hi inclusive; outside both ends dropped
