@@ -37,6 +37,11 @@ HEADLINE = [
     # event analytics + streaming
     "st_sessionize",
     "st_stream_windowed",
+    # temporal joins + scale patterns
+    "tj_asof_join",
+    "tj_range_join",
+    "skew_two_phase_agg",
+    "pivot_wide",
 ]
 
 

@@ -337,3 +337,17 @@ def ss_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(
         load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "ss_ivf_topk",
+    oracle=None,  # KMeans cells are engine-internal — recall-bounded in tests
+    survey_ref="beyond-reference: ANN via IVF (seeded KMeans coarse "
+    "quantizer, n_probe nearest cells, exact cosine within)",
+)
+def ss_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.similarity import ivf_topk
+
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5
+    ).withColumn("rank", F.col("rank").cast("int"))

@@ -2,6 +2,7 @@ from oroboro_dw_dbt_spark.similarity.search import (
     brute_force_topk,
     cosine_similarity,
     hyperplane_bucket,
+    ivf_topk,
     lsh_bucketed_topk,
     lsh_planes,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "brute_force_topk",
     "cosine_similarity",
     "hyperplane_bucket",
+    "ivf_topk",
     "lsh_bucketed_topk",
     "lsh_planes",
 ]

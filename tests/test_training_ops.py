@@ -148,3 +148,23 @@ class TestSimilarity:
             key = (r["query_id"], r["vec_id"])
             if key in brute:  # brute k=200 may truncate below LSH hits
                 assert brute[key] == pytest.approx(r["cosine"], abs=1e-9)
+
+
+class TestIVF:
+    def test_ivf_recall_and_score_exactness(self, spark):
+        from oroboro_dw_dbt_spark.similarity import brute_force_topk, ivf_topk
+        from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        qids = [0, 7, 42]
+        exact = brute_force_topk(emb, qids, k=5)
+        approx = ivf_topk(emb, qids, k=5, n_centroids=8, n_probe=3)
+        e = {(r.query_id, r.vec_id): r.cosine for r in exact.collect()}
+        a = {(r.query_id, r.vec_id): r.cosine for r in approx.collect()}
+        # every IVF cosine must equal the exact cosine for that pair
+        for pair, cos in a.items():
+            if pair in e:
+                assert abs(cos - e[pair]) < 1e-9
+        # probing 3/8 cells must still recover most true neighbors
+        recall = len(set(a) & set(e)) / len(e)
+        assert recall >= 0.5, recall
