@@ -26,6 +26,7 @@ from oroboro_dw_dbt_spark.streaming import (
     sessionize_batch,
     stateful_sessions_stream,
     stream_dedup_events,
+    stream_stream_join,
     windowed_event_counts,
 )
 
@@ -109,6 +110,23 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Spark side streams the events DOUBLED; matching the pristine
     # batch table proves every duplicate was dropped, none over-dropped
     return stream_dedup_events(spark, sf_dir)
+
+
+@query(
+    "st_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    survey_ref="beyond-reference: watermarked stream-stream interval "
+    "join == batch interval join (bounded state via time range)",
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_stream_join(spark, sf_dir)
 
 
 @query(

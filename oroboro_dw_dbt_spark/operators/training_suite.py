@@ -41,6 +41,7 @@ from oroboro_dw_dbt_spark.text.analysis import (
     quality_score,
     stopword_ratio,
     token_count,
+    tokens,
 )
 
 # ---------------------------------------------------------------------------
@@ -351,3 +352,45 @@ def ss_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "t_ngram_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             t[i] || ' ' || t[i + 1] AS gram
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+    )
+    SELECT gram,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM grams
+    GROUP BY gram
+    HAVING count(*) >= 10
+    """,
+    survey_ref="beyond-reference: corpus bigram frequency (explode "
+    "fan-out -> map-side-combined agg; the n-gram-LM-stats shape)",
+)
+def t_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram stats: the token fan-out is the scale hazard (one
+    row per bigram occurrence); partial aggregation collapses it
+    map-side before the shuffle, so shuffle volume is O(distinct grams
+    per partition), not O(occurrences)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n") >= 10)
+    )

@@ -157,6 +157,56 @@ def stream_dedup_events(
     return spark.table(name)
 
 
+def stream_stream_join(
+    spark: SparkSession, sf_dir: str, name: str = "stream_join"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same
+    user's clicks from the preceding 30 minutes — both sides are
+    streams, so Spark buffers each side's rows in watermarked state and
+    emits matches as they meet. The time-bound condition is what lets
+    the state be evicted (unbounded stream-stream joins can't GC);
+    watermark + range condition = bounded state at any scale.
+
+    Result is hash-matched against the equivalent batch interval join —
+    streaming/batch parity again, now for binary stateful ops."""
+    src_dir = _events_stream_dir(spark, sf_dir)
+    ev1 = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    ev2 = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    purchases = (
+        ev1.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("purchase_id", "click_id", purchases.user_id.alias("user_id"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def sessionize_batch(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Gap-based sessionization with window functions (the batch oracle
     shape): a new session starts when the per-user gap exceeds

@@ -115,3 +115,30 @@ def test_stream_dedup_recovers_original(spark):
     orig = load_table(spark, sf, "events")
     assert deduped.count() == orig.count()
     assert deduped.select("event_id").distinct().count() == orig.count()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from oroboro_dw_dbt_spark.sources.testdata import load_table
+    from oroboro_dw_dbt_spark.streaming import stream_stream_join
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_stream_join(spark, sf, name="ssj_test")
+    ev = load_table(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (p.user_id == c.c_uid)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("purchase_id", "click_id")
+    assert got.count() == batch.count()
+    assert got.select("purchase_id", "click_id").exceptAll(batch).count() == 0

@@ -38,7 +38,12 @@ from oroboro_dw_dbt_spark.session import get_spark  # noqa: E402
 NESTED_LOOP_OK = {"ss_bruteforce_topk", "g2_haversine_pairs", "dd_ngram_jaccard"}
 # streaming entries execute eagerly inside the builder; explain() on the
 # returned batch result reflects the memory sink, not the stream plan
-SKIP = {"st_stream_windowed", "st_stateful_sessions", "st_stream_dedup"}
+SKIP = {
+    "st_stream_windowed",
+    "st_stateful_sessions",
+    "st_stream_dedup",
+    "st_stream_stream_join",
+}
 
 
 def plan_text(df) -> str:
