@@ -160,7 +160,8 @@ replace_cte AS (
               ELSE city_longitude END AS city_longitude_replace
   FROM city_candidates
   QUALIFY row_number() OVER (
-    PARTITION BY from_location_id ORDER BY distance_from_origin) = 1
+    PARTITION BY from_location_id
+    ORDER BY distance_from_origin ASC, to_location_id ASC) = 1
 ),
 best_country AS (
   SELECT from_location_id, display_name, long_name
@@ -228,7 +229,18 @@ locations_final AS (
   SELECT from_location_id, original_locale, city, county, state, country,
          city_latitude, city_longitude
   FROM loc_scored
-  QUALIFY row_number() OVER (PARTITION BY from_location_id ORDER BY score DESC) = 1
+  -- tiebreak deviation mirrored from reference_models.locations_clean_df:
+  -- the reference orders by score DESC only; both engines pin the same
+  -- total order over the output columns so tied rows resolve identically
+  QUALIFY row_number() OVER (
+    PARTITION BY from_location_id
+    ORDER BY score DESC,
+             city ASC NULLS LAST,
+             state ASC NULLS LAST,
+             county ASC NULLS LAST,
+             country ASC NULLS LAST,
+             city_latitude ASC NULLS LAST,
+             city_longitude ASC NULLS LAST) = 1
 )
 """
 

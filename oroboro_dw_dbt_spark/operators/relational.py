@@ -229,9 +229,10 @@ def j7_computed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2.3 J9-J11 chains",
 )
 def j9_dim_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale: one shuffle join (orders⋈lineitem on orderkey), then
-    # customer⋈(nation⋈region) all broadcast — the chain collapses to a
-    # single shuffle stage at any scale where dims stay dim-sized.
+    # Scale: one shuffle join (orders⋈lineitem on orderkey); customer
+    # scales WITH the fact side (~15 M rows at sf100) so it gets NO
+    # broadcast hint — AQE broadcasts it at small SF and shuffle-joins it
+    # at scale. Only the true dims (nation 25 rows, region 5) are hinted.
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -241,7 +242,7 @@ def j9_dim_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = (F.lit(1) - F.col("l_discount")).cast(RATE_DEC)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")

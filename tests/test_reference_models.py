@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import Row
 
-from oroboro_dw_dbt_spark.models.reference_models import locations_clean_df
+from oroboro_dw_dbt_spark.models.reference_models import locations_clean_df, user_base_df
 from oroboro_dw_dbt_spark.operators.reference_suite import reference_graph
 
 SF = "/root/testdata/sf0.001"
@@ -45,6 +45,25 @@ class TestReferenceDag:
             for r in graph.frame("user_base").select("user_type_full_name").distinct().collect()
         }
         assert {"Advisors", "Cohort Learners", "Independent Learners", "Widget Account"} <= rows
+
+    def test_mart_order_by_is_emitted_and_correct(self, mart_results):
+        """O1 (user_base.sql:83): the mart's global 4-key ORDER BY must be
+        order-SENSITIVELY verified — the driver hash sorts rows, so a
+        dropped orderBy would otherwise be invisible. Spark ASC defaults
+        to NULLS FIRST, matching BigQuery ASC."""
+        graph, _ = mart_results
+        got = [
+            (r["user_id"], r["partner_id"], r["classroom_id"], r["site_id"])
+            for r in graph.frame("user_base")
+            .select("user_id", "partner_id", "classroom_id", "site_id")
+            .collect()
+        ]
+        assert len(got) > 100, "need a non-trivial mart to verify ordering"
+
+        def key(t):
+            return tuple((v is not None, v) for v in t)
+
+        assert got == sorted(got, key=key), "mart rows not in 4-key ASC NULLS FIRST order"
 
     def test_attribution_routes_populated(self, mart_results):
         graph, _ = mart_results
@@ -173,6 +192,52 @@ class TestLocationsCleanBranches:
             [(1, 3)],
         )
         assert locations_clean_df(loc, llac, lltypes).count() == 0
+
+    def test_equidistant_city_tie_is_pinned(self, spark):
+        """Two candidate cities exactly equidistant from the venue (±0.5°
+        latitude, same longitude — the haversine is symmetric in Δlat) tie
+        in the nearest-city window; the documented tiebreak deviation pins
+        the lower to_location_id, so 'Alpha' (id 100) must win every run
+        (round-1 driver gate caught the unpinned nondeterminism)."""
+        loc, llac, lltypes = _loc_fixtures(
+            spark,
+            [
+                (1, "123 Main St", "123 Main St", 40.0, -100.0, "v"),
+                (100, "Alpha", "Alpha", 40.5, -100.0, "a"),
+                (101, "Zed", "Zed", 39.5, -100.0, "b"),
+            ],
+            [(1, 100), (1, 101)],
+            [(1, 2), (100, 3), (101, 4)],
+        )
+        for _ in range(3):
+            row = locations_clean_df(loc, llac, lltypes).filter("from_location_id = 1").first()
+            assert row["city"] == "Alpha"
+
+    def test_is_test_user_false_when_names_null(self, spark):
+        """user_base.sql:14-17 is CASE ... ELSE false — all-NULL name/email
+        must yield false, not NULL (3VL hazard in a bare OR chain)."""
+        uu = spark.createDataFrame(
+            [(1, "u-1", None, None, None, "CL", None, None, None,
+              "2020-01-01", True, False, None, None)],
+            "id long, uuid string, first_name string, last_name string, email string, "
+            "type string, race_ethnicity string, gender string, self_describe_gender string, "
+            "date_joined string, is_active boolean, is_staff boolean, birthday string, "
+            "location_id long",
+        )
+        widget = spark.createDataFrame([], "id long, user_id long")
+        stacked = spark.createDataFrame(
+            [],
+            "user_id long, partner_id long, partner_name string, partner_code string, "
+            "classroom_id long, classroom_name string, classroom_code string, "
+            "site_id long, site_name string",
+        )
+        locations = spark.createDataFrame(
+            [],
+            "from_location_id long, original_locale string, city string, county string, "
+            "state string, country string, city_latitude double, city_longitude double",
+        )
+        row = user_base_df(uu, widget, stacked, locations).first()
+        assert row["is_test_user"] is False
 
     def test_seoul_branch_reached_at_sf01(self, spark):
         """At sf0.1 the derived fixtures produce s ≡ 108 (mod 210) venues

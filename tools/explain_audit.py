@@ -9,7 +9,12 @@ plan properties that matter at 100 TB:
 - `ReadSchema` stays narrow (column pruning reached the scan; a ~30-col
   read for a few-column query means a projection didn't prune);
 - no Python `BatchEvalPython` (row-at-a-time UDF) nodes — Arrow
-  (`MapInPandas`/`FlatMapGroupsInPandas*`) is the only Python allowed.
+  (`MapInPandas`/`FlatMapGroupsInPandas*`) is the only Python allowed;
+- no `F.broadcast(...)` hint whose subtree is an UNREDUCED scan of a
+  table that scales with sf (customer/orders/lineitem/part/supplier/
+  documents/embeddings/events): an explicit hint overrides AQE's size
+  check and OOMs executors at 100×; true dims (nation, region) and
+  filtered/aggregated derivatives are fine.
 
 (No codegen check: under AQE the pre-execution formatted plan prints
 `AdaptiveSparkPlan isFinalPlan=false` without codegen ids, so their
@@ -44,6 +49,44 @@ SKIP = {
     "st_stream_dedup",
     "st_stream_stream_join",
 }
+
+
+# distinctive first-column names of the tables that scale with sf —
+# seeing one inside a broadcast-hint subtree means a fact-sized build side
+SCALING_COLS = (
+    "c_custkey", "o_orderkey", "l_orderkey", "p_partkey", "s_suppkey",
+    "ps_partkey", "doc_id", "vec_id", "event_id",
+)
+# a subtree containing one of these is (plausibly) reduced before the
+# broadcast — bounded filters/aggregates/limits make a hint legitimate
+REDUCERS = ("Filter", "Aggregate", "GlobalLimit", "Join", "Deduplicate")
+
+
+def audit_broadcast_hints(df) -> list[str]:
+    """Flag F.broadcast hints over unreduced scans of scaling tables.
+
+    Works on the ANALYZED logical plan, where user hints survive as
+    `ResolvedHint (strategy=broadcast)` nodes (the optimized/physical
+    plans fold them into join selection, indistinguishable from AQE's
+    own choices)."""
+    flags: list[str] = []
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln or "broadcast" not in ln.lower():
+            continue
+        depth = len(ln) - len(ln.lstrip(" :+-"))
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if (len(nxt) - len(nxt.lstrip(" :+-"))) <= depth:
+                break
+            subtree.append(nxt)
+        body = "\n".join(subtree)
+        if any(r in body for r in REDUCERS):
+            continue  # build side is reduced before broadcast
+        hit = [c for c in SCALING_COLS if re.search(rf"\b{c}#\d", body)]
+        if hit:
+            flags.append(f"broadcast hint on scaling table (saw {hit[0]})")
+    return flags
 
 
 def plan_text(df) -> str:
@@ -81,7 +124,7 @@ def main() -> int:
         df = QUERIES[name].builder(spark, sf_dir)
         plan = plan_text(df)
         (out_dir / f"{name}.txt").write_text(plan)
-        flags = audit_one(name, plan)
+        flags = audit_one(name, plan) + audit_broadcast_hints(df)
         if flags:
             n_flags += len(flags)
             print(f"FLAG {name}: {'; '.join(flags)}")
