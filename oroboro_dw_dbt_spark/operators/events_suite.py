@@ -93,7 +93,37 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "st_stateful_sessions",
-    oracle=None,  # custom state machine — rows-only check (see module doc)
+    # the state machine emits CLOSED sessions only (the trailing open
+    # session per user stays in state), so the oracle is the batch
+    # sessionization SQL restricted to non-final sessions per user —
+    # a full hash check of the custom stateful operator
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_seq,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(round(sum(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+      FROM numbered
+      GROUP BY user_id, session_seq
+    )
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM sessions
+    QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+    """,
     survey_ref="beyond-reference: applyInPandasWithState custom stateful operator",
 )
 def st_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

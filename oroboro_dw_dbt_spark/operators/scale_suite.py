@@ -75,19 +75,84 @@ def skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sk_approx_distinct",
-    oracle=None,  # HLL++ sketch — no cross-engine bit-match; error-bounded in tests
+    # the HLL++ estimate has no cross-engine bit-match, so the entry
+    # emits the EXACT distinct (hashable) plus a within_bound flag
+    # computed in the same plan — the oracle asserts the flag is
+    # deterministically true, making the sketch hash-checkable
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           true AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
     survey_ref="beyond-reference: HyperLogLog++ approximate distinct per group",
 )
 def sk_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return approx_distinct_by(events, "event_type", "user_id", rsd=0.02)
+    rsd = 0.02
+    approx = approx_distinct_by(events, "event_type", "user_id", rsd=rsd)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    # bound: 5σ of the target rsd plus small-count slack (HLL++ switches
+    # to an exact sparse mode below ~thousands, where error is 0)
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.greatest(5 * rsd * F.col("exact_distinct"), F.lit(5.0))
+            ).alias("within_bound"),
+        )
+    )
 
 
 @query(
     "sk_approx_quantiles",
-    oracle=None,  # GK sketch — rank-error bounded in tests
+    # GK guarantees RANK error ≤ n/accuracy; the entry checks the
+    # empirical CDF at each returned quantile against that bound in the
+    # same plan and emits flags the oracle asserts all-true
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_values,
+           true AS within_50, true AS within_95, true AS within_99
+    FROM events
+    GROUP BY event_type
+    """,
     survey_ref="beyond-reference: approximate percentiles per group",
 )
 def sk_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return approx_quantiles_by(events, "event_type", "value")
+    accuracy = 10000
+    quantiles = (0.5, 0.95, 0.99)
+    approx = approx_quantiles_by(
+        events, "event_type", "value", quantiles=quantiles, accuracy=accuracy
+    )
+    # join the (tiny, aggregated) quantile table back to the events and
+    # measure where each returned value sits in the group's distribution:
+    # count(value ≤ q)/n must reach q − ε and count(value < q)/n must not
+    # exceed q + ε, with ε = 1/accuracy + 3/n (discretization slack).
+    # The two-sided strict/non-strict pair keeps the check exact under
+    # duplicate values.
+    joined = events.select("event_type", "value").join(F.broadcast(approx), "event_type")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_values")]
+    for q in quantiles:
+        tag = int(q * 100)
+        aggs.append(F.avg((F.col("value") <= F.col(f"q_{tag}")).cast("double")).alias(f"le_{tag}"))
+        aggs.append(F.avg((F.col("value") < F.col(f"q_{tag}")).cast("double")).alias(f"lt_{tag}"))
+    cdf = joined.groupBy("event_type").agg(*aggs)
+    eps = 1.0 / accuracy
+    out_cols = [F.col("event_type"), F.col("n_values")]
+    for q in quantiles:
+        tag = int(q * 100)
+        slack = F.lit(eps) + 3.0 / F.col("n_values")
+        out_cols.append(
+            (
+                (F.col(f"le_{tag}") >= F.lit(q) - slack)
+                & (F.col(f"lt_{tag}") <= F.lit(q) + slack)
+            ).alias(f"within_{tag}")
+        )
+    return cdf.select(*out_cols)

@@ -249,7 +249,7 @@ _SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, sum_value double"
 )
-_STATE_SCHEMA = "last_us bigint, start_us bigint, n bigint, total double"
+_STATE_SCHEMA = "last_us bigint, start_us bigint, n bigint, total_cents bigint"
 
 
 def _session_fn(
@@ -257,19 +257,25 @@ def _session_fn(
 ) -> Iterator[pd.DataFrame]:
     """Per-user stateful sessionizer: emits every CLOSED session (a gap
     > 30 min ends the previous session). The trailing open session stays
-    in state — exactly the semantics a live stream needs; tests compare
-    closed sessions against sessionize_batch.
+    in state — exactly the semantics a live stream needs; the driver
+    oracle is the batch sessionization SQL restricted to non-final
+    sessions, so every emitted value must match the batch agg EXACTLY.
 
     Time is integer epoch-MICROSECONDS throughout (pd.Timestamp.value is
     ns): float epoch-seconds roundtrips manufacture sub-µs noise that
-    Arrow then refuses to narrow back to timestamp[us]."""
+    Arrow then refuses to narrow back to timestamp[us].
+
+    Money is integer CENTS: `value` is exact-2-decimal, so
+    round(value·100) is lossless and the running sum is exact — a float
+    accumulator drifts ulps away from the batch DECIMAL(12,4) sum and
+    breaks the hash match."""
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     (user_id,) = key
     if state.exists:
-        last_us, start_us, n, total = state.get
+        last_us, start_us, n, total_cents = state.get
     else:
         last_us = start_us = None
-        n, total = 0, 0.0
+        n, total_cents = 0, 0
 
     out = []
     for pdf in pdfs:
@@ -277,14 +283,14 @@ def _session_fn(
         for ts, value in zip(pdf["ts"], pdf["value"]):
             ts_us = ts.value // 1000
             if last_us is not None and ts_us - last_us > gap_us:
-                out.append((user_id, start_us, last_us, n, round(total, 2)))
-                start_us, n, total = ts_us, 0, 0.0
+                out.append((user_id, start_us, last_us, n, total_cents / 100.0))
+                start_us, n, total_cents = ts_us, 0, 0
             if start_us is None:
                 start_us = ts_us
             last_us = ts_us
             n += 1
-            total += float(value)
-    state.update((last_us, start_us, n, total))
+            total_cents += round(float(value) * 100)
+    state.update((last_us, start_us, n, total_cents))
     if out:
         yield pd.DataFrame(
             {
@@ -292,7 +298,7 @@ def _session_fn(
                 "session_start": [pd.Timestamp(o[1] * 1000, unit="ns") for o in out],
                 "session_end": [pd.Timestamp(o[2] * 1000, unit="ns") for o in out],
                 "n_events": pd.Series([o[3] for o in out], dtype="int64"),
-                "sum_value": [o[4] for o in out],
+                "sum_value": pd.Series([o[4] for o in out], dtype="float64"),
             }
         )
 

@@ -59,7 +59,9 @@ class TestStreaming:
             assert key in batch_keyed, f"spurious session {key}"
             n, total = batch_keyed[key]
             assert r["n_events"] == n
-            assert r["sum_value"] == pytest.approx(total, abs=0.02)
+            # integer-cents accumulation makes the stream sum EXACT —
+            # bitwise equal to the batch DECIMAL(12,4) sum
+            assert r["sum_value"] == total
 
         # batch = closed + exactly one open trailing session per user
         n_users = events.select("user_id").distinct().count()
