@@ -180,10 +180,14 @@ class ModelGraph:
         sources: SourceRegistry,
         warehouse_dir: str | None = None,
         threads: int = 4,
+        table_format: Any | None = None,
     ) -> None:
+        from oroboro_dw_dbt_spark.engine.table_format import LocalParquetFormat
+
         self.sources = sources
         self.warehouse_dir = warehouse_dir
         self.threads = threads
+        self.table_format = table_format or LocalParquetFormat()
         self.models: dict[str, Model] = {}
 
     def add(self, *models: Model) -> "ModelGraph":
@@ -224,13 +228,18 @@ class ModelGraph:
     ) -> dict[str, Any]:
         """Build all (or selected) models in DAG order.
 
+        ``select`` entries are model names or ``tag:<t>`` selectors
+        (every model carrying the tag — dbt's ``--select tag:marts``,
+        ref: dbt_project.yml:12-17); each selected model's upstream
+        closure is always included, mirroring dbt's ``+model``.
+
         Returns {model_name: RunResult}; built DataFrames are available
         via :meth:`frame` afterwards. Independent ready nodes are
         submitted concurrently on ``threads`` workers — only ``table``
         materializations do real work (a Spark write action); views are
         driver-side plan construction only.
         """
-        want = self._closure(select) if select else set(self.models)
+        want = self._closure(self._expand_select(select)) if select else set(self.models)
         edges = {n: {d for d in up if d in want} for n, up in self._edges().items() if n in want}
         self._frames: dict[str, DataFrame] = {}
         results: dict[str, RunResult] = {}
@@ -245,6 +254,22 @@ class ModelGraph:
                     results[n] = fut.result()
                     ts.done(n)
         return results
+
+    def _expand_select(self, select: list[str]) -> list[str]:
+        """Resolve ``tag:<t>`` selectors to model names; pass names through."""
+        names: list[str] = []
+        for s in select:
+            if s.startswith("tag:"):
+                tag = s[4:]
+                matched = [m.name for m in self.models.values() if tag in m.tags]
+                if not matched:
+                    raise KeyError(f"no model carries tag {tag!r}")
+                names.extend(matched)
+            elif s in self.models:
+                names.append(s)
+            else:
+                raise KeyError(f"unknown model {s!r} in select")
+        return names
 
     def _closure(self, select: list[str]) -> set[str]:
         """Selected models plus all their upstream models."""
@@ -292,37 +317,33 @@ class ModelGraph:
         )
 
     def _write_table(self, spark: SparkSession, m: Model, df: DataFrame) -> DataFrame:
-        """Materialize ``df`` at ``warehouse_dir/name`` and return the
-        on-disk frame. ``incremental``: delete+insert by unique_key —
-        the new output is the authority for every key it contains; all
-        other existing rows survive. The merge anti-joins existing
-        against the (small) new-key set — broadcast under AQE, so an
-        incremental run never shuffles the full history."""
-        import shutil
+        """Materialize ``df`` at ``warehouse_dir/name`` via the graph's
+        ``table_format`` and return the on-disk frame. ``incremental``:
+        delete+insert by unique_key — the new output is the authority
+        for every key it contains; all other existing rows survive. The
+        merge anti-joins existing against the (small) new-key set —
+        broadcast under AQE, so an incremental run never shuffles the
+        full history. The staging→final swap is the format's
+        ``replace`` (backup-first locally; ACID commit on Delta/
+        Iceberg)."""
         from pathlib import Path
 
+        fmt = self.table_format
         out = Path(self.warehouse_dir) / m.name
         first_build = not out.exists()
 
         if m.materialized == "incremental" and not first_build:
-            existing = spark.read.parquet(str(out))
+            existing = fmt.read(spark, out)
             keys = [k for k in m.unique_key]
             kept = existing.join(df.select(*keys).dropDuplicates(), on=keys, how="left_anti")
             merged = kept.unionByName(df)
             # parquet can't overwrite a dir it is reading: stage then swap
             staging = Path(self.warehouse_dir) / f"{m.name}__staging"
-            w = merged.write.mode("overwrite")
-            if m.partition_by:
-                w = w.partitionBy(*m.partition_by)
-            w.parquet(str(staging))
-            shutil.rmtree(out)
-            staging.rename(out)
+            fmt.write(merged, staging, m.partition_by)
+            fmt.replace(staging, out)
         else:
-            w = df.write.mode("overwrite")
-            if m.partition_by:
-                w = w.partitionBy(*m.partition_by)
-            w.parquet(str(out))
-        return spark.read.parquet(str(out))
+            fmt.write(df, out, m.partition_by)
+        return fmt.read(spark, out)
 
     def frame(self, name: str) -> DataFrame:
         return self._frames[name]

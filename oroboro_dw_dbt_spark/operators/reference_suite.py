@@ -11,6 +11,8 @@ attribution + location entity resolution + the mart's wide projection.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 from oroboro_dw_dbt_spark.engine.dag import ModelGraph, SourceRegistry
@@ -24,17 +26,25 @@ from oroboro_dw_dbt_spark.models.reference_models import build_reference_graph
 from oroboro_dw_dbt_spark.operators.catalog import query
 
 
-def reference_graph(spark: SparkSession, sf_dir: str) -> ModelGraph:
-    """Fixture views + the 3-model DAG, ready to run."""
+def reference_graph(
+    spark: SparkSession, sf_dir: str, warehouse_dir: str | None = None
+) -> ModelGraph:
+    """Fixture views + the 3-model DAG, ready to run. With a
+    ``warehouse_dir`` the mart materializes as a Parquet TABLE (dbt's
+    actual config, dbt_project.yml:15-17); without one, everything is a
+    view (cheaper for plan-only tests)."""
     register_fixture_views(spark, sf_dir)
     sources = SourceRegistry()
     for name in FIXTURE_SQL:
         sources.add_provider(name, lambda s, n=name: s.table(n))
-    return build_reference_graph(sources)
+    return build_reference_graph(sources, warehouse_dir=warehouse_dir)
 
 
-def _run_model(spark: SparkSession, sf_dir: str, model_name: str) -> DataFrame:
-    graph = reference_graph(spark, sf_dir)
+def _run_model(
+    spark: SparkSession, sf_dir: str, model_name: str, materialize: bool = False
+) -> DataFrame:
+    wh = tempfile.mkdtemp(prefix="ref_warehouse_") if materialize else None
+    graph = reference_graph(spark, sf_dir, warehouse_dir=wh)
     graph.run(spark, select=[model_name], run_tests=False)
     return graph.frame(model_name)
 
@@ -63,4 +73,7 @@ def ref_locations_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§1.3 output model; §2.2 P1/P2, §2.3 J1-J3, §2.6 O1, §2.8-2.9 all (full mart)",
 )
 def ref_user_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_model(spark, sf_dir, "user_base")
+    # materialize=True drives the driver's hash check through the table
+    # SINK (write parquet → read back), certifying S4 — the reference's
+    # real mart materialization — not just the logical plan
+    return _run_model(spark, sf_dir, "user_base", materialize=True)

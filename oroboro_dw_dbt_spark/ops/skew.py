@@ -37,7 +37,17 @@ def salted_join(
     (xxhash64 of all columns) rather than rand(): deterministic across
     retries/speculative tasks, which rand() is not — a correctness
     issue, not a style one, under task retry with non-idempotent sinks.
+
+    Only inner/left are supported: the salting rewrite replicates the
+    small side B times, so a right/full join would emit each UNMATCHED
+    small-side row B times (matched rows are fine in every mode) —
+    silently wrong results, hence the hard error.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "outer modes would duplicate unmatched replicated rows"
+        )
     salt = (F.abs(F.xxhash64(*skewed.columns)) % salt_buckets).alias("_salt")
     left = skewed.withColumn("_salt", salt)
     right = small.withColumn(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -39,25 +40,32 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach ``right_ts`` and ``right_payload`` of
     the latest right row with the same ``key`` and ts <= the left ts
-    (NULLs when no such row). Left columns pass through unchanged."""
+    (NULLs when no such row). Left columns pass through unchanged.
+
+    The whole right row is carried as ONE struct through a single
+    ``last(ignorenulls=True)``: per-column lasts would back-fill a NULL
+    payload cell from an OLDER right row, mixing columns of different
+    rows — DuckDB ASOF JOIN (the oracle) takes the matched row
+    atomically, genuine NULLs included."""
     payload = [c for c in right_payload if c != right_ts]
+    struct_type = T.StructType(
+        [T.StructField("_ts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
-        F.col(right_ts).alias(f"{prefix}ts"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+        F.struct(
+            F.col(right_ts).alias("_ts"), *[F.col(c) for c in payload]
+        ).alias("_r"),
         *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
     )
     l_ = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{prefix}ts"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
-            for c in payload
-        ],
+        F.lit(None).cast(struct_type).alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     w = (
@@ -65,15 +73,19 @@ def asof_join(
         .orderBy("_ts", "_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-        for c in ["ts", *payload]
-    ]
-    out = r.unionByName(l_).select(key, "_ts", "_tag", *carried, *[f"_l_{c}" for c in left.columns])
-    out = out.filter(F.col("_tag") == 1).drop("_tag", "_ts", key)
+    out = (
+        r.unionByName(l_)
+        .withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+        .drop("_tag", "_ts", key)
+    )
     for c in left.columns:
         out = out.withColumnRenamed(f"_l_{c}", c)
-    return out.select(*left.columns, *[f"{prefix}{c}" for c in ["ts", *payload]])
+    return out.select(
+        *left.columns,
+        F.col("_r._ts").alias(f"{prefix}ts"),
+        *[F.col(f"_r.{c}").alias(f"{prefix}{c}") for c in payload],
+    )
 
 
 def bucketed_range_join(

@@ -137,6 +137,8 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_queries: int = 1024,
+    fit_sample: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a seeded KMeans coarse quantizer
     partitions the corpus into cells; each query probes only its
@@ -153,15 +155,28 @@ def ivf_topk(
     Approximate (recall < 1 when a true neighbor sits in an unprobed
     cell) → no cross-engine oracle; tests bound recall against
     brute_force_topk.
+
+    Driver-side guards: the query rows are collected to rank probe
+    cells, so ``max_queries`` hard-caps the query-set size (a 10⁶-id
+    call must fail loudly, not OOM the driver); the KMeans fit reads at
+    most ``fit_sample`` corpus rows (a coarse quantizer needs a sample,
+    never the full 100 TB corpus).
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if len(query_ids) > max_queries:
+        raise ValueError(
+            f"ivf_topk collects query vectors onto the driver: got "
+            f"{len(query_ids)} query_ids, max_queries={max_queries}"
+        )
     v = emb.select(
         "vec_id", _as_double("embedding").alias("v")
     ).withColumn("_feat", array_to_vector("v"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="_feat").fit(v)
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_feat").fit(
+        v.limit(fit_sample)
+    )
     assigned = model.transform(v).select(
         "vec_id", "v", F.col("prediction").alias("cell")
     )

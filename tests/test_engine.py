@@ -195,3 +195,30 @@ def test_csv_json_sources(spark, tmp_path):
     joined = u.join(v, "id")
     assert joined.count() == 2
     assert {r.name for r in joined.collect()} == {"ann", "bo"}
+
+
+def test_tag_selection(spark, sources, tmp_path):
+    g = build_graph(sources, tmp_path)
+    # tag:marts selects user_mart; its upstream closure comes along
+    results = g.run(spark, select=["tag:marts"])
+    assert set(results) == {"users_clean", "user_mart"}
+    results = g.run(spark, select=["tag:intermediate"])
+    assert set(results) == {"users_clean"}
+    with pytest.raises(KeyError, match="no model carries tag"):
+        g.run(spark, select=["tag:nope"])
+    with pytest.raises(KeyError, match="unknown model"):
+        g.run(spark, select=["not_a_model"])
+
+
+def test_replace_restores_backup_on_failed_swap(tmp_path):
+    """A failed staging→final rename must put the ORIGINAL table back —
+    the crash window of a naive rmtree+rename loses the table."""
+    from oroboro_dw_dbt_spark.engine.table_format import LocalParquetFormat
+
+    fmt = LocalParquetFormat()
+    final = tmp_path / "t"
+    final.mkdir()
+    (final / "part-0.parquet").write_text("original")
+    with pytest.raises(OSError):
+        fmt.replace(tmp_path / "missing_staging", final)
+    assert (final / "part-0.parquet").read_text() == "original"

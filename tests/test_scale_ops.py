@@ -136,3 +136,38 @@ class TestTemporalJoins:
             ).collect()
         )
         assert got == [1, 2]  # lo and hi inclusive; outside both ends dropped
+
+
+class TestGuards:
+    def test_salted_join_rejects_outer_modes(self, spark):
+        import pytest
+
+        from oroboro_dw_dbt_spark.ops import salted_join
+
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        for how in ("right", "full", "outer"):
+            with pytest.raises(ValueError, match="inner"):
+                salted_join(df, df, on="k", how=how)
+
+    def test_ivf_query_cap(self, spark):
+        import pytest
+
+        from oroboro_dw_dbt_spark.similarity import ivf_topk
+
+        emb = load_table(spark, SF, "embeddings")
+        with pytest.raises(ValueError, match="max_queries"):
+            ivf_topk(emb, list(range(2000)), k=5)
+
+    def test_asof_payload_carried_atomically(self, spark):
+        """The latest right row's genuine NULL payload must SURVIVE —
+        per-column carry would back-fill it from an older right row."""
+        from oroboro_dw_dbt_spark.ops import asof_join
+
+        left = spark.createDataFrame([(1, 20.0, "L")], "k long, ts double, lbl string")
+        right = spark.createDataFrame(
+            [(1, 5.0, "old_val"), (1, 15.0, None)],
+            "k long, ts double, val string",
+        )
+        row = asof_join(left, right, key="k", right_payload=("val",)).first()
+        assert row["asof_ts"] == 15.0
+        assert row["asof_val"] is None  # NOT "old_val"
