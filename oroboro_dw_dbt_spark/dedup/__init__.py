@@ -5,6 +5,7 @@ from oroboro_dw_dbt_spark.dedup.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_groups,
+    simhash_hamming_pairs,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_groups",
+    "simhash_hamming_pairs",
 ]

@@ -14,7 +14,11 @@ Five families, each with a distinct scale profile:
   O(collisions) not O(n²) — then exact-Jaccard verification of
   candidates only.
 - **SimHash**      — 16-bit fingerprint; near-dup groups = identical
-  fingerprint (Hamming-0 buckets; Hamming≤k would OR k bit-flip probes).
+  fingerprint (Hamming-0 buckets), plus `simhash_hamming_pairs` for
+  Hamming≤k via pigeonhole banding: split the fingerprint into k+1
+  bands — any pair within Hamming k shares at least one band exactly,
+  so candidates are an equi-join on (band, band_value) and only
+  collisions pay the bit_count verify. O(collisions), never all-pairs.
 - **embedding cosine** — near-dup pairs above a cosine threshold within
   a label block (coarse quantization stands in for IVF cells).
 
@@ -170,6 +174,51 @@ def simhash_groups(docs: DataFrame) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_hamming_pairs(docs: DataFrame, k: int = 1, bits: int = 16) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ k (k < bands).
+
+    Pigeonhole banding: the ``bits``-bit fingerprint is split into k+1
+    contiguous bands; two fingerprints differing in ≤ k bits must agree
+    on at least one whole band, so the candidate set is an equi-join on
+    (band index, band value) — the same plan shape as MinHash-LSH, with
+    ``bit_count(xor)`` as the exact verify on collisions only. Includes
+    Hamming-0 pairs (exact fingerprint matches are near-dups too)."""
+    n_bands = k + 1
+    band_bits = bits // n_bands
+    s = docs.select("doc_id", simhash16("text").alias("simhash"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    idx = s.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .dropDuplicates()  # a pair can collide in several bands
     )
 
 

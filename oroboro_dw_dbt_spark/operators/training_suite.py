@@ -250,6 +250,29 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_simhash_hamming",
+    # Hamming≤1 pairs; the oracle states the SEMANTICS directly
+    # (bit_count(xor) ≤ 1 over all pairs) while the Spark plan reaches
+    # the same set via pigeonhole band-join — plan-shape divergence,
+    # result identity
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a
+    JOIN s b ON a.doc_id < b.doc_id
+            AND bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+    survey_ref="beyond-reference: SimHash Hamming<=k near-dup pairs "
+    "(pigeonhole banding, equi-join candidates)",
+)
+def dd_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(load_table(spark, sf_dir, "documents"), k=1)
+
+
+@query(
     "dd_embedding_cosine",
     oracle="""
     WITH v AS (
@@ -336,6 +359,37 @@ def _planes_dot_sql(alias: str, num_planes: int = 6, dim: int = 64) -> str:
 )
 def ss_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "ss_lsh_multiprobe_topk",
+    # the oracle's join condition is Hamming(q,c) ≤ 1 over buckets —
+    # mathematically what "own bucket OR any single-bit flip" probes
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_planes_dot_sql('v')} AS bucket FROM v),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS} AS cosine
+      FROM b q JOIN b c
+        ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id != c.vec_id
+      WHERE q.vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs
+    ) t WHERE rank <= 5
+    """,
+    survey_ref="beyond-reference: multi-probe LSH (Hamming-1 bucket "
+    "probing — the standard ANN recall knob)",
+)
+def ss_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.similarity import lsh_multiprobe_topk
+
+    return lsh_multiprobe_topk(
         load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5
     ).withColumn("rank", F.col("rank").cast("int"))
 

@@ -4,6 +4,7 @@ from oroboro_dw_dbt_spark.similarity.search import (
     hyperplane_bucket,
     ivf_topk,
     lsh_bucketed_topk,
+    lsh_multiprobe_topk,
     lsh_planes,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "hyperplane_bucket",
     "ivf_topk",
     "lsh_bucketed_topk",
+    "lsh_multiprobe_topk",
     "lsh_planes",
 ]

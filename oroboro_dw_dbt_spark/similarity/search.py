@@ -12,8 +12,11 @@ Two paths, same surface (query vecs → top-k neighbors by cosine):
   bucket; query and candidate must share the bucket to be compared, so
   the pairwise compare is an equi-join on the bucket id — O(collisions),
   and exactly the plan shape an IVF index produces with cells ≡ buckets.
-  Recall loss is the standard LSH trade; multi-probe = OR over
-  bit-flipped buckets (not implemented here).
+  Recall loss is the standard LSH trade; `lsh_multiprobe_topk` claws
+  most of it back by also probing every bucket at Hamming distance 1
+  from the query's (Lv et al. 2007 multi-probe LSH) — still an
+  equi-join, with (num_planes + 1)× the probe rows on the tiny query
+  side only.
 
 The hyperplane matrix is a deterministic Python-side constant
 (sin-based, rounded to 6 decimals) embedded as literals in BOTH the
@@ -121,6 +124,46 @@ def lsh_bucketed_topk(
     pairs = (
         F.broadcast(q)
         .join(v, (F.col("qb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    return _topk(pairs, k)
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket AND every
+    single-bit-flip neighbor bucket (Hamming-1), recovering neighbors
+    that fell just across one hyperplane — the first recall knob a real
+    ANN user turns. The probe fan-out multiplies only the broadcast
+    query side by (num_planes + 1); the corpus is still touched once
+    via the bucket equi-join. Candidate buckets are distinct, so no
+    pair dedup is needed."""
+    planes = lsh_planes(num_planes, dim)
+    v = emb.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "bucket", hyperplane_bucket(F.col("v"), planes)
+    )
+    q = v.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(num_planes)],
+            )
+        ).alias("probe"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(v, (F.col("probe") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")))
         .select(
             "query_id",
             "vec_id",

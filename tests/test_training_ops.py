@@ -168,3 +168,47 @@ class TestIVF:
         # probing 3/8 cells must still recover most true neighbors
         recall = len(set(a) & set(e)) / len(e)
         assert recall >= 0.5, recall
+
+
+class TestMultiProbe:
+    def test_multiprobe_candidates_superset_of_single_bucket(self, spark):
+        """Probing Hamming-1 buckets can only ADD candidates, so every
+        single-bucket hit survives or is displaced by a better one —
+        per-query recall vs brute force must not go down."""
+        from oroboro_dw_dbt_spark.similarity import (
+            brute_force_topk,
+            lsh_bucketed_topk,
+            lsh_multiprobe_topk,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        qids = [0, 1, 2, 3, 4]
+        truth = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, qids, k=5).collect()}
+        single = {(r.query_id, r.vec_id) for r in lsh_bucketed_topk(emb, qids, k=5).collect()}
+        multi = {(r.query_id, r.vec_id) for r in lsh_multiprobe_topk(emb, qids, k=5).collect()}
+        for q in qids:
+            tq = {p for p in truth if p[0] == q}
+            sq = len({p for p in single if p[0] == q} & tq)
+            mq = len({p for p in multi if p[0] == q} & tq)
+            assert mq >= sq, f"query {q}: multiprobe recall {mq} < single {sq}"
+
+
+class TestSimhashHamming:
+    def test_hamming_pairs_cover_groups_and_near_misses(self, spark):
+        """Hamming≤1 pairs must include every within-group (Hamming-0)
+        pair of dd_simhash, plus only pairs whose fingerprints really
+        differ by at most one bit."""
+        from itertools import combinations
+
+        from oroboro_dw_dbt_spark.dedup import simhash_hamming_pairs
+        from oroboro_dw_dbt_spark.text.analysis import simhash16
+
+        docs = load_table(spark, SF, "documents")
+        fp = {r.doc_id: r.h for r in docs.select("doc_id", simhash16("text").alias("h")).collect()}
+        got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_hamming_pairs(docs, k=1).collect()}
+        expected = {
+            (a, b): bin(fp[a] ^ fp[b]).count("1")
+            for a, b in combinations(sorted(fp), 2)
+            if bin(fp[a] ^ fp[b]).count("1") <= 1
+        }
+        assert got == expected

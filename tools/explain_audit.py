@@ -40,7 +40,14 @@ from oroboro_dw_dbt_spark.operators import QUERIES  # noqa: E402
 from oroboro_dw_dbt_spark.session import get_spark  # noqa: E402
 
 # queries where an all-pairs product IS the declared algorithm
-NESTED_LOOP_OK = {"ss_bruteforce_topk", "g2_haversine_pairs", "dd_ngram_jaccard"}
+# (ss_ivf_topk embeds the brute-force baseline to measure recall@k —
+# the same bounded |queries|×corpus pass as ss_bruteforce_topk)
+NESTED_LOOP_OK = {
+    "ss_bruteforce_topk",
+    "g2_haversine_pairs",
+    "dd_ngram_jaccard",
+    "ss_ivf_topk",
+}
 # streaming entries execute eagerly inside the builder; explain() on the
 # returned batch result reflects the memory sink, not the stream plan
 SKIP = {
@@ -96,6 +103,11 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
+# queries whose OUTPUT is legitimately a wide table (the mart has 35
+# columns; ref_user_base reads back the table it just materialized)
+WIDE_SCAN_OK = {"ref_user_base"}
+
+
 def audit_one(name: str, plan: str) -> list[str]:
     flags: list[str] = []
     if name not in NESTED_LOOP_OK and re.search(
@@ -105,9 +117,10 @@ def audit_one(name: str, plan: str) -> list[str]:
     if "BatchEvalPython" in plan:
         flags.append("row-at-a-time Python UDF (BatchEvalPython)")
     # every parquet scan should prune columns unless the query is SELECT *
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        if len(m.group(1).split(",")) > 24:
-            flags.append(f"wide scan ({len(m.group(1).split(','))} cols) — pruning?")
+    if name not in WIDE_SCAN_OK:
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            if len(m.group(1).split(",")) > 24:
+                flags.append(f"wide scan ({len(m.group(1).split(','))} cols) — pruning?")
     return flags
 
 
