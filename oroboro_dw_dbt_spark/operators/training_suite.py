@@ -474,3 +474,122 @@ def t_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") >= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering + deterministic sampling + corpus statistics
+# ---------------------------------------------------------------------------
+@query(
+    "dd_dup_groups",
+    # Spark runs iterative min-label propagation (ops/graph.py); the
+    # oracle takes min(reachable ∪ self) over a recursive-CTE transitive
+    # closure of the SAME verified LSH pairs — different algorithm, same
+    # deterministic fixpoint
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sh sa ON cand.doc_a = sa.doc_id
+      JOIN sh sb ON cand.doc_b = sb.doc_id
+      WHERE round(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) * 1.0
+                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= 0.5
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION
+      SELECT doc_b, doc_a FROM verified
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS node, least(a, min(b)) AS comp
+    FROM reach
+    GROUP BY a
+    """,
+    survey_ref="beyond-reference: duplicate-cluster assembly — connected "
+    "components (iterative label propagation) over near-dup pairs",
+)
+def dd_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.ops import connected_components
+
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return connected_components(pairs, src="doc_a", dst="doc_b")
+
+
+@query(
+    "sp_hash_split",
+    # threshold 0x1999 = ⌊0.1·65536⌋; fixed-width hex compares as the
+    # number, so both engines draw the same boundary
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5('v1|' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+    survey_ref="beyond-reference: deterministic md5-keyed train/test "
+    "split (retry-stable, unlike rand())",
+)
+def sp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.ops import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, ["doc_id"], test_frac=0.1).select("doc_id", "split")
+
+
+@query(
+    "sp_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5('v1|' || CAST(doc_id AS VARCHAR)), doc_id) <= 20
+    """,
+    survey_ref="beyond-reference: deterministic per-stratum sampling "
+    "(md5 order within lang strata)",
+)
+def sp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.ops import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", ["doc_id"], n_per_stratum=20).select(
+        "lang", "doc_id"
+    )
+
+
+@query(
+    "t_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    ) t
+    WHERE rank <= 3
+    """,
+    survey_ref="beyond-reference: per-document TF-IDF top terms "
+    "(corpus statistics: fan-out, partial aggs, windowed top-k)",
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.text.analysis import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)

@@ -1,3 +1,5 @@
+from oroboro_dw_dbt_spark.ops.graph import connected_components
+from oroboro_dw_dbt_spark.ops.sampling import hash_split, stratified_sample
 from oroboro_dw_dbt_spark.ops.sketches import (
     approx_distinct_by,
     approx_quantiles_by,
@@ -16,6 +18,9 @@ __all__ = [
     "approx_quantiles_by",
     "asof_join",
     "bucketed_range_join",
+    "connected_components",
+    "hash_split",
     "salted_join",
+    "stratified_sample",
     "two_phase_distinct_agg",
 ]

@@ -1,0 +1,69 @@
+"""Deterministic sampling/splitting for training-data pipelines.
+
+rand()-based sampling is a correctness bug at scale: task retries and
+speculative execution re-roll the dice, so the "same" split differs
+between runs (and within one run under failure). Both operators here
+key off md5 of the row's stable key instead — reproducible on any
+engine, any run, any retry, and exactly restatable in SQL (which is how
+the DuckDB oracle certifies them).
+
+- :func:`hash_split` — train/test assignment by hex prefix of
+  md5(key): fixed-width hex compares lexicographically as the number,
+  so ``substr(md5, 1, 4) < '1999'`` is a ~10% bucket with zero
+  arithmetic. Adding a salt re-deals the split without touching data.
+- :func:`stratified_sample` — exactly ``n`` rows per stratum, chosen
+  by md5 order within the stratum (a deterministic stand-in for
+  uniform-without-replacement). One shuffle on the stratum key; the
+  window's top-n never materializes the full sorted stratum
+  (WindowGroupLimit pushes n down).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash_hex(cols: list[str], salt: str) -> F.Column:
+    return F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in cols]))
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    test_frac: float = 0.1,
+    salt: str = "v1",
+    out: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('test'/'train') keyed on md5 of
+    ``key_cols`` + ``salt``. The test bucket is the first
+    ⌊test_frac·65536⌋ of the 4-hex-digit prefix space, so the realized
+    fraction is within 1/65536 of the ask."""
+    if not 0.0 < test_frac < 1.0:
+        raise ValueError(f"test_frac must be in (0, 1), got {test_frac}")
+    threshold = format(int(test_frac * 65536), "04x")
+    bucket = F.substring(_hash_hex(key_cols, salt), 1, 4)
+    return df.withColumn(
+        out, F.when(bucket < threshold, "test").otherwise("train")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_cols: list[str],
+    n_per_stratum: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per value of ``strata_col``,
+    picked by md5 order of ``key_cols`` (deterministic; ties broken by
+    the key itself so duplicate hashes cannot flap)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_hex(key_cols, salt), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )

@@ -203,3 +203,39 @@ def simhash16(text: Column | str) -> Column:
         vote = F.aggregate(md5s, F.lit(0), vote_fn(j))
         out = out + F.when(vote > 0, F.lit(2**j)).otherwise(F.lit(0))
     return out
+
+
+def tfidf_top_terms(docs, k: int = 3, doc_id: str = "doc_id", text: str = "text"):
+    """Top-``k`` TF-IDF terms per document — the corpus-statistics shape
+    (explode fan-out → two partial aggs → token-keyed join → per-doc
+    window top-k; the fan-out collapses map-side, the window's top-k is
+    rank-limited, never a full sort of the corpus vocabulary).
+
+    tfidf = tf · ln(n_docs / df), rounded to 6 before BOTH the ranking
+    and the output so the DuckDB oracle orders identically; rank ties
+    break on the token string (SURVEY §2.5 W4 lesson: every window gets
+    a total order)."""
+    from pyspark.sql.window import Window
+
+    tf = (
+        docs.select(doc_id, F.explode(tokens(text)).alias("token"))
+        .groupBy(doc_id, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(doc_id).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(doc_id).orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(doc_id, "token", F.col("tf").cast("bigint").alias("tf"), "tfidf",
+                F.col("rank").cast("int").alias("rank"))
+    )

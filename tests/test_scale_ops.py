@@ -171,3 +171,45 @@ class TestGuards:
         row = asof_join(left, right, key="k", right_payload=("val",)).first()
         assert row["asof_ts"] == 15.0
         assert row["asof_val"] is None  # NOT "old_val"
+
+
+class TestGraphOps:
+    def test_connected_components_path_and_clique(self, spark):
+        """A 5-node path (diameter 4 — forces multiple label sweeps), a
+        triangle, and an isolated edge must each collapse to min-id."""
+        from oroboro_dw_dbt_spark.ops import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5),      # path
+             (10, 11), (11, 12), (10, 12),        # triangle
+             (20, 21)],                           # edge
+            "src long, dst long",
+        )
+        got = {r.node: r.comp for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                       10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+class TestSampling:
+    def test_hash_split_deterministic_and_near_fraction(self, spark):
+        from oroboro_dw_dbt_spark.ops import hash_split
+
+        docs = load_table(spark, SF, "documents")
+        s1 = {r.doc_id: r.split for r in hash_split(docs, ["doc_id"], 0.1).collect()}
+        s2 = {r.doc_id: r.split for r in hash_split(docs, ["doc_id"], 0.1).collect()}
+        assert s1 == s2  # retry-stable
+        frac = sum(v == "test" for v in s1.values()) / len(s1)
+        assert 0.03 <= frac <= 0.2  # ~10% with small-n noise
+        # a different salt re-deals the split
+        s3 = {r.doc_id: r.split for r in hash_split(docs, ["doc_id"], 0.1, salt="v2").collect()}
+        assert s3 != s1
+
+    def test_stratified_sample_counts(self, spark):
+        from oroboro_dw_dbt_spark.ops import stratified_sample
+
+        docs = load_table(spark, SF, "documents")
+        out = stratified_sample(docs, "lang", ["doc_id"], 5)
+        counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        per_stratum = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        for lang, n in counts.items():
+            assert n == min(5, per_stratum[lang])

@@ -47,6 +47,8 @@ NESTED_LOOP_OK = {
     "g2_haversine_pairs",
     "dd_ngram_jaccard",
     "ss_ivf_topk",
+    # 1-row broadcast cross join attaching the scalar n_docs — O(n)
+    "t_tfidf_top_terms",
 }
 # streaming entries execute eagerly inside the builder; explain() on the
 # returned batch result reflects the memory sink, not the stream plan
