@@ -5,4 +5,5 @@ from oroboro_dw_dbt_spark.functions.bq_compat import (  # noqa: F401
     format_date_mmdd,
     safe_parse_date,
     st_distance_meters,
+    st_distance_meters_geodesic,
 )

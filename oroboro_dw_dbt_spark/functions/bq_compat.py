@@ -18,6 +18,11 @@ built-ins at any scale. Each encodes one dialect trap from SURVEY §2.8-2.10:
   geodesic meters → haversine on a WGS84 mean-radius sphere. Error vs
   BigQuery's S2 geodesic < 0.6% — callers near hard thresholds must
   treat the boundary as fuzzy (ref: models/intermediate/locations_clean.sql:48).
+- ``st_distance_meters_geodesic`` — the higher-accuracy fallback for
+  rows near such thresholds (e.g. the 10-mile cutoff in
+  locations_clean.sql:63): Lambert's first-order flattening correction
+  on the WGS84 ellipsoid, ~10 m accuracy vs the true geodesic (vs up
+  to ~0.56% for the sphere), still a pure Column tree.
 - ``coalesce_trim``      — the reference's single Jinja macro
   (ref: macros/utils.sql:1-3).
 - ``age_from_mm_yyyy``   — the full age derivation from a ``'MM/YYYY'``
@@ -71,6 +76,39 @@ def st_distance_meters(
         + F.cos(phi1) * F.cos(phi2) * F.pow(F.sin(dlmb / 2), 2)
     )
     return 2 * F.lit(EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+WGS84_A_M = 6378137.0  # semi-major axis
+WGS84_F = 1.0 / 298.257223563  # flattening
+
+
+def st_distance_meters_geodesic(
+    lat1: Column | str, lon1: Column | str, lat2: Column | str, lon2: Column | str
+) -> Column:
+    """Ellipsoidal distance in meters — Lambert's formula (1942).
+
+    Haversine on REDUCED latitudes β = atan((1−f)·tanφ) gives the
+    central angle σ; the flattening correction is
+
+        X = (σ − sinσ)·sin²P·cos²Q / cos²(σ/2)
+        Y = (σ + sinσ)·cos²P·sin²Q / sin²(σ/2)
+        d = a·(σ − f/2·(X + Y)),   P = (β₁+β₂)/2, Q = (β₂−β₁)/2
+
+    Accuracy ~10 m over any distance (undefined exactly at antipodes,
+    like every non-iterative formula). Use when a business rule sits on
+    a hard distance threshold; elsewhere the cheaper haversine matches
+    the reference within its documented 0.6%."""
+    f = WGS84_F
+    b1 = F.atan((1 - f) * F.tan(F.radians(_col(lat1))))
+    b2 = F.atan((1 - f) * F.tan(F.radians(_col(lat2))))
+    dlmb = F.radians(_col(lon2) - _col(lon1))
+    h = F.pow(F.sin((b2 - b1) / 2), 2) + F.cos(b1) * F.cos(b2) * F.pow(F.sin(dlmb / 2), 2)
+    sigma = 2 * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+    p, q = (b1 + b2) / 2, (b2 - b1) / 2
+    x = (sigma - F.sin(sigma)) * F.pow(F.sin(p), 2) * F.pow(F.cos(q), 2) / F.pow(F.cos(sigma / 2), 2)
+    y = (sigma + F.sin(sigma)) * F.pow(F.cos(p), 2) * F.pow(F.sin(q), 2) / F.pow(F.sin(sigma / 2), 2)
+    dist = F.lit(WGS84_A_M) * (sigma - (f / 2) * (x + y))
+    return F.when(sigma == 0, F.lit(0.0)).otherwise(dist)
 
 
 def age_from_mm_yyyy(birthday: Column | str, today: Column | None = None) -> Column:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from oroboro_dw_dbt_spark.functions import st_distance_meters
+from oroboro_dw_dbt_spark.functions import st_distance_meters, st_distance_meters_geodesic
 from oroboro_dw_dbt_spark.operators.catalog import query
 from oroboro_dw_dbt_spark.sources.testdata import load_table
 
@@ -439,6 +439,17 @@ def p_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # G2: geodesic distance + threshold (ref: locations_clean.sql:48,:63 —
 # st_distance/1609.34 and the 10-mile cut).
 # ---------------------------------------------------------------------------
+def _synthetic_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact small-integer multiples so both engines compute bit-identical
+    # inputs; shared by g2 (haversine) and g3 (geodesic).
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        F.col("n_nationkey").alias("k"),
+        (F.col("n_nationkey") * 3.0 - 37.0).alias("lat"),
+        (F.col("n_nationkey") * 7.0 - 80.0).alias("lon"),
+    )
+
+
 @query(
     "g2_haversine_pairs",
     oracle="""
@@ -465,15 +476,9 @@ def p_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2.10 G1/G2, §2.9 M1/M2",
 )
 def g2_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pure Column arithmetic — stays in whole-stage codegen, no UDF.
-    # Synthetic coords are exact small-integer multiples so both engines
-    # compute bit-identical inputs; output rounded to 3 decimals.
-    nation = load_table(spark, sf_dir, "nation")
-    pts = nation.select(
-        F.col("n_nationkey").alias("k"),
-        (F.col("n_nationkey") * 3.0 - 37.0).alias("lat"),
-        (F.col("n_nationkey") * 7.0 - 80.0).alias("lon"),
-    )
+    # Pure Column arithmetic — stays in whole-stage codegen, no UDF;
+    # output rounded to 3 decimals.
+    pts = _synthetic_points(spark, sf_dir)
     a = pts.alias("a")
     b = pts.alias("b")
     dist_miles = st_distance_meters(
@@ -485,6 +490,74 @@ def g2_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.k").alias("from_k"),
             F.col("b.k").alias("to_k"),
             F.round(dist_miles, 3).alias("distance_miles"),
+            (dist_miles > 500).cast("int").alias("far_flag"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3: ellipsoidal (Lambert) distance — the accuracy fallback for business
+# rules sitting on a hard distance threshold (ref: locations_clean.sql:63,
+# the 10-mile cut, where haversine's 0.6% sphere error can flip rows).
+# Oracle spells out the identical formula in SQL so both engines run the
+# same double arithmetic; miles rounded to 3 decimals.
+# ---------------------------------------------------------------------------
+@query(
+    "g3_geodesic_pairs",
+    oracle="""
+    WITH pts AS (
+      SELECT n_nationkey AS k,
+             n_nationkey * 3.0 - 37.0 AS lat,
+             n_nationkey * 7.0 - 80.0 AS lon
+      FROM nation
+    ),
+    red AS (
+      SELECT a.k AS from_k, b.k AS to_k,
+             ATAN((1 - 1.0/298.257223563) * TAN(RADIANS(a.lat))) AS b1,
+             ATAN((1 - 1.0/298.257223563) * TAN(RADIANS(b.lat))) AS b2,
+             RADIANS(b.lon - a.lon) AS dl
+      FROM pts a JOIN pts b ON a.k < b.k
+    ),
+    cen AS (
+      SELECT from_k, to_k, b1, b2,
+             2 * ASIN(LEAST(1.0, SQRT(
+               POW(SIN((b2 - b1) / 2), 2)
+               + COS(b1) * COS(b2) * POW(SIN(dl / 2), 2)
+             ))) AS sigma
+      FROM red
+    ),
+    geo AS (
+      SELECT from_k, to_k,
+             CASE WHEN sigma = 0 THEN 0.0 ELSE
+               6378137.0 * (sigma - (1.0/298.257223563) / 2 * (
+                 (sigma - SIN(sigma)) * POW(SIN((b1 + b2) / 2), 2)
+                   * POW(COS((b2 - b1) / 2), 2) / POW(COS(sigma / 2), 2)
+                 + (sigma + SIN(sigma)) * POW(COS((b1 + b2) / 2), 2)
+                   * POW(SIN((b2 - b1) / 2), 2) / POW(SIN(sigma / 2), 2)
+               ))
+             END AS meters
+      FROM cen
+    )
+    SELECT from_k, to_k,
+           ROUND(meters / 1609.34, 3) AS geodesic_miles,
+           CAST(meters / 1609.34 > 500 AS INT) AS far_flag
+    FROM geo
+    """,
+    survey_ref="§2.10 G1/G2 (accuracy fallback)",
+)
+def g3_geodesic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _synthetic_points(spark, sf_dir)
+    a = pts.alias("a")
+    b = pts.alias("b")
+    dist_miles = st_distance_meters_geodesic(
+        F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")
+    ) / F.lit(1609.34)
+    return (
+        a.join(b, F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias("from_k"),
+            F.col("b.k").alias("to_k"),
+            F.round(dist_miles, 3).alias("geodesic_miles"),
             (dist_miles > 500).cast("int").alias("far_flag"),
         )
     )

@@ -45,6 +45,7 @@ from oroboro_dw_dbt_spark.session import get_spark  # noqa: E402
 NESTED_LOOP_OK = {
     "ss_bruteforce_topk",
     "g2_haversine_pairs",
+    "g3_geodesic_pairs",  # same 25-point nation pair grid as g2
     "dd_ngram_jaccard",
     "ss_ivf_topk",
     # 1-row broadcast cross join attaching the scalar n_docs — O(n)
