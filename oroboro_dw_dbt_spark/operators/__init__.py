@@ -4,6 +4,7 @@ from oroboro_dw_dbt_spark.operators.catalog import QUERIES, QuerySpec, oracle_sq
 from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     events_suite,
     extended_suite,
+    pipeline_suite,
     reference_suite,
     relational,
     scalar,

@@ -1,0 +1,243 @@
+"""Catalog entries for the corpus-pipeline operators (text/pipeline.py):
+benchmark decontamination, token-window chunking, PII redaction,
+repetition signals, incremental corpus dedup.
+
+Oracle conventions follow training_suite.py: md5-only hashing, ROUND
+floats to 6, 0-based Spark arithmetic mirrored 1-based in DuckDB with
+the same element counts, and a pinned total order behind every argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oroboro_dw_dbt_spark.operators.catalog import query
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+from oroboro_dw_dbt_spark.text.pipeline import (
+    PII_PATTERNS,
+    contamination_report,
+    incremental_dedup,
+    pii_redact,
+    repetition_signals,
+    token_chunks,
+)
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _grams_sql(n: int) -> str:
+    """ALL n-token grams, 1-based DuckDB twin of pipeline.gram_list."""
+    joined = " || ' ' || ".join(f"{_TOKS}[i+{j}]" if j else f"{_TOKS}[i]" for j in range(n))
+    return (
+        f"CASE WHEN len({_TOKS}) >= {n} THEN "
+        f"list_transform(range(1, len({_TOKS}) - {n - 2}), i -> {joined}) "
+        f"ELSE [array_to_string({_TOKS}, ' ')] END"
+    )
+
+
+def _gram_hashes_sql(n: int) -> str:
+    return f"list_distinct(list_transform({_grams_sql(n)}, g -> md5(g)))"
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: benchmark n-gram overlap (GPT-3 appendix-C shape)
+# ---------------------------------------------------------------------------
+@query(
+    "dc_ngram_overlap",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_gram_hashes_sql(4)}) AS g FROM documents
+    ),
+    t AS (SELECT doc_id, g FROM g WHERE doc_id % 7 != 0),
+    b AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 7 = 0)
+    SELECT t.doc_id,
+           count(*) AS n_collisions,
+           count(DISTINCT b.bench_id) AS n_benchmark_docs
+    FROM t JOIN b USING (g)
+    GROUP BY t.doc_id
+    """,
+    survey_ref=(
+        "beyond-reference: eval-set decontamination — exact n-gram collision "
+        "join; benchmark gram hashes broadcast, corpus never shuffled"
+    ),
+)
+def dc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return contamination_report(train, bench, n=4)
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking (context-window packing)
+# ---------------------------------------------------------------------------
+@query(
+    "ch_token_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len({_TOKS}), 1), 24), s -> {{
+             'chunk_idx': CAST(s // 24 AS INT),
+             'start': CAST(s AS INT),
+             'n_tokens': CAST(len({_TOKS}[s+1:s+32]) AS INT),
+             'chunk_md5': md5(array_to_string({_TOKS}[s+1:s+32], ' '))
+           }}), recursive := true)
+    FROM documents
+    """,
+    survey_ref=(
+        "beyond-reference: overlapping token-window chunking (size 32, stride "
+        "24) — shuffle-free posexplode fan-out"
+    ),
+)
+def ch_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_chunks(docs, chunk_size=32, stride=24)
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction. The synthetic tables carry no real PII, so
+# contact strings are derived deterministically from customer columns —
+# IDENTICALLY on both engines — then detected and redacted by regex.
+# ---------------------------------------------------------------------------
+_EMAIL = PII_PATTERNS["EMAIL"]
+_PHONE = PII_PATTERNS["PHONE"]
+
+
+@query(
+    "pii_redact_customers",
+    oracle=f"""
+    WITH contact AS (
+      SELECT c_custkey,
+             'Reach ' || c_name
+             || CASE WHEN c_custkey % 2 = 0 THEN ' at '
+                       || lpad(CAST(c_nationkey AS VARCHAR), 2, '0') || '-'
+                       || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+                       || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN c_custkey % 3 = 0 THEN ' or '
+                       || lower(replace(c_name, '#', '.')) || '@example.com'
+                     ELSE '' END
+             || ' segment ' || c_mktsegment || '.' AS text
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL}', '[EMAIL]', 'g'),
+                          '{_PHONE}', '[PHONE]', 'g') AS redacted
+    FROM contact
+    """,
+    survey_ref=(
+        "beyond-reference: PII detection + redaction — regex Column trees, "
+        "row-local, zero shuffle at any scale"
+    ),
+)
+def pii_redact_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    phone = F.concat(
+        F.lpad(F.col("c_nationkey").cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+    )
+    email = F.concat(
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com"),
+    )
+    text = F.concat(
+        F.lit("Reach "),
+        F.col("c_name"),
+        F.when(key % 2 == 0, F.concat(F.lit(" at "), phone)).otherwise(F.lit("")),
+        F.when(key % 3 == 0, F.concat(F.lit(" or "), email)).otherwise(F.lit("")),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+        F.lit("."),
+    )
+    contact = cust.select("c_custkey", text.alias("text"))
+    return contact.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL), 0))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE), 0))
+        .cast("int")
+        .alias("n_phones"),
+        pii_redact("text").alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher §A.1.1)
+# ---------------------------------------------------------------------------
+_GRAMS2 = _grams_sql(2)
+
+
+@query(
+    "t_repetition_signals",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, length(text) AS n_chars_txt, {_GRAMS2} AS grams,
+             list_distinct({_GRAMS2}) AS dg
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_chars_txt, grams, dg,
+             list_max(list_transform(dg,
+               x -> len(list_filter(grams, y -> y = x)))) AS max_cnt
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           round(1.0 - len(dg) * 1.0 / len(grams), 6) AS dup_gram_frac,
+           list_max(list_filter(dg,
+             x -> len(list_filter(grams, y -> y = x)) = max_cnt)) AS top_gram,
+           CAST(max_cnt AS BIGINT) AS top_gram_count,
+           round(max_cnt * length(list_max(list_filter(dg,
+             x -> len(list_filter(grams, y -> y = x)) = max_cnt)))
+             / (n_chars_txt * 1.0), 6) AS top_gram_char_frac
+    FROM m
+    """,
+    survey_ref=(
+        "beyond-reference: within-doc repetition metrics (dup-2gram fraction, "
+        "top-2gram char coverage) — row-local array aggregates"
+    ),
+)
+def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, n=2)
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup (daily-ingest anti-join)
+# ---------------------------------------------------------------------------
+@query(
+    "dd_incremental",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_transform({_TOKS}, x -> lower(x)), ' '))
+               AS fingerprint
+      FROM documents
+    ),
+    batch AS (
+      SELECT doc_id, fingerprint FROM fp WHERE source = 'src0'
+      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    )
+    SELECT b.doc_id, b.fingerprint
+    FROM batch b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM fp c WHERE c.source != 'src0' AND c.fingerprint = b.fingerprint
+    )
+    """,
+    survey_ref=(
+        "beyond-reference: incremental corpus dedup — within-batch first-wins "
+        "+ anti-join against corpus fingerprints"
+    ),
+)
+def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return incremental_dedup(batch, corpus)

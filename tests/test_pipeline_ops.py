@@ -1,0 +1,135 @@
+"""Unit tests for the corpus-pipeline operators (text/pipeline.py):
+decontamination, chunking, PII redaction, repetition signals,
+incremental dedup — hand-built micro-fixtures with known answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oroboro_dw_dbt_spark.text.pipeline import (
+    contamination_report,
+    gram_list,
+    incremental_dedup,
+    pii_counts,
+    pii_redact,
+    repetition_signals,
+    token_chunks,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+class TestGramPrimitives:
+    def test_gram_list_keeps_duplicates_in_order(self, spark):
+        df = _docs(spark, ["a b a b a"])
+        out = df.select(gram_list("text", 2).alias("g")).first()["g"]
+        assert out == ["a b", "b a", "a b", "b a"]
+
+    def test_short_doc_yields_whole_doc_gram(self, spark):
+        df = _docs(spark, ["solo"])
+        assert df.select(gram_list("text", 3).alias("g")).first()["g"] == ["solo"]
+
+
+class TestContamination:
+    def test_exact_ngram_collision(self, spark):
+        train = _docs(
+            spark,
+            [
+                "alpha beta gamma delta epsilon",  # shares 4-gram with bench 0
+                "totally unrelated words here now",
+            ],
+        )
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta zeta"), (101, "nothing in common at all")],
+            "doc_id long, text string",
+        )
+        out = contamination_report(train, bench, n=4).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["doc_id"] == 0
+        assert row["n_collisions"] == 1  # only "alpha beta gamma delta"
+        assert row["n_benchmark_docs"] == 1
+
+
+class TestChunking:
+    def test_chunk_starts_and_tail(self, spark):
+        text = " ".join(f"t{i}" for i in range(50))
+        df = _docs(spark, [text])
+        rows = token_chunks(df, chunk_size=32, stride=24).orderBy("chunk_idx").collect()
+        assert [r["start"] for r in rows] == [0, 24, 48]
+        assert [r["n_tokens"] for r in rows] == [32, 26, 2]
+        assert len({r["chunk_md5"] for r in rows}) == 3
+
+    def test_empty_ish_doc_single_chunk(self, spark):
+        df = _docs(spark, ["one two"])
+        rows = token_chunks(df, chunk_size=32, stride=24).collect()
+        assert len(rows) == 1 and rows[0]["n_tokens"] == 2
+
+
+class TestPII:
+    def test_counts_and_redaction(self, spark):
+        df = _docs(
+            spark,
+            ["mail a@b.com or c.d@ex.org, call 12-345-6789", "no pii here"],
+        )
+        cnts = pii_counts("text")
+        out = (
+            df.select(
+                cnts["EMAIL"].alias("e"),
+                cnts["PHONE"].alias("p"),
+                pii_redact("text").alias("red"),
+            )
+            .orderBy(F.desc("e"))
+            .collect()
+        )
+        assert (out[0]["e"], out[0]["p"]) == (2, 1)
+        assert out[0]["red"] == "mail [EMAIL] or [EMAIL], call [PHONE]"
+        assert (out[1]["e"], out[1]["p"]) == (0, 0)
+        assert out[1]["red"] == "no pii here"
+
+
+class TestRepetitionSignals:
+    def test_known_counts(self, spark):
+        # grams: "a b","b a","a b","b c" → 4 grams, 3 distinct, top "a b"×2
+        df = _docs(spark, ["a b a b c"])
+        r = repetition_signals(df, n=2).first()
+        assert r["n_grams"] == 4
+        assert r["dup_gram_frac"] == 0.25
+        assert r["top_gram"] == "a b"
+        assert r["top_gram_count"] == 2
+        # 2 * len("a b") / len("a b a b c") = 6/9
+        assert r["top_gram_char_frac"] == round(6 / 9, 6)
+
+    def test_tiebreak_is_greatest_gram(self, spark):
+        # "x y" and "y x" both appear once; greatest wins
+        df = _docs(spark, ["x y x"])
+        r = repetition_signals(df, n=2).first()
+        assert r["top_gram"] == "y x" and r["top_gram_count"] == 1
+
+    def test_all_unique_grams(self, spark):
+        df = _docs(spark, ["p q r s"])
+        r = repetition_signals(df, n=2).first()
+        assert r["dup_gram_frac"] == 0.0 and r["top_gram_count"] == 1
+
+
+class TestIncrementalDedup:
+    def test_batch_vs_corpus_and_within_batch(self, spark):
+        batch = _docs(
+            spark,
+            [
+                "seen before",  # 0: dup of corpus → dropped
+                "brand new doc",  # 1: survives
+                "brand new doc",  # 2: within-batch dup of 1 → dropped
+                "Brand  NEW   doc",  # 3: fingerprint-equal to 1 → dropped
+            ],
+        )
+        corpus = spark.createDataFrame(
+            [(100, "seen before"), (101, "other corpus doc")],
+            "doc_id long, text string",
+        )
+        out = incremental_dedup(batch, corpus).collect()
+        assert [r["doc_id"] for r in out] == [1]
