@@ -220,3 +220,19 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     return sample_frames(media)
+
+
+@query(
+    "st_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    survey_ref="beyond-reference: Structured Streaming stream-static "
+    "enrichment join == batch join oracle (stateless, no watermark)",
+)
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.streaming import stream_static_join
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return stream_static_join(spark, sf_dir, dim)

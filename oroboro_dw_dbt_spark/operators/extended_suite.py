@@ -182,3 +182,93 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in _EVENT_TYPES]
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse history: SCD2 snapshot + MERGE upsert (dbt lifecycle completion)
+# ---------------------------------------------------------------------------
+@query(
+    "h_scd2_snapshot",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current,
+           CAST(row_number() OVER w2 AS INT) AS version
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    survey_ref="beyond-reference: dbt-snapshot-style SCD type-2 build "
+    "from a change-event feed (collapse unchanged, close intervals; "
+    "one shuffle, sort reused across both windows)",
+)
+def h_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.ops import scd2_from_events
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_from_events(ev, key="user_id", attr="event_type")
+
+
+@query(
+    "h_merge_upsert",
+    # fixture: target = all customers; source = every 5th customer with a
+    # bumped balance (updates), every 7th≡3 shifted key (inserts), and
+    # every 10th unchanged — derived IDENTICALLY on both engines
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+    ),
+    src AS (
+      SELECT c_custkey,
+             c_mktsegment,
+             CAST(round(c_acctbal + 100.0, 2) AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 7 = 3
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 10 = 1
+    )
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                WHEN s.c_custkey IS NULL THEN 'keep'
+                WHEN (t.c_mktsegment IS DISTINCT FROM s.c_mktsegment)
+                  OR (t.c_acctbal IS DISTINCT FROM s.c_acctbal) THEN 'update'
+                ELSE 'unchanged' END AS action
+    FROM tgt t FULL OUTER JOIN src s USING (c_custkey)
+    """,
+    survey_ref="beyond-reference: MERGE upsert decision plan — one "
+    "full-outer key-equi join, insert/update/unchanged/keep, null-safe "
+    "compares; no broadcast assumption (holds when both sides are huge)",
+)
+def h_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.ops import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    tgt = cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+    key = F.col("c_custkey")
+    src = (
+        tgt.filter(key % 5 == 0).withColumn(
+            "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2).cast("double")
+        )
+        .unionAll(
+            tgt.filter(key % 7 == 3).withColumn("c_custkey", key + 1000000)
+        )
+        .unionAll(tgt.filter(key % 10 == 1))
+    )
+    return merge_upsert(tgt, src, keys=["c_custkey"])

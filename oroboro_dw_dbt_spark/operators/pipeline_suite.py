@@ -241,3 +241,87 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
     return incremental_dedup(batch, corpus)
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing: deterministic per-source sampling rates
+# ---------------------------------------------------------------------------
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIX_DEFAULT = 0.1
+
+
+def _mix_case_sql() -> str:
+    bucket = "substr(md5('v1|' || CAST(doc_id AS VARCHAR)), 1, 4)"
+    arms = []
+    for g, w in sorted(_MIX_WEIGHTS.items()):
+        rule = "TRUE" if w >= 1.0 else f"{bucket} < '{int(w * 65536):04x}'"
+        arms.append(f"WHEN source = '{g}' THEN {rule}")
+    default = f"{bucket} < '{int(_MIX_DEFAULT * 65536):04x}'"
+    return "CASE " + " ".join(arms) + f" ELSE {default} END"
+
+
+@query(
+    "sp_weighted_mix",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_mix_case_sql()}
+    """,
+    survey_ref=(
+        "beyond-reference: corpus mixing — deterministic per-source keep "
+        "rates (md5-bucketed, retry-stable, zero shuffle)"
+    ),
+)
+def sp_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.ops import weighted_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_mix(
+        docs, "source", _MIX_WEIGHTS, ["doc_id"], default_weight=_MIX_DEFAULT
+    ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Composite quality filter (keep/drop + first-failing-rule reason)
+# ---------------------------------------------------------------------------
+_SW_ALL = (
+    "len(list_filter({t}, x -> list_contains("
+    "['the','a','of','and','to','in','is','it','that','for',"
+    "'der','die','das','und','ist','ein','nicht','mit','sich','auf',"
+    "'le','la','les','et','est','une','pas','pour','que','dans',"
+    "'el','los','y','es','una','no','por','con'], x)))"
+)
+
+
+@query(
+    "t_quality_filter",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tok,
+             len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) AS diversity,
+             {_SW_ALL.format(t=_TOKS)} AS sw_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           round(diversity, 6) AS diversity,
+           CASE WHEN n_tok < 25 THEN 'too_short'
+                WHEN n_tok > 5000 THEN 'too_long'
+                WHEN diversity < 0.35 THEN 'low_diversity'
+                WHEN sw_hits = 0 THEN 'no_stopwords' END IS NULL AS keep,
+           CASE WHEN n_tok < 25 THEN 'too_short'
+                WHEN n_tok > 5000 THEN 'too_long'
+                WHEN diversity < 0.35 THEN 'low_diversity'
+                WHEN sw_hits = 0 THEN 'no_stopwords' END AS reason
+    FROM sig
+    """,
+    survey_ref=(
+        "beyond-reference: composite quality filter — ordered rules, "
+        "first-fail reason column (C4/FineWeb shape), row-local"
+    ),
+)
+def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.text.pipeline import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_filter(docs)

@@ -593,3 +593,46 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oroboro_dw_dbt_spark.text.analysis import tfidf_top_terms
 
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: int8 scalar quantization (SQ8)
+# ---------------------------------------------------------------------------
+@query(
+    "ss_int8_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                  ELSE 1.0 END AS scale
+      FROM v
+    ),
+    c AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS codes
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           md5(array_to_string(codes, ',')) AS codes_md5,
+           round(list_reduce(
+                   list_transform(range(1, len(v) + 1),
+                                  i -> abs(v[i] - codes[i] / scale)),
+                   (a, b) -> a + b) / len(v), 6) AS mae
+    FROM c
+    """,
+    survey_ref=(
+        "beyond-reference: SQ8 embedding quantization — 4x memory for ANN "
+        "indexes; codes hash-checked bit-for-bit, MAE bounded by 0.5/scale"
+    ),
+)
+def ss_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.similarity import int8_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_quantize(emb)

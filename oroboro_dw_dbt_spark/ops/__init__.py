@@ -1,5 +1,6 @@
 from oroboro_dw_dbt_spark.ops.graph import connected_components
-from oroboro_dw_dbt_spark.ops.sampling import hash_split, stratified_sample
+from oroboro_dw_dbt_spark.ops.history import merge_upsert, scd2_from_events
+from oroboro_dw_dbt_spark.ops.sampling import hash_split, stratified_sample, weighted_mix
 from oroboro_dw_dbt_spark.ops.sketches import (
     approx_distinct_by,
     approx_quantiles_by,
@@ -20,7 +21,10 @@ __all__ = [
     "bucketed_range_join",
     "connected_components",
     "hash_split",
+    "merge_upsert",
     "salted_join",
+    "scd2_from_events",
     "stratified_sample",
     "two_phase_distinct_agg",
+    "weighted_mix",
 ]

@@ -67,3 +67,42 @@ def stratified_sample(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    key_cols: list[str],
+    default_weight: float = 0.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic per-group subsampling to target mix ratios — the
+    corpus-mixing step of a training-data build (e.g. keep 100% of
+    curated sources, 25% of web crawl). A row survives iff the first 4
+    hex digits of md5(salt|key) fall below ⌊weight·65536⌋ for its
+    group; weight 1.0 keeps everything, 0.0 (and unlisted groups under
+    the default) drops everything.
+
+    Same retry-stability argument as :func:`hash_split`: no rand(), so
+    task retries, speculation, and re-runs all agree — and the oracle
+    can restate the predicate exactly. Row-local filter → zero shuffle
+    at any corpus size, and column pruning still reaches the scan.
+    """
+    for g, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {g!r} must be in [0, 1], got {w}")
+    bucket = F.substring(_hash_hex(key_cols, salt), 1, 4)
+    keep = F.lit(None).cast("boolean")
+    expr = None
+    for g, w in sorted(weights.items()):
+        cond = F.col(group_col) == g
+        rule = F.lit(True) if w >= 1.0 else bucket < format(int(w * 65536), "04x")
+        expr = F.when(cond, rule) if expr is None else expr.when(cond, rule)
+    default_rule = (
+        F.lit(True)
+        if default_weight >= 1.0
+        else bucket < format(int(default_weight * 65536), "04x")
+    )
+    keep = default_rule if expr is None else expr.otherwise(default_rule)
+    return df.filter(keep)

@@ -1,3 +1,4 @@
+from oroboro_dw_dbt_spark.similarity.quantize import int8_codes, int8_quantize
 from oroboro_dw_dbt_spark.similarity.search import (
     brute_force_topk,
     cosine_similarity,
@@ -12,6 +13,8 @@ __all__ = [
     "brute_force_topk",
     "cosine_similarity",
     "hyperplane_bucket",
+    "int8_codes",
+    "int8_quantize",
     "ivf_topk",
     "lsh_bucketed_topk",
     "lsh_multiprobe_topk",

@@ -2,6 +2,7 @@ from oroboro_dw_dbt_spark.streaming.jobs import (
     run_stream_windowed_counts,
     sessionize_batch,
     stream_dedup_events,
+    stream_static_join,
     stream_stream_join,
     stateful_sessions_stream,
     windowed_event_counts,
@@ -11,6 +12,7 @@ __all__ = [
     "run_stream_windowed_counts",
     "sessionize_batch",
     "stream_dedup_events",
+    "stream_static_join",
     "stream_stream_join",
     "stateful_sessions_stream",
     "windowed_event_counts",

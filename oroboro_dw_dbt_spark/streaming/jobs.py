@@ -332,3 +332,36 @@ def stateful_sessions_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_static_join(
+    spark: SparkSession, sf_dir: str, dim: DataFrame, name: str = "stream_static"
+) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined to a
+    static dimension (customer segment) on user_id — the canonical
+    "enrich the feed with the dim table" topology.
+
+    Stateless on the stream side: each micro-batch joins against the
+    static relation with NO streaming state (nothing to watermark or
+    evict), so it scales with the batch, not the history. The static
+    side is broadcast when small (AQE sizes it per micro-batch); a
+    100 TB dim would instead be a pre-bucketed table co-partitioned
+    with the stream's shuffle.
+
+    Result hash-matches the plain batch join — streaming/batch parity
+    for the third join topology (windowed agg, stream-stream, now
+    stream-static)."""
+    src_dir = _events_stream_dir(spark, sf_dir)
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    joined = ev.join(dim, ev.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -269,3 +269,58 @@ def incremental_dedup(
     return in_batch.join(corpus_fps, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
     )
+
+
+# --------------------------------------------------------------------------
+# Composite quality filter (C4/Gopher-style keep-or-drop with reasons)
+# --------------------------------------------------------------------------
+
+# (name, predicate-builder) in evaluation order; first failure names the
+# drop reason — auditable filtering, the shape every corpus build wants
+# (C4 kept only a keep-bit; FineWeb logs per-rule stats).
+QUALITY_MIN_TOKENS = 25
+QUALITY_MAX_TOKENS = 5000
+QUALITY_MIN_DIVERSITY = 0.35
+
+
+def quality_filter(
+    docs: DataFrame, doc_id: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-doc keep/drop with the FIRST failing rule as ``reason``:
+
+    1. ``too_short``     — fewer than 25 whitespace tokens
+    2. ``too_long``      — more than 5000
+    3. ``low_diversity`` — distinct/total token ratio < 0.35
+       (the cheap stand-in for Gopher's repetition family; the full
+       signals live in :func:`repetition_signals`)
+    4. ``no_stopwords``  — zero stopword hits in every known language
+       (gibberish / non-linguistic content)
+
+    Row-local Column tree, zero shuffle; at 100 TB this runs at scan
+    speed and the corpus write is partitioned by ``keep`` so the kept
+    shards are contiguous.
+    """
+    from oroboro_dw_dbt_spark.text.analysis import LANG_STOPWORDS, _hits
+
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    diversity = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    sw_hits = None
+    for words in LANG_STOPWORDS.values():
+        h = _hits(toks, words)
+        sw_hits = h if sw_hits is None else sw_hits + h
+    reason = (
+        F.when(n_tok < QUALITY_MIN_TOKENS, "too_short")
+        .when(n_tok > QUALITY_MAX_TOKENS, "too_long")
+        .when(diversity < QUALITY_MIN_DIVERSITY, "low_diversity")
+        .when(sw_hits == 0, "no_stopwords")
+    )
+    return docs.select(
+        F.col(doc_id).alias("doc_id"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(diversity, 6).alias("diversity"),
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )

@@ -133,3 +133,53 @@ class TestIncrementalDedup:
         )
         out = incremental_dedup(batch, corpus).collect()
         assert [r["doc_id"] for r in out] == [1]
+
+
+class TestWeightedMix:
+    def test_rates_and_determinism(self, spark):
+        from oroboro_dw_dbt_spark.ops import weighted_mix
+
+        df = spark.range(0, 2000).withColumn(
+            "src", F.concat(F.lit("s"), (F.col("id") % 2).cast("string"))
+        )
+        out = weighted_mix(df, "src", {"s0": 1.0, "s1": 0.25}, ["id"])
+        counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        assert counts["s0"] == 1000  # weight 1.0 keeps all
+        assert 150 < counts.get("s1", 0) < 350  # ~250
+        # retry-stability: identical on recompute
+        assert out.count() == weighted_mix(df, "src", {"s0": 1.0, "s1": 0.25}, ["id"]).count()
+
+    def test_default_weight_zero_drops_unlisted(self, spark):
+        from oroboro_dw_dbt_spark.ops import weighted_mix
+
+        df = spark.range(0, 100).withColumn("src", F.lit("unknown"))
+        assert weighted_mix(df, "src", {"s0": 1.0}, ["id"]).count() == 0
+
+    def test_bad_weight_raises(self, spark):
+        from oroboro_dw_dbt_spark.ops import weighted_mix
+        import pytest
+
+        df = spark.range(1).withColumn("src", F.lit("a"))
+        with pytest.raises(ValueError):
+            weighted_mix(df, "src", {"a": 1.5}, ["id"])
+
+
+class TestQualityFilter:
+    def test_first_fail_reason_order(self, spark):
+        from oroboro_dw_dbt_spark.text.pipeline import quality_filter
+
+        docs = _docs(
+            spark,
+            [
+                "short doc",  # too_short (also low diversity — order matters)
+                " ".join(["the"] * 30),  # 30 tokens, diversity 1/30 → low_diversity
+                " ".join(f"w{i}" for i in range(30)),  # diverse, no stopwords
+                "the quick brown fox jumps over the lazy dog and "
+                + " ".join(f"u{i}" for i in range(20)),  # keeps
+            ],
+        )
+        out = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+        assert (out[0]["keep"], out[0]["reason"]) == (False, "too_short")
+        assert (out[1]["keep"], out[1]["reason"]) == (False, "low_diversity")
+        assert (out[2]["keep"], out[2]["reason"]) == (False, "no_stopwords")
+        assert (out[3]["keep"], out[3]["reason"]) == (True, None)

@@ -212,3 +212,31 @@ class TestSimhashHamming:
             if bin(fp[a] ^ fp[b]).count("1") <= 1
         }
         assert got == expected
+
+
+class TestInt8Quantize:
+    def test_codes_and_error_bound(self, spark):
+        from oroboro_dw_dbt_spark.similarity import int8_quantize
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0]), (2, [127.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: r for r in int8_quantize(emb).collect()}
+        # scale = 127/2 = 63.5; codes = [64, -127, 32] (floor(31.75+0.5)=32)
+        assert out[0]["scale"] == 63.5
+        # zero vector: scale 1.0, zero error
+        assert out[1]["scale"] == 1.0 and out[1]["mae"] == 0.0
+        assert out[2]["scale"] == 1.0 and out[2]["mae"] == 0.0
+
+    def test_mae_bounded_by_half_scale(self, spark):
+        from oroboro_dw_dbt_spark.similarity import int8_quantize
+        from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        bad = (
+            int8_quantize(emb)
+            .filter(F.col("mae") > 0.5 / F.col("scale") + 1e-9)
+            .count()
+        )
+        assert bad == 0
