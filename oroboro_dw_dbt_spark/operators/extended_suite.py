@@ -272,3 +272,34 @@ def h_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tgt.filter(key % 10 == 1))
     )
     return merge_upsert(tgt, src, keys=["c_custkey"])
+
+
+@query(
+    "agg_cube",
+    # decimal-cast sum: integer cents are order-independent, so the hash
+    # cannot flake on float partial-agg ordering
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+             AS grp_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    survey_ref="beyond-reference: CUBE over status x priority with "
+    "grouping ids (completes ROLLUP/CUBE/GROUPING SETS family)",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "grp_id", "n", "total_price")
+    )

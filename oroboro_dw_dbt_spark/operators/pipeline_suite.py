@@ -325,3 +325,36 @@ def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return quality_filter(docs)
+
+
+# ---------------------------------------------------------------------------
+# Shard packing: token-budget assignment, sequential within source
+# ---------------------------------------------------------------------------
+@query(
+    "ch_pack_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_TOKS}) AS n_tok FROM documents
+    )
+    SELECT source, doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(floor(coalesce(sum(n_tok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+             AS INT) AS shard_id,
+           CAST(coalesce(sum(n_tok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS tokens_before
+    FROM t
+    """,
+    survey_ref=(
+        "beyond-reference: token-budget shard packing — per-source running "
+        "sum (parallel across sources; no global single-task window)"
+    ),
+)
+def ch_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.text.pipeline import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_shards(docs, budget=2000)

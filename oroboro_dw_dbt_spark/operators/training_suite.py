@@ -636,3 +636,38 @@ def ss_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return int8_quantize(emb)
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (IVF training / drift monitoring building block)
+# ---------------------------------------------------------------------------
+@query(
+    "ss_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS xi
+      FROM embeddings
+    ),
+    p AS (
+      SELECT label, pos, sum(xi) AS sx, count(*) AS n
+      FROM e GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n_vectors,
+           list(round(sx * 1.0 / (n * 1000000), 6) ORDER BY pos) AS centroid
+    FROM p GROUP BY label
+    """,
+    survey_ref=(
+        "beyond-reference: per-label embedding centroids — posexplode + "
+        "integer partial aggregation (shuffle O(labels*dim), not O(rows); "
+        "micro-quantized sums are order-independent, so no float-order "
+        "hash flake)"
+    ),
+)
+def ss_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)

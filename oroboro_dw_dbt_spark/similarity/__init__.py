@@ -1,4 +1,5 @@
 from oroboro_dw_dbt_spark.similarity.quantize import int8_codes, int8_quantize
+from oroboro_dw_dbt_spark.similarity.stats import label_centroids
 from oroboro_dw_dbt_spark.similarity.search import (
     brute_force_topk,
     cosine_similarity,
@@ -16,6 +17,7 @@ __all__ = [
     "int8_codes",
     "int8_quantize",
     "ivf_topk",
+    "label_centroids",
     "lsh_bucketed_topk",
     "lsh_multiprobe_topk",
     "lsh_planes",

@@ -324,3 +324,41 @@ def quality_filter(
         reason.isNull().alias("keep"),
         reason.alias("reason"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shard packing (token-budget assignment for training-shard writes)
+# --------------------------------------------------------------------------
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int = 2000,
+    group_col: str = "source",
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Assign documents to token-budgeted training shards, sequentially
+    WITHIN each ``group_col`` value: docs ordered by id, exclusive
+    prefix-sum of token counts, ``shard = prefix // budget``. A shard
+    overflows its budget by at most one document — the standard greedy
+    contiguous pack (shard readers want contiguous doc ranges anyway).
+
+    Scale shape: the running sum is windowed PER GROUP, so the work is
+    embarrassingly parallel across sources and no global single-task
+    window exists (the classic ORDER BY-the-world trap). Training
+    corpora shard per source for mixing control, so the grouping is the
+    semantics, not a concession.
+    """
+    n_tok = F.size(tokens(text))
+    w = Window.partitionBy(group_col).orderBy(F.col(doc_id).asc())
+    prefix = F.coalesce(
+        F.sum(n_tok).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return docs.select(
+        F.col(group_col).alias("source"),
+        F.col(doc_id).alias("doc_id"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.floor(prefix / budget).cast("int").alias("shard_id"),
+        prefix.cast("bigint").alias("tokens_before"),
+    )

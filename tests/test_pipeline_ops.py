@@ -183,3 +183,21 @@ class TestQualityFilter:
         assert (out[1]["keep"], out[1]["reason"]) == (False, "low_diversity")
         assert (out[2]["keep"], out[2]["reason"]) == (False, "no_stopwords")
         assert (out[3]["keep"], out[3]["reason"]) == (True, None)
+
+
+class TestPackShards:
+    def test_sequential_budget_assignment(self, spark):
+        from oroboro_dw_dbt_spark.text.pipeline import pack_shards
+
+        docs = spark.createDataFrame(
+            [
+                (0, " ".join(["w"] * 6), "s0"),
+                (1, " ".join(["w"] * 6), "s0"),
+                (2, " ".join(["w"] * 6), "s0"),  # prefix 12 → shard 1
+                (3, " ".join(["w"] * 3), "s1"),  # other group restarts
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {r["doc_id"]: r for r in pack_shards(docs, budget=10, group_col="source").collect()}
+        assert [out[i]["shard_id"] for i in range(4)] == [0, 0, 1, 0]
+        assert out[2]["tokens_before"] == 12

@@ -240,3 +240,28 @@ class TestInt8Quantize:
             .count()
         )
         assert bad == 0
+
+
+class TestLabelCentroids:
+    def test_elementwise_mean(self, spark):
+        from oroboro_dw_dbt_spark.similarity import label_centroids
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 2.0], 7), (1, [3.0, 4.0], 7), (2, [10.0, 20.0], 8)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {r["label"]: r for r in label_centroids(emb).collect()}
+        assert out[7]["n_vectors"] == 2 and out[7]["centroid"] == [2.0, 3.0]
+        assert out[8]["n_vectors"] == 1 and out[8]["centroid"] == [10.0, 20.0]
+
+    def test_order_independence(self, spark):
+        from oroboro_dw_dbt_spark.similarity import label_centroids
+        from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        a = {r["label"]: r["centroid"] for r in label_centroids(emb).collect()}
+        b = {
+            r["label"]: r["centroid"]
+            for r in label_centroids(emb.repartition(13)).collect()
+        }
+        assert a == b  # exact equality — integer sums don't care about order
