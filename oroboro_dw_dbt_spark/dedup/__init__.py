@@ -1,3 +1,4 @@
+from oroboro_dw_dbt_spark.dedup.fuzzy import blocked_fuzzy_match
 from oroboro_dw_dbt_spark.dedup.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
@@ -9,6 +10,7 @@ from oroboro_dw_dbt_spark.dedup.dedup import (
 )
 
 __all__ = [
+    "blocked_fuzzy_match",
     "embedding_near_dup_pairs",
     "exact_dedup",
     "minhash_band_index",

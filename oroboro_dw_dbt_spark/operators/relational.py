@@ -561,3 +561,112 @@ def g3_geodesic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dist_miles > 500).cast("int").alias("far_flag"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-shape: 6-way join with region filter. The multiway-join stress
+# test: dims (region→nation→supplier) broadcast under AQE; the one real
+# shuffle is lineitem⋈orders on orderkey; the c_nationkey = s_nationkey
+# residual rides the existing join, no extra exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    survey_ref="§2.3 join chains stress (TPC-H Q5 shape): 6-way join, "
+    "dim broadcast, residual equality on nationkey",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast(PRICE_DEC)
+    disc = (F.lit(1) - F.col("l_discount")).cast(RATE_DEC)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(price * disc), 2).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-shape: aggregate-below-join. The pre-aggregation pattern: the
+# HAVING filter runs on lineitem's own grouping FIRST (map-side partial
+# agg), so only qualifying orderkeys (a tiny set) reach the join — the
+# alternative (join first, filter later) shuffles the whole fact twice.
+# ---------------------------------------------------------------------------
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE)
+               AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 200
+    )
+    SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    survey_ref="§2.4 agg + §2.3 join (TPC-H Q18 shape): HAVING "
+    "pre-aggregate below the join; top-k via TakeOrderedAndProject",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast(PRICE_DEC)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_sq"))
+        .filter(F.col("_sq") > 200)
+        .select(
+            "l_orderkey", F.round(F.col("_sq"), 2).cast("double").alias("total_qty")
+        )
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

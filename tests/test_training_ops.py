@@ -265,3 +265,25 @@ class TestLabelCentroids:
             for r in label_centroids(emb.repartition(13)).collect()
         }
         assert a == b  # exact equality — integer sums don't care about order
+
+
+class TestBlockedFuzzyMatch:
+    def test_blocking_and_distance(self, spark):
+        from oroboro_dw_dbt_spark.dedup import blocked_fuzzy_match
+
+        master = spark.createDataFrame(
+            [(1, "Acme Corp 0001"), (2, "Bolt Ltd 0002")], "id long, name string"
+        )
+        dirty = spark.createDataFrame(
+            [
+                (10, "Acme Crop 0001"),   # transposition, dist 2, same block
+                (11, "Acme Corp 0002"),   # blocks with master 2 but dist > 2
+                (12, "Zzz 9999"),         # no block partner
+            ],
+            "id long, name string",
+        )
+        out = blocked_fuzzy_match(
+            dirty, master, lambda c: F.substring(c, -4, 4), max_dist=2
+        ).collect()
+        pairs = {(r["dirty_id"], r["master_id"]): r["dist"] for r in out}
+        assert pairs == {(10, 1): 2}
