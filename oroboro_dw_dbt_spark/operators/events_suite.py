@@ -236,3 +236,21 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return stream_static_join(spark, sf_dir, dim)
+
+
+@query(
+    "st_stream_upsert",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    survey_ref="beyond-reference: streaming CDC upsert — foreachBatch "
+    "newer-wins merge through the engine's atomic table swap; result "
+    "independent of micro-batch chopping == batch argmax oracle",
+)
+def st_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.streaming import stream_upsert_latest
+
+    return stream_upsert_latest(spark, sf_dir)

@@ -303,3 +303,63 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "grp_id", "n", "total_price")
     )
+
+
+@query(
+    "w_rank_suite",
+    # every ranking fn over ONE window spec (o_totalprice, o_orderkey
+    # pinned total order): single sort, no per-function re-shuffle
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS INT)    AS quartile,
+           round(percent_rank() OVER w, 6)     AS pct_rank,
+           round(cume_dist()    OVER w, 6)     AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    survey_ref="beyond-reference: ranking-function family (rank, "
+    "dense_rank, ntile, percent_rank, cume_dist) on one shared window",
+)
+def w_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "a_exact_percentiles",
+    # exact linear-interpolation percentiles: both engines sort the group
+    # and interpolate between the same two doubles — deterministic, unlike
+    # a float SUM (no addition-order dependence)
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6)  AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6)  AS p90,
+           round(quantile_cont(l_quantity, 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ref="beyond-reference: exact percentiles (sort-based linear "
+    "interpolation; the exact twin of sk_approx_quantiles)",
+)
+def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(q, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(q, F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(q, F.lit(0.99)), 6).alias("p99"),
+    )

@@ -3,6 +3,7 @@ from oroboro_dw_dbt_spark.streaming.jobs import (
     sessionize_batch,
     stream_dedup_events,
     stream_static_join,
+    stream_upsert_latest,
     stream_stream_join,
     stateful_sessions_stream,
     windowed_event_counts,
@@ -13,6 +14,7 @@ __all__ = [
     "sessionize_batch",
     "stream_dedup_events",
     "stream_static_join",
+    "stream_upsert_latest",
     "stream_stream_join",
     "stateful_sessions_stream",
     "windowed_event_counts",

@@ -59,7 +59,12 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         from oroboro_dw_dbt_spark.sources.testdata import load_table
 
         out = tempfile.mkdtemp(prefix="events_stream_")
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+        # 8 files so maxFilesPerTrigger yields REAL multi-batch streams;
+        # hash-partitioned on user_id (deterministic file contents, unlike
+        # round-robin repartition(n))
+        load_table(spark, sf_dir, "events").repartition(8, "user_id").write.mode(
+            "overwrite"
+        ).parquet(out)
         _STREAM_DIRS[sf_dir] = out
     return _STREAM_DIRS[sf_dir]
 
@@ -365,3 +370,69 @@ def stream_static_join(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_upsert_latest(
+    spark: SparkSession,
+    sf_dir: str,
+    files_per_trigger: int = 4,
+) -> DataFrame:
+    """CDC-style streaming upsert: each micro-batch reduces to its
+    latest row per user_id (ts, event_id tiebreak — a pinned total
+    order, SURVEY §2.5 W4), then merges newer-wins into a parquet table
+    through the engine's backup-first swap (engine/table_format.py).
+
+    Newer-wins union+argmax rather than a blind source-wins MERGE
+    (ops/history.merge_upsert): the file source gives no cross-file
+    event-order guarantee, so the merge must be commutative over batch
+    arrival order — that's what makes the result equal the batch
+    argmax oracle REGARDLESS of how the stream was chopped into
+    micro-batches.
+
+    Scale: per-batch work is one shuffle of the batch (small) plus one
+    of the current table keyset; at 100 TB the table side would be a
+    Delta/Iceberg MERGE behind the same TableFormat seam, with the
+    argmax pre-reduction unchanged (it is what keeps the MERGE source
+    one-row-per-key)."""
+    import tempfile
+    from pathlib import Path
+
+    from oroboro_dw_dbt_spark.engine.table_format import LocalParquetFormat
+
+    src_dir = _events_stream_dir(spark, sf_dir)
+    fmt = LocalParquetFormat()
+    base = Path(tempfile.mkdtemp(prefix="stream_upsert_"))
+    final = base / "latest_events"
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "event_id", "ts", "event_type", "value")
+        )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        merged = latest(batch)
+        if final.exists():
+            merged = latest(fmt.read(spark, final).unionByName(merged))
+        staging = base / f"staging_{batch_id}"
+        fmt.write(merged, staging)
+        if final.exists():
+            fmt.replace(staging, final)
+        else:
+            staging.rename(final)
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fmt.read(spark, final)

@@ -144,3 +144,29 @@ def test_stream_stream_join_matches_batch(spark):
     ).select("purchase_id", "click_id")
     assert got.count() == batch.count()
     assert got.select("purchase_id", "click_id").exceptAll(batch).count() == 0
+
+
+def test_stream_upsert_multi_batch_equals_batch_argmax(spark):
+    """The CDC upsert must (a) actually take the merge path across >= 2
+    micro-batches and (b) produce exactly the batch latest-per-user."""
+    from pyspark.sql.window import Window
+
+    from oroboro_dw_dbt_spark.streaming import stream_upsert_latest
+    from oroboro_dw_dbt_spark.streaming.jobs import _events_stream_dir
+
+    sf = "/root/testdata/sf0.001"
+    n_files = len(
+        [p for p in __import__("pathlib").Path(_events_stream_dir(spark, sf)).iterdir()
+         if p.suffix == ".parquet"]
+    )
+    assert n_files >= 2, "fixture must yield multiple micro-batches"
+    got = stream_upsert_latest(spark, sf, files_per_trigger=1)
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
