@@ -363,3 +363,64 @@ def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(q, F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile(q, F.lit(0.99)), 6).alias("p99"),
     )
+
+
+@query(
+    "a_regression_stats",
+    # least-squares slope/intercept of value-vs-time per event_type with
+    # EXACT arithmetic: x = epoch seconds (int), y = value micro-quantized
+    # to int, all moment sums as DECIMAL(38,0) (hugeint in DuckDB) — no
+    # float partial-sum ordering anywhere until the final division
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             -- floor(): Spark's unix_timestamp truncates sub-second
+             -- fractions; a bare CAST here would round them instead
+             CAST(floor(epoch(ts)) AS HUGEINT) AS x,
+             CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0, 6) AS slope_micro,
+           round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / n / 1000000.0, 6) AS intercept
+    FROM m
+    """,
+    survey_ref="beyond-reference: per-group least-squares trend (exact "
+    "decimal moment sums -> order-independent; one map-side-combinable "
+    "aggregation)",
+)
+def a_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_timestamp("ts").cast("decimal(38,0)")
+    y = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("decimal(38,0)")
+    m = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope * 1000000.0, 6).alias("slope_micro"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / 1000000.0,
+            6,
+        ).alias("intercept"),
+    )

@@ -246,8 +246,12 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Corpus mixing: deterministic per-source sampling rates
 # ---------------------------------------------------------------------------
-_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
-_MIX_DEFAULT = 0.1
+# single source of truth shared with the corpus-build DAG, so the
+# sp_weighted_mix oracle and the pipe_corpus_build graph cannot drift
+from oroboro_dw_dbt_spark.models.corpus_pipeline import (  # noqa: E402
+    MIX_DEFAULT as _MIX_DEFAULT,
+    MIX_WEIGHTS as _MIX_WEIGHTS,
+)
 
 
 def _mix_case_sql() -> str:
@@ -358,3 +362,66 @@ def ch_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_shards(docs, budget=2000)
+
+
+# ---------------------------------------------------------------------------
+# The corpus-build DAG end-to-end: quality -> dedup -> mix -> shards, run
+# through the engine (views + partitioned table mart + data tests) — the
+# training-data twin of the ref_* reference-model entries.
+# ---------------------------------------------------------------------------
+_FP = f"md5(array_to_string(list_transform({_TOKS}, x -> lower(x)), ' '))"
+
+
+@query(
+    "pipe_corpus_build",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tok,
+             len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) AS diversity,
+             {{sw}} AS sw_hits,
+             {_FP} AS fp
+      FROM documents
+    ),
+    clean AS (
+      SELECT d.doc_id, d.source, s.n_tok, s.fp
+      FROM documents d JOIN sig s USING (doc_id)
+      WHERE NOT (s.n_tok < 25 OR s.n_tok > 5000
+                 OR s.diversity < 0.35 OR s.sw_hits = 0)
+    ),
+    dedup AS (
+      SELECT doc_id, source, n_tok FROM clean
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    mixed AS (
+      SELECT doc_id, source, n_tok FROM dedup WHERE {{mix}}
+    )
+    SELECT source, doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(floor(coalesce(sum(n_tok) OVER w, 0) / 2000.0) AS INT) AS shard_id,
+           CAST(coalesce(sum(n_tok) OVER w, 0) AS BIGINT) AS tokens_before
+    FROM mixed
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """.format(sw=_SW_ALL.format(t=_TOKS), mix=_mix_case_sql()),
+    survey_ref=(
+        "beyond-reference: corpus-build DAG through the engine — 3 views + "
+        "partitioned table mart + data tests; the training-data twin of "
+        "the ref_* model entries"
+    ),
+)
+def pipe_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from oroboro_dw_dbt_spark.engine.dag import SourceRegistry
+    from oroboro_dw_dbt_spark.models.corpus_pipeline import build_corpus_graph
+
+    sources = SourceRegistry()
+    sources.add_provider("documents", lambda s: load_table(s, sf_dir, "documents"))
+    graph = build_corpus_graph(
+        sources, warehouse_dir=tempfile.mkdtemp(prefix="corpus_wh_")
+    )
+    graph.run(spark, select=["corpus_shards"], run_tests=True)
+    return graph.frame("corpus_shards").select(
+        "source", "doc_id", "n_tokens", "shard_id", "tokens_before"
+    )

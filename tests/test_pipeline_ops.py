@@ -201,3 +201,50 @@ class TestPackShards:
         out = {r["doc_id"]: r for r in pack_shards(docs, budget=10, group_col="source").collect()}
         assert [out[i]["shard_id"] for i in range(4)] == [0, 0, 1, 0]
         assert out[2]["tokens_before"] == 12
+
+
+class TestCorpusGraph:
+    def test_dag_lifecycle_and_tests(self, spark, tmp_path):
+        from oroboro_dw_dbt_spark.engine.dag import SourceRegistry
+        from oroboro_dw_dbt_spark.models.corpus_pipeline import build_corpus_graph
+        from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+        sources = SourceRegistry()
+        sources.add_provider(
+            "documents", lambda s: load_table(s, "/root/testdata/sf0.001", "documents")
+        )
+        graph = build_corpus_graph(sources, warehouse_dir=str(tmp_path))
+        results = graph.run(spark, select=["corpus_shards"], run_tests=True)
+        assert set(results) >= {
+            "docs_clean", "docs_dedup", "docs_mixed", "corpus_shards",
+        }
+        shards = graph.frame("corpus_shards")
+        # mart actually materialized partitioned-by-source on disk
+        assert (tmp_path / "corpus_shards").exists()
+        assert any(
+            p.name.startswith("source=")
+            for p in (tmp_path / "corpus_shards").iterdir()
+        )
+        # monotone contract: tokens_before strictly increases within a shard
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("source", "shard_id").orderBy("doc_id")
+        bad = (
+            shards.withColumn("_prev", F.lag("tokens_before").over(w))
+            .filter(F.col("_prev").isNotNull() & (F.col("_prev") >= F.col("tokens_before")))
+            .count()
+        )
+        assert bad == 0
+
+    def test_tag_selection_runs_corpus_family(self, spark, tmp_path):
+        from oroboro_dw_dbt_spark.engine.dag import SourceRegistry
+        from oroboro_dw_dbt_spark.models.corpus_pipeline import build_corpus_graph
+        from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+        sources = SourceRegistry()
+        sources.add_provider(
+            "documents", lambda s: load_table(s, "/root/testdata/sf0.001", "documents")
+        )
+        graph = build_corpus_graph(sources)
+        results = graph.run(spark, select=["tag:corpus"], run_tests=False)
+        assert len(results) == 4
