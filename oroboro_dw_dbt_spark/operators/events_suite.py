@@ -254,3 +254,157 @@ def st_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oroboro_dw_dbt_spark.streaming import stream_upsert_latest
 
     return stream_upsert_latest(spark, sf_dir)
+
+
+@query(
+    "ts_gap_fill",
+    # per-user hourly grid (sequence/generate_series between that user's
+    # own first and last hour), zero-filled counts + forward-filled last
+    # known value — the time-series resample/ffill staple
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             count(*) AS n, max(value) AS hour_max
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(hour) AS hmin, max(hour) AS hmax
+      FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS hour
+      FROM span
+    )
+    SELECT g.user_id, g.hour,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+           last_value(h.hour_max IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_known_value
+    FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+    """,
+    survey_ref="beyond-reference: time-series gap-fill — per-entity hourly "
+    "resample (explode of a per-row sequence, no global grid) with "
+    "zero-fill and forward-fill",
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("hour_max"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("hmin"), F.max("hour").alias("hmax")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("hour_max", ignorenulls=True).over(w).alias("last_known_value"),
+        )
+    )
+
+
+@query(
+    "ev_funnel_steps",
+    # strictly-ordered funnel view -> click -> purchase: each step's
+    # timestamp is the first qualifying event AFTER the previous step
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    survey_ref="beyond-reference: ordered funnel analysis — progressive "
+    "min-after-previous-step; two small rejoins, shuffle on user_id "
+    "reused",
+)
+def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+    )
+
+
+@query(
+    "ev_cohort_retention",
+    # cohort = ISO week of first activity; k = whole weeks since cohort;
+    # integer week arithmetic on both engines (no date subtleties)
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST((epoch(a.week) - epoch(f.cohort_week)) / 604800 AS INT) AS week_k,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN firstw f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    survey_ref="beyond-reference: cohort retention — first-activity week "
+    "cohorts, distinct-active per offset week",
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts")
+    firstw = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = ev.select("user_id", wk.alias("week")).distinct()
+    week_k = (
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("int")
+    return (
+        activity.join(firstw, "user_id")
+        .groupBy("cohort_week", week_k.alias("week_k"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )

@@ -334,7 +334,7 @@ def quality_filter(
 def pack_shards(
     docs: DataFrame,
     budget: int = 2000,
-    group_col: str = "source",
+    group_col: str | list[str] = "source",
     doc_id: str = "doc_id",
     text: str = "text",
 ) -> DataFrame:
@@ -348,15 +348,25 @@ def pack_shards(
     embarrassingly parallel across sources and no global single-task
     window exists (the classic ORDER BY-the-world trap). Training
     corpora shard per source for mixing control, so the grouping is the
-    semantics, not a concession.
+    semantics, not a concession. One source dominating the corpus still
+    serializes ITS window — for that, pass a composite grouping
+    (``["source", "ingest_date"]`` or a deterministic doc_id band) so
+    the sequential unit stays bounded; shard ids are then per-subgroup,
+    which shard manifests already accommodate.
     """
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
     n_tok = F.size(tokens(text))
-    w = Window.partitionBy(group_col).orderBy(F.col(doc_id).asc())
+    w = Window.partitionBy(*group_cols).orderBy(F.col(doc_id).asc())
     prefix = F.coalesce(
         F.sum(n_tok).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
+    group_out = (
+        [F.col(group_cols[0]).alias("source")]
+        if len(group_cols) == 1
+        else [F.col(c) for c in group_cols]
+    )
     return docs.select(
-        F.col(group_col).alias("source"),
+        *group_out,
         F.col(doc_id).alias("doc_id"),
         n_tok.cast("bigint").alias("n_tokens"),
         F.floor(prefix / budget).cast("int").alias("shard_id"),

@@ -248,3 +248,24 @@ class TestCorpusGraph:
         graph = build_corpus_graph(sources)
         results = graph.run(spark, select=["tag:corpus"], run_tests=False)
         assert len(results) == 4
+
+
+class TestPackShardsComposite:
+    def test_composite_grouping_bounds_the_sequential_unit(self, spark):
+        from oroboro_dw_dbt_spark.text.pipeline import pack_shards
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c", "s0", 0),
+                (1, "a b c", "s0", 0),
+                (2, "a b c", "s0", 1),  # new band → prefix restarts
+            ],
+            "doc_id long, text string, source string, band int",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in pack_shards(docs, budget=4, group_col=["source", "band"]).collect()
+        }
+        assert out[2]["tokens_before"] == 0  # band 1 restarted
+        assert out[1]["tokens_before"] == 3
+        assert set(out[0].asDict()) >= {"source", "band", "shard_id"}
