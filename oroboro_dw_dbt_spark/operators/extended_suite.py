@@ -424,3 +424,97 @@ def a_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     )
+
+
+@query(
+    "eng_incremental_run",
+    # two incremental runs: v1 loads all orders, v2 re-delivers 1999+
+    # orders; merged table keeps v1 rows whose key was not re-delivered
+    # and replaces the rest — the CASE below is exactly that contract
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+                THEN 'v2' ELSE 'v1' END AS batch
+    FROM orders
+    """,
+    survey_ref="engine S4/incremental: two-run delete+insert merge by "
+    "unique_key through the warehouse table path (dbt incremental "
+    "lifecycle, driver-certified)",
+)
+def eng_incremental_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from oroboro_dw_dbt_spark.engine.dag import ModelGraph, SourceRegistry, model
+
+    sources = SourceRegistry()
+    sources.add_provider("orders", lambda s: load_table(s, sf_dir, "orders"))
+    state = {"batch": "v1", "since": None}
+
+    @model(name="latest_orders", materialized="incremental", unique_key=("o_orderkey",))
+    def latest_orders(orders):
+        df = orders
+        if state["since"] is not None:
+            df = df.filter(F.col("o_orderdate") >= F.lit(state["since"]).cast("timestamp"))
+        return df.select(
+            "o_orderkey", "o_totalprice", F.lit(state["batch"]).alias("batch")
+        )
+
+    graph = ModelGraph(
+        sources, warehouse_dir=tempfile.mkdtemp(prefix="inc_wh_"), threads=1
+    )
+    graph.add(latest_orders)
+    graph.run(spark, select=["latest_orders"], run_tests=False)
+    state.update(batch="v2", since="1999-01-01 00:00:00")
+    graph.run(spark, select=["latest_orders"], run_tests=False)
+    return graph.frame("latest_orders")
+
+
+@query(
+    "j_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'has_orders' AS op FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS op FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    survey_ref="beyond-reference: explicit LEFT SEMI / LEFT ANTI joins "
+    "(EXISTS / NOT EXISTS) — no fan-out, no dedup pass",
+)
+def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    okeys = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    return (
+        cust.join(okeys, cond, "left_semi")
+        .withColumn("op", F.lit("has_orders"))
+        .unionByName(
+            cust.join(okeys, cond, "left_anti").withColumn("op", F.lit("no_orders"))
+        )
+    )
+
+
+@query(
+    "m_safe_math",
+    # BigQuery SAFE.* semantics via Spark try_* — NULL instead of error,
+    # with ANSI mode left ON (SURVEY §7.2 decision)
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / nullif(CAST(o_orderkey % 4 AS DOUBLE), 0.0) AS safe_div,
+           TRY_CAST(o_orderpriority AS INT) AS bad_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num
+    FROM orders
+    """,
+    survey_ref="§2.9 M1 division semantics: try_divide / try_cast keep "
+    "ANSI on while matching BigQuery SAFE.* null-on-error",
+)
+def m_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 4).cast("double")
+        ).alias("safe_div"),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("9")).cast("int").alias("bad_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+    )

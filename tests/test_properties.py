@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the pure-Column operator
+kernels — invariants that must hold for ANY input, not just fixtures.
+
+Each property batches all generated docs into ONE DataFrame per example
+to keep Spark job counts low; examples are capped and deadlines off
+(Spark latency is not the code under test)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+WORD = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+DOC = st.lists(WORD, min_size=1, max_size=30).map(" ".join)
+SETTINGS = dict(max_examples=12, deadline=None)
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_chunks_partition_tokens_when_stride_equals_size(spark, docs):
+    from oroboro_dw_dbt_spark.text.analysis import token_count
+    from oroboro_dw_dbt_spark.text.pipeline import token_chunks
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    chunks = token_chunks(df, chunk_size=8, stride=8)
+    got = {
+        r["doc_id"]: (r["sum_tok"], r["max_tok"], r["starts_ok"])
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.sum("n_tokens").alias("sum_tok"),
+            F.max("n_tokens").alias("max_tok"),
+            F.min((F.col("start") % 8 == 0).cast("int")).alias("starts_ok"),
+        )
+        .collect()
+    }
+    expected = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", token_count("text").alias("n")).collect()
+    }
+    for doc_id, n in expected.items():
+        sum_tok, max_tok, starts_ok = got[doc_id]
+        assert sum_tok == n  # non-overlapping chunks partition the tokens
+        assert max_tok <= 8
+        assert starts_ok == 1
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_repetition_signal_ranges(spark, docs):
+    from oroboro_dw_dbt_spark.text.pipeline import gram_list, repetition_signals
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    rows = repetition_signals(df, n=2).collect()
+    grams = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", gram_list("text", 2).alias("g")).collect()
+    }
+    for r in rows:
+        assert 0.0 <= r["dup_gram_frac"] < 1.0
+        assert r["top_gram_count"] >= 1
+        assert r["top_gram"] in grams[r["doc_id"]]
+        assert r["n_grams"] == len(grams[r["doc_id"]])
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                     max_size=40, unique=True))
+@settings(**SETTINGS)
+def test_hash_split_is_a_partition(spark, keys):
+    from oroboro_dw_dbt_spark.ops import hash_split
+
+    df = spark.createDataFrame([(k,) for k in keys], "id long")
+    out = hash_split(df, ["id"], test_frac=0.25).collect()
+    assert len(out) == len(keys)  # every row, exactly once
+    assert {r["split"] for r in out} <= {"test", "train"}
+    # determinism: same assignment on recompute
+    again = {r["id"]: r["split"] for r in hash_split(df, ["id"], 0.25).collect()}
+    assert {r["id"]: r["split"] for r in out} == again
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from("abc")),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_interval_invariants(spark, events):
+    from datetime import datetime, timedelta
+
+    from oroboro_dw_dbt_spark.ops import scd2_from_events
+
+    rows = [
+        (i, datetime(2024, 1, 1) + timedelta(hours=i), key, val)
+        for i, (key, val) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    hist = scd2_from_events(df, key="user_id", attr="event_type").collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r["user_id"], []).append(r)
+    for key, rs in by_key.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r["is_current"] for r in rs) == 1 and rs[-1]["is_current"]
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # gapless intervals
+            assert a["event_type"] != b["event_type"]  # collapsed runs
