@@ -1,0 +1,67 @@
+"""Plan-shape regression tests: the physical properties the 100 TB
+design depends on, asserted so a refactor cannot silently lose them.
+(tools/explain_audit.py sweeps every catalog plan per round; these are
+the load-bearing cases inlined into the fast test loop.)"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from explain_audit import audit_broadcast_hints, plan_text  # noqa: E402
+
+from oroboro_dw_dbt_spark.operators.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return plan_text(QUERIES[name].builder(spark, SF))
+
+
+class TestPlanShapes:
+    def test_q1_filter_and_columns_reach_the_scan(self, spark):
+        plan = _plan(spark, "q1_pricing_summary")
+        assert re.search(r"PushedFilters:.*l_shipdate", plan), plan
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = m.group(1)
+        assert "l_orderkey" not in cols  # pruned: unused by q1
+        assert "l_quantity" in cols
+
+    def test_j9_has_no_forced_broadcast_on_scaling_tables(self, spark):
+        df = QUERIES["j9_dim_chain_rollup"].builder(spark, SF)
+        assert audit_broadcast_hints(df) == []
+
+    def test_text_profile_stays_jvm_side(self, spark):
+        plan = _plan(spark, "t_text_profile")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_range_join_is_not_a_nested_loop(self, spark):
+        plan = _plan(spark, "tj_range_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_scd2_single_exchange_and_sort(self, spark):
+        df = QUERIES["h_scd2_snapshot"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert plan.count("Sort ") == 1, plan
+
+    def test_q18_aggregates_below_the_join(self, spark):
+        # the HAVING pre-aggregate must appear beneath the orders join:
+        # in the formatted plan the lineitem aggregate node is a child of
+        # the first SortMergeJoin/BroadcastHashJoin, not above it
+        df = QUERIES["q18_large_orders"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        first_join = min(
+            [i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin")) if i >= 0],
+            default=-1,
+        )
+        agg = plan.find("HashAggregate")
+        assert first_join >= 0 and agg >= 0
+        # children print after parents: the only aggregate is a join child
+        assert agg > first_join, plan
