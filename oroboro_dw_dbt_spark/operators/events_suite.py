@@ -408,3 +408,56 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", week_k.alias("week_k"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+@query(
+    "st_session_window_builtin",
+    # Spark's native session_window(gap): an event at EXACTLY start+gap
+    # begins a new session (windows are [ts, ts+gap)), hence >= in the
+    # oracle's new-session flag; session_end = last ts + gap
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    survey_ref="beyond-reference: native session_window(gap) aggregation "
+    "— the built-in twin of st_sessionize's manual island windows; "
+    "streaming-ready (same expression under a watermark)",
+)
+def st_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
