@@ -197,9 +197,18 @@ FROM customer WHERE c_custkey % 4 = 3 AND c_custkey % 5 = 0
 # venue s: display_name by s % 9 exercises every city_replace heuristic
 # branch (street number, plus-code, 'county', \bave\b, keep-as-is), plus
 # 'Seoul' for s % 30 = 18; lat/lon NULL for s % 13 = 0 (rows dropped at
-# the scoring filter). City components sit ~2 mi away (j=0) and ~100 mi
+# the scoring filter). City components sit ~3 mi away (j=0) and ~100 mi
 # (j=1) — except s % 10 = 7 venues whose NEAREST city is ~35 mi (> the
 # 10-mile threshold, safely outside the ±1% haversine-vs-S2 band).
+#
+# Determinism contract (r3, kills the driver-gate unrounded-float class):
+# every fractional constant is a dyadic rational (0.75 = 3/4, 1.25 = 5/4,
+# 0.03125 = 2^-5, 0.5, 1.5, 2.0, 2.5, 3.0, 8.0, 12.0), so the arithmetic
+# is EXACT in IEEE-754 double — no engine-dependent decimal-literal
+# precision/scale inference, no rounding residue — and every lat/lon is
+# explicitly CAST(... AS DOUBLE) so Spark and DuckDB both hand back the
+# same Python float (never decimal.Decimal with engine-version-dependent
+# scale) with bit-identical value and repr.
 _LOCATION = """
 SELECT s_suppkey AS id,
        CASE WHEN s_suppkey % 30 = 18 THEN 'Seoul'
@@ -214,47 +223,47 @@ SELECT s_suppkey AS id,
             ELSE 'Clark County' END AS display_name,
        CASE WHEN s_suppkey % 30 = 18 THEN 'Seoul Proper'
             ELSE 'Venue ' || CAST(s_suppkey AS STRING) END AS long_name,
-       CASE WHEN s_suppkey % 13 = 0 THEN NULL
-            ELSE (s_suppkey % 120) * 0.7 - 40 END AS latitude,
-       CASE WHEN s_suppkey % 13 = 0 THEN NULL
-            ELSE (s_suppkey % 250) * 1.3 - 120 END AS longitude,
+       CAST(CASE WHEN s_suppkey % 13 = 0 THEN NULL
+            ELSE (s_suppkey % 120) * 0.75 - 40 END AS DOUBLE) AS latitude,
+       CAST(CASE WHEN s_suppkey % 13 = 0 THEN NULL
+            ELSE (s_suppkey % 250) * 1.25 - 120 END AS DOUBLE) AS longitude,
        'loc-' || CAST(s_suppkey AS STRING) AS slug
 FROM supplier
 UNION ALL
 SELECT 100000 + s_suppkey * 4 AS id,
        'CityA-' || CAST(s_suppkey % 20 AS STRING) AS display_name,
        'CityA-' || CAST(s_suppkey % 20 AS STRING) || ' City' AS long_name,
-       CASE WHEN s_suppkey % 13 = 0 THEN NULL
-            ELSE (s_suppkey % 120) * 0.7 - 40
-                 + CASE WHEN s_suppkey % 10 = 7 THEN 0.5 ELSE 0.03 END END AS latitude,
-       CASE WHEN s_suppkey % 13 = 0 THEN NULL
-            ELSE (s_suppkey % 250) * 1.3 - 120 + 0.03 END AS longitude,
+       CAST(CASE WHEN s_suppkey % 13 = 0 THEN NULL
+            ELSE (s_suppkey % 120) * 0.75 - 40
+                 + CASE WHEN s_suppkey % 10 = 7 THEN 0.5 ELSE 0.03125 END END AS DOUBLE) AS latitude,
+       CAST(CASE WHEN s_suppkey % 13 = 0 THEN NULL
+            ELSE (s_suppkey % 250) * 1.25 - 120 + 0.03125 END AS DOUBLE) AS longitude,
        'city-a-' || CAST(s_suppkey AS STRING) AS slug
 FROM supplier WHERE s_suppkey % 7 != 3
 UNION ALL
 SELECT 100000 + s_suppkey * 4 + 1 AS id,
        'CityB-' || CAST(s_suppkey % 20 AS STRING) AS display_name,
        'CityB-' || CAST(s_suppkey % 20 AS STRING) || ' City' AS long_name,
-       CASE WHEN s_suppkey % 13 = 0 THEN NULL
-            ELSE (s_suppkey % 120) * 0.7 - 40 + 1.5 END AS latitude,
-       CASE WHEN s_suppkey % 13 = 0 THEN NULL
-            ELSE (s_suppkey % 250) * 1.3 - 120 + 1.5 END AS longitude,
+       CAST(CASE WHEN s_suppkey % 13 = 0 THEN NULL
+            ELSE (s_suppkey % 120) * 0.75 - 40 + 1.5 END AS DOUBLE) AS latitude,
+       CAST(CASE WHEN s_suppkey % 13 = 0 THEN NULL
+            ELSE (s_suppkey % 250) * 1.25 - 120 + 1.5 END AS DOUBLE) AS longitude,
        'city-b-' || CAST(s_suppkey AS STRING) AS slug
 FROM supplier WHERE s_suppkey % 3 != 0 AND s_suppkey % 7 != 3
 UNION ALL
 SELECT DISTINCT 200000 + s_suppkey % 15 AS id,
        'State' || CAST(s_suppkey % 15 AS STRING) AS display_name,
        'State' || CAST(s_suppkey % 15 AS STRING) || ' Province' AS long_name,
-       (s_suppkey % 15) * 2.0 - 10 AS latitude,
-       (s_suppkey % 15) * 3.0 - 50 AS longitude,
+       CAST((s_suppkey % 15) * 2.0 - 10 AS DOUBLE) AS latitude,
+       CAST((s_suppkey % 15) * 3.0 - 50 AS DOUBLE) AS longitude,
        'state-' || CAST(s_suppkey % 15 AS STRING) AS slug
 FROM supplier
 UNION ALL
 SELECT DISTINCT 300000 + s_suppkey % 25 AS id,
        'County' || CAST(s_suppkey % 25 AS STRING) AS display_name,
        'County' || CAST(s_suppkey % 25 AS STRING) || ' County' AS long_name,
-       (s_suppkey % 25) * 1.5 - 15 AS latitude,
-       (s_suppkey % 25) * 2.5 - 60 AS longitude,
+       CAST((s_suppkey % 25) * 1.5 - 15 AS DOUBLE) AS latitude,
+       CAST((s_suppkey % 25) * 2.5 - 60 AS DOUBLE) AS longitude,
        'county-' || CAST(s_suppkey % 25 AS STRING) AS slug
 FROM supplier
 UNION ALL
@@ -262,8 +271,8 @@ SELECT DISTINCT 400000 + s_suppkey % 6 AS id,
        'Country' || CAST(s_suppkey % 6 AS STRING) AS display_name,
        CASE WHEN s_suppkey % 6 = 0 THEN 'State3'
             ELSE 'Country' || CAST(s_suppkey % 6 AS STRING) || ' Republic' END AS long_name,
-       (s_suppkey % 6) * 8.0 - 20 AS latitude,
-       (s_suppkey % 6) * 12.0 - 30 AS longitude,
+       CAST((s_suppkey % 6) * 8.0 - 20 AS DOUBLE) AS latitude,
+       CAST((s_suppkey % 6) * 12.0 - 30 AS DOUBLE) AS longitude,
        'country-' || CAST(s_suppkey % 6 AS STRING) AS slug
 FROM supplier
 """

@@ -226,8 +226,12 @@ loc_scored AS (
   WHERE latitude IS NOT NULL AND longitude IS NOT NULL
 ),
 locations_final AS (
+  -- float-output quantization mirrored from locations_clean_df: round the
+  -- two double outputs to 6 dp on both engines (value-preserving — fixture
+  -- lat/lon are exact dyadic rationals, see fixtures.py)
   SELECT from_location_id, original_locale, city, county, state, country,
-         city_latitude, city_longitude
+         ROUND(city_latitude, 6) AS city_latitude,
+         ROUND(city_longitude, 6) AS city_longitude
   FROM loc_scored
   -- tiebreak deviation mirrored from reference_models.locations_clean_df:
   -- the reference orders by score DESC only; both engines pin the same

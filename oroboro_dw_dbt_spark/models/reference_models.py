@@ -317,9 +317,16 @@ def locations_clean_df(loc: DataFrame, llac: DataFrame, lltypes: DataFrame) -> D
         .withColumn("score", score)
         .withColumn("row_rank", F.row_number().over(w_score))
         .filter(F.col("row_rank") == 1)
+        # Float-output quantization (documented deviation, same rule as the
+        # rest of the catalog): every non-integer numeric output is rounded
+        # to 6 dp on BOTH engines so no engine-dependent float residue can
+        # reach the driver's value hash. Fixture lat/lon are exact dyadic
+        # rationals (fixtures.py), so this is value-preserving.
         .select(
             "from_location_id", "original_locale", "city", "county",
-            "state", "country", "city_latitude", "city_longitude",
+            "state", "country",
+            F.round(F.col("city_latitude"), 6).alias("city_latitude"),
+            F.round(F.col("city_longitude"), 6).alias("city_longitude"),
         )
     )
 
