@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from oroboro_dw_dbt_spark.engine.dag import ModelGraph, SourceRegistry
 from oroboro_dw_dbt_spark.models.fixtures import FIXTURE_SQL, register_fixture_views
@@ -77,3 +78,27 @@ def ref_user_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SINK (write parquet → read back), certifying S4 — the reference's
     # real mart materialization — not just the logical plan
     return _run_model(spark, sf_dir, "user_base", materialize=True)
+
+
+_O1_KEYS = ("user_id", "partner_id", "classroom_id", "site_id")
+
+
+@query(
+    "ref_user_base_ordered",
+    oracle="SELECT user_id, partner_id, classroom_id, site_id, ROW_NUMBER() OVER ("
+    "ORDER BY user_id ASC NULLS FIRST, partner_id ASC NULLS FIRST, "
+    "classroom_id ASC NULLS FIRST, site_id ASC NULLS FIRST) AS global_rank "
+    "FROM (" + user_base_oracle() + ")",
+    survey_ref="§2.6 O1 — order-SENSITIVE certification of user_base.sql:83",
+)
+def ref_user_base_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver hash sorts rows before hashing, so O1's global ORDER BY
+    (user_base.sql:83) is otherwise never certified *as an ordering*.
+    This entry materializes the sort as data: row_number() over the same
+    4-key comparator (a verified unique key of the mart), with null
+    placement pinned to NULLS FIRST on both engines. Gate-only entry —
+    a global single-partition window is fine at oracle scale; the mart
+    itself never computes it."""
+    df = _run_model(spark, sf_dir, "user_base")
+    w = Window.orderBy(*[F.col(k).asc_nulls_first() for k in _O1_KEYS])
+    return df.select(*_O1_KEYS).withColumn("global_rank", F.row_number().over(w))
