@@ -327,6 +327,36 @@ def ss_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+@query(
+    "ss_matmul_topk",
+    # exact algorithm ⇒ exact oracle: the SAME SQL as ss_bruteforce_topk.
+    # What this entry certifies is that the Arrow/BLAS batch path emits
+    # bit-identical (rounded) results to the codegen expression path.
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS} AS cosine
+      FROM v q JOIN v c ON q.vec_id != c.vec_id
+      WHERE q.vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs
+    ) t WHERE rank <= 5
+    """,
+    survey_ref="beyond-reference: wide-vector BLAS matmul top-k "
+    "(mapInPandas GEMM with batch-local top-k pruning)",
+)
+def ss_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.similarity import matmul_topk
+
+    return matmul_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def _planes_dot_sql(alias: str, num_planes: int = 6, dim: int = 64) -> str:
     """bucket expr: bit p = sign(Σ_d v[d]·w_pd), same literal constants
     and left-assoc summation order as search.hyperplane_bucket."""

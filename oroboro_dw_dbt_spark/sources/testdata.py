@@ -30,10 +30,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read ns as long (legacy conf, runtime-
-    settable) and truncate to microseconds — byte-identical to DuckDB's
-    own ns→µs truncation (verified on this data)."""
+    """events.parquet has shipped with either TIMESTAMP(NANOS) — which
+    Spark's vectorized parquet reader rejects — or plain µs timestamps.
+    Read ns as long (legacy conf, runtime-settable) and truncate to
+    microseconds — byte-identical to DuckDB's own ns→µs truncation
+    (verified on this data)."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,12 +44,29 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Naive parquet timestamps (isAdjustedToUTC=false) arrive as
+    TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default. The whole
+    repo — and the DuckDB oracle comparison — treats event time as
+    UTC-instant TIMESTAMP, so cast NTZ columns up front; the session
+    timezone is pinned to UTC (session.py), making the cast
+    value-preserving. One choke point here beats NTZ-guarding every
+    downstream timestamp subtraction/window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; available: {TABLES}")
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_ntz(_load_events(spark, sf_dir))
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

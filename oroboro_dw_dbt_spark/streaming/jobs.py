@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import tempfile
 import time
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -376,6 +376,8 @@ def stream_upsert_latest(
     spark: SparkSession,
     sf_dir: str,
     files_per_trigger: int = 4,
+    base_dir: str | None = None,
+    before_batch: Callable[[DataFrame, int], None] | None = None,
 ) -> DataFrame:
     """CDC-style streaming upsert: each micro-batch reduces to its
     latest row per user_id (ts, event_id tiebreak — a pinned total
@@ -393,7 +395,21 @@ def stream_upsert_latest(
     of the current table keyset; at 100 TB the table side would be a
     Delta/Iceberg MERGE behind the same TableFormat seam, with the
     argmax pre-reduction unchanged (it is what keeps the MERGE source
-    one-row-per-key)."""
+    one-row-per-key).
+
+    Restart/recovery: ``base_dir`` pins the checkpoint + output table
+    location, so a second call with the same ``base_dir`` RESUMES from
+    the checkpoint's offset log rather than reprocessing the feed — the
+    production kill-and-restart path, proven in
+    tests/test_streaming.py::test_stream_upsert_crash_recovery. A batch
+    that died before its commit-log record is replayed on restart with
+    the same batch_id/files; replaying an already-merged batch is a
+    no-op because newer-wins over identical rows is idempotent — which
+    is exactly why the merge is safe under Spark's at-least-once
+    foreachBatch contract. ``before_batch`` is a chaos/observation hook
+    (called driver-side before each merge) used by that test to inject
+    a mid-stream crash and to record which batches a resumed run
+    actually processed."""
     import tempfile
     from pathlib import Path
 
@@ -401,7 +417,8 @@ def stream_upsert_latest(
 
     src_dir = _events_stream_dir(spark, sf_dir)
     fmt = LocalParquetFormat()
-    base = Path(tempfile.mkdtemp(prefix="stream_upsert_"))
+    base = Path(base_dir) if base_dir is not None else Path(tempfile.mkdtemp(prefix="stream_upsert_"))
+    base.mkdir(parents=True, exist_ok=True)
     final = base / "latest_events"
 
     def latest(df: DataFrame) -> DataFrame:
@@ -415,6 +432,8 @@ def stream_upsert_latest(
         )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if before_batch is not None:
+            before_batch(batch, batch_id)
         merged = latest(batch)
         if final.exists():
             merged = latest(fmt.read(spark, final).unionByName(merged))

@@ -146,6 +146,55 @@ def test_stream_stream_join_matches_batch(spark):
     assert got.select("purchase_id", "click_id").exceptAll(batch).count() == 0
 
 
+def test_stream_upsert_crash_recovery(spark, tmp_path):
+    """Kill the CDC upsert mid-stream (injected crash before batch 2's
+    merge) and resume from the SAME checkpoint: the restarted run must
+    (a) pick up at the failed batch, not batch 0 — proof it recovered
+    offsets from the checkpoint rather than reprocessing the feed — and
+    (b) end with exactly the batch argmax result (exactly-once)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql.window import Window
+
+    from oroboro_dw_dbt_spark.streaming import stream_upsert_latest
+
+    sf = "/root/testdata/sf0.001"
+    base = str(tmp_path / "upsert_recovery")
+    run1_batches: list[int] = []
+
+    def chaos(batch, batch_id):
+        run1_batches.append(batch_id)
+        if batch_id == 2:
+            raise RuntimeError("injected mid-stream crash")
+
+    with pytest.raises(StreamingQueryException):
+        stream_upsert_latest(
+            spark, sf, files_per_trigger=1, base_dir=base, before_batch=chaos
+        )
+    assert 2 in run1_batches and max(run1_batches) == 2, run1_batches
+
+    run2_batches: list[int] = []
+    got = stream_upsert_latest(
+        spark,
+        sf,
+        files_per_trigger=1,
+        base_dir=base,
+        before_batch=lambda _batch, bid: run2_batches.append(bid),
+    )
+    # resumed at the failed batch (offset-log replay), nothing earlier
+    assert min(run2_batches) == 2, run2_batches
+    assert len(run2_batches) >= 2  # replayed batch + the remaining feed
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
 def test_stream_upsert_multi_batch_equals_batch_argmax(spark):
     """The CDC upsert must (a) actually take the merge path across >= 2
     micro-batches and (b) produce exactly the batch latest-per-user."""

@@ -150,6 +150,50 @@ class TestSimilarity:
                 assert brute[key] == pytest.approx(r["cosine"], abs=1e-9)
 
 
+class TestMatmulTopK:
+    def test_matmul_equals_bruteforce_exactly(self, spark):
+        """The BLAS batch path is an exact algorithm: its (rounded)
+        output must be row-identical to the codegen expression path."""
+        from oroboro_dw_dbt_spark.similarity import matmul_topk
+
+        emb = load_table(spark, SF, "embeddings")
+        qids = [0, 1, 2, 3, 4, 5, 6, 7]
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        exact = sorted(brute_force_topk(emb, qids, k=5).collect(), key=key)
+        blas = sorted(matmul_topk(emb, qids, k=5).collect(), key=key)
+        assert [tuple(r) for r in blas] == [tuple(r) for r in exact]
+
+    def test_matmul_wide_vectors_and_batch_pruning(self, spark):
+        """512-dim synthetic corpus across many partitions: batch-local
+        top-k pruning must still merge to the global exact answer."""
+        import math
+
+        from oroboro_dw_dbt_spark.similarity import matmul_topk
+
+        rows = [
+            (i, [round(math.sin(i * 131 + d * 7 + 1), 6) for d in range(512)])
+            for i in range(300)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(8)
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        exact = sorted(brute_force_topk(emb, [3, 11], k=4).collect(), key=key)
+        blas = sorted(matmul_topk(emb, [3, 11], k=4).collect(), key=key)
+        assert [(r.query_id, r.vec_id, r.rank) for r in blas] == [
+            (r.query_id, r.vec_id, r.rank) for r in exact
+        ]
+        for b, e in zip(blas, exact):
+            assert b.cosine == pytest.approx(e.cosine, abs=2e-6)
+
+    def test_matmul_query_cap(self, spark):
+        from oroboro_dw_dbt_spark.similarity import matmul_topk
+
+        emb = load_table(spark, SF, "embeddings")
+        with pytest.raises(ValueError, match="max_queries"):
+            matmul_topk(emb, list(range(100)), k=5, max_queries=8)
+
+
 class TestIVF:
     def test_ivf_recall_and_score_exactness(self, spark):
         from oroboro_dw_dbt_spark.similarity import brute_force_topk, ivf_topk
