@@ -42,7 +42,8 @@ from __future__ import annotations
 import inspect
 import time
 from collections.abc import Callable
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+from concurrent.futures import wait as futures_wait
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 from typing import Any
@@ -247,12 +248,23 @@ class ModelGraph:
         ts = TopologicalSorter(edges)
         ts.prepare()
         with ThreadPoolExecutor(max_workers=self.threads) as pool:
-            while ts.is_active():
-                ready = list(ts.get_ready())
-                futs = {n: pool.submit(self._build, spark, n, run_tests) for n in ready}
-                for n, fut in futs.items():
+            futs: dict[Any, str] = {}
+
+            def submit_ready() -> None:
+                for n in ts.get_ready():
+                    futs[pool.submit(self._build, spark, n, run_tests)] = n
+
+            # work-queue scheduling, not wave-based: a finished node
+            # releases its dependents immediately even while slower
+            # siblings are still building (dbt's `threads` semantics)
+            submit_ready()
+            while futs:
+                done, _ = futures_wait(futs, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    n = futs.pop(fut)
                     results[n] = fut.result()
                     ts.done(n)
+                submit_ready()
         return results
 
     def _expand_select(self, select: list[str]) -> list[str]:

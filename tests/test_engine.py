@@ -60,6 +60,80 @@ def test_topo_order(sources, tmp_path):
     assert order.index("users_clean") < order.index("user_mart")
 
 
+def test_independent_models_run_concurrently(spark, sources, tmp_path):
+    """dbt's `threads: 4` behavior (profiles.example.yml:9): independent
+    DAG nodes must actually OVERLAP in time on the thread pool — and the
+    built frames must be identical to a threads=1 run (determinism under
+    concurrency)."""
+    import time
+
+    spans: dict[str, tuple[float, float]] = {}
+
+    def instrumented(name):
+        def build(raw_users):
+            t0 = time.monotonic()
+            time.sleep(0.4)  # long enough that overlap is unambiguous
+            spans[name] = (t0, time.monotonic())
+            return raw_users.filter(F.col("id").isNotNull())
+
+        build.__name__ = name
+        return build
+
+    def make_graph(threads):
+        g = ModelGraph(sources, warehouse_dir=str(tmp_path), threads=threads)
+        g.add(model()(instrumented("left_branch")), model()(instrumented("right_branch")))
+        return g
+
+    spans.clear()
+    make_graph(2).run(spark)
+    (a0, a1), (b0, b1) = spans["left_branch"], spans["right_branch"]
+    assert max(a0, b0) < min(a1, b1), "independent models did not overlap"
+
+    spans.clear()
+    make_graph(1).run(spark)
+    (a0, a1), (b0, b1) = spans["left_branch"], spans["right_branch"]
+    assert max(a0, b0) >= min(a1, b1), "threads=1 must serialize"
+
+    # determinism: concurrent and serial runs build identical frames
+    g2, g1 = make_graph(2), make_graph(1)
+    g2.run(spark)
+    out2 = {n: sorted(map(tuple, g2.frame(n).collect())) for n in ("left_branch", "right_branch")}
+    g1.run(spark)
+    out1 = {n: sorted(map(tuple, g1.frame(n).collect())) for n in ("left_branch", "right_branch")}
+    assert out1 == out2
+
+
+def test_scheduler_is_work_queue_not_wave(spark, sources, tmp_path):
+    """A finished node must release its dependents immediately — the
+    child of the FAST branch starts while the slow independent sibling
+    is still building (wave scheduling would block it)."""
+    import time
+
+    from oroboro_dw_dbt_spark.engine.dag import Model
+
+    spans: dict[str, tuple[float, float]] = {}
+
+    def timed(name, secs):
+        def build(**deps):  # called with dep-name kwargs by the engine
+            t0 = time.monotonic()
+            time.sleep(secs)
+            spans[name] = (t0, time.monotonic())
+            return next(iter(deps.values()))
+
+        return build
+
+    g = ModelGraph(sources, warehouse_dir=str(tmp_path), threads=4)
+    g.add(
+        Model(name="fast", fn=timed("fast", 0.1), deps=("raw_users",)),
+        Model(name="slow", fn=timed("slow", 0.8), deps=("raw_users",)),
+        Model(name="fast_child", fn=timed("fast_child", 0.1), deps=("fast",)),
+    )
+    g.run(spark)
+    assert spans["fast_child"][0] < spans["slow"][1], (
+        "fast_child waited for the slow sibling — wave barrier is back"
+    )
+
+
 def test_run_builds_and_tests_pass(spark, sources, tmp_path):
     g = build_graph(sources, tmp_path)
     results = g.run(spark)

@@ -43,6 +43,86 @@ class TestSalting:
             == plain.filter(F.col("c_name").isNull()).count()
         )
 
+    def test_salted_join_spreads_hot_key_partitions(self, spark):
+        """Adversarial skew (one key owns 50% of rows): the bare join
+        key funnels the hot key into ONE shuffle partition, the salted
+        key spreads it across the salt buckets — measured as the max
+        per-partition row count of the exact repartitioning each join
+        would shuffle with. Results must stay identical to the plain
+        join (rewrite is semantics-free)."""
+        n = 200_000
+        big = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id").cast("string")).alias("payload"),
+        )
+        small = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+
+        def max_partition_rows(df, *cols):
+            return (
+                df.repartition(8, *cols)
+                .groupBy(F.spark_partition_id().alias("p"))
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+            )
+
+        plain_max = max_partition_rows(big, "k")
+        assert plain_max >= n // 2  # the hot key's rows all co-locate
+
+        salt = (F.abs(F.xxhash64(*big.columns)) % 8).alias("_salt")
+        salted_max = max_partition_rows(big.withColumn("_salt", salt), "k", "_salt")
+        # hot key now spans 8 buckets: worst partition carries less
+        # than 60% of the unsalted hot partition (measured ~44%)
+        assert salted_max < plain_max * 0.6, (plain_max, salted_max)
+
+        plain = big.join(small, "k", "inner")
+        salted = salted_join(big, small, "k", salt_buckets=8)
+        assert salted.count() == plain.count()
+        assert salted.exceptAll(plain).count() == 0
+
+    def test_aqe_splits_unsalted_skew_join(self, spark):
+        """The other half of the skew story (SCALE.md): leave the join
+        UNSALTED and let AQE's runtime skew-join split handle the hot
+        key — asserted on the final adaptive plan, which must carry the
+        SortMergeJoin(skew=true) / AQEShuffleRead skewed markers once
+        the hot partition exceeds the (lowered) skew thresholds."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            n = 300_000
+            big = spark.range(n).select(
+                F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+                F.concat(F.lit("payload_"), F.col("id").cast("string")).alias("payload"),
+            )
+            small = spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+            joined = big.join(small, "k", "inner")
+            rows = joined.collect()  # executes THIS df's adaptive plan
+            # k=0 matches n/2 rows; odd keys 1..999 match one row each
+            assert len(rows) == n // 2 + 500
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan
+            assert "AQEShuffleRead skewed" in plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     def test_two_phase_distinct_matches_exact(self, spark):
         events = load_table(spark, SF, "events")
         got = two_phase_distinct_agg(
