@@ -33,6 +33,7 @@ HEADLINE = [
     "t_text_profile",
     "dd_minhash_lsh",
     "ss_bruteforce_topk",
+    "ss_matmul_topk",  # BLAS wide-vector path (added round 4)
     "mm_sample_frames",
     # event analytics + streaming
     "st_sessionize",

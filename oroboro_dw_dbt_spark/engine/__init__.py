@@ -4,6 +4,7 @@ from oroboro_dw_dbt_spark.engine.dag import (  # noqa: F401
     SourceRegistry,
     model,
 )
+from oroboro_dw_dbt_spark.engine.maintenance import compact_table  # noqa: F401
 from oroboro_dw_dbt_spark.engine.tests import (  # noqa: F401
     DataTest,
     accepted_values,

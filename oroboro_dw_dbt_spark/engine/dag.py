@@ -359,3 +359,31 @@ class ModelGraph:
 
     def frame(self, name: str) -> DataFrame:
         return self._frames[name]
+
+    # -- documentation artifacts ------------------------------------------
+
+    def manifest(self) -> dict[str, Any]:
+        """The graph as a ``dbt docs generate``-style manifest: one node
+        per model with its config, declared tests, and resolved lineage
+        (model deps vs source deps), plus the source inventory and the
+        topological build order. Pure metadata — safe to json.dumps and
+        diff in CI; no Spark session required."""
+        nodes = {}
+        for m in self.models.values():
+            nodes[m.name] = {
+                "name": m.name,
+                "materialized": m.materialized,
+                "tags": list(m.tags),
+                "depends_on": {
+                    "models": sorted(d for d in m.deps if d in self.models),
+                    "sources": sorted(d for d in m.deps if d not in self.models),
+                },
+                "tests": [t.name for t in m.tests],
+                "partition_by": list(m.partition_by),
+                "unique_key": list(m.unique_key),
+            }
+        return {
+            "nodes": nodes,
+            "sources": self.sources.names(),
+            "build_order": self.topo_order(),
+        }

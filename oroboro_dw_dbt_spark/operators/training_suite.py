@@ -16,7 +16,7 @@ cross-engine determinism rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oroboro_dw_dbt_spark.dedup import (
@@ -503,6 +503,49 @@ def t_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         )
         .filter(F.col("n") >= 10)
+    )
+
+
+@query(
+    "t_topk_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY lang, token
+    )
+    SELECT lang, token, n, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY n DESC, token) AS rank
+      FROM counts
+    ) t WHERE rank <= 10
+    """,
+    survey_ref="beyond-reference: exact heavy hitters (top-k vocabulary "
+    "per language) — the two-phase frequent-terms shape",
+)
+def t_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 tokens per language, two-phase: the explode fan-out
+    (one row per token OCCURRENCE) collapses map-side into per-partition
+    (lang, token) partials before the shuffle, so shuffle volume is
+    O(distinct vocab per partition), not O(corpus tokens); the final
+    top-k is a window over distinct (lang, token) counts — heavy tail
+    already aggregated away. Ties pin on token text (SURVEY §2.5 W4
+    lesson). At 100 TB the same plan holds: vocabulary grows ~log with
+    corpus size, and a count-min/approx pre-filter can gate phase 2 if
+    the distinct vocab itself stops fitting a shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
     )
 
 

@@ -103,6 +103,60 @@ def test_independent_models_run_concurrently(spark, sources, tmp_path):
     assert out1 == out2
 
 
+def test_manifest_exports_lineage_and_config(sources, tmp_path):
+    """dbt docs-generate parity: the manifest must carry each node's
+    config, split model vs source lineage, and a valid build order —
+    as pure metadata, without a Spark session."""
+    import json
+
+    g = build_graph(sources, tmp_path)
+    m = g.manifest()
+    assert set(m["nodes"]) == {"users_clean", "user_mart"}
+    mart = m["nodes"]["user_mart"]
+    assert mart["materialized"] == "table"
+    assert mart["depends_on"] == {"models": ["users_clean"], "sources": ["raw_locs"]}
+    assert mart["tests"] == [
+        "not_null(id)",
+        "unique_combination_of_columns(id, city)",
+    ]
+    assert m["nodes"]["users_clean"]["depends_on"]["sources"] == ["raw_users"]
+    order = m["build_order"]
+    assert order.index("users_clean") < order.index("user_mart")
+    json.dumps(m)  # must be a plain serializable artifact
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction must shrink the file count to the computed target and
+    leave the table's rows bit-identical (and survive via the staged
+    swap, so the dir is never missing)."""
+    from oroboro_dw_dbt_spark.engine import compact_table
+    from oroboro_dw_dbt_spark.engine.maintenance import data_file_stats
+
+    path = tmp_path / "events_table"
+    df = spark.range(50_000).selectExpr(
+        "id", "id % 97 AS k", "sha2(cast(id AS string), 256) AS payload"
+    )
+    df.repartition(32).write.parquet(str(path))
+    n_before, total = data_file_stats(path)
+    assert n_before >= 32
+    before = sorted(map(tuple, spark.read.parquet(str(path)).collect()))
+
+    # target ≈ half the table per file → expect exactly 2 output files
+    out = compact_table(spark, path, target_file_bytes=(total + 1) // 2)
+    n_after, _ = data_file_stats(path)
+    assert n_after == 2, n_after
+    after = sorted(map(tuple, out.collect()))
+    assert after == before
+
+
+def test_compact_table_empty_dir_fails_loudly(spark, tmp_path):
+    from oroboro_dw_dbt_spark.engine import compact_table
+
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(FileNotFoundError):
+        compact_table(spark, tmp_path / "empty")
+
+
 def test_scheduler_is_work_queue_not_wave(spark, sources, tmp_path):
     """A finished node must release its dependents immediately — the
     child of the FAST branch starts while the slow independent sibling
