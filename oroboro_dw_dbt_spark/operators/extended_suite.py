@@ -518,3 +518,81 @@ def m_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_number(F.col("o_orderpriority"), F.lit("9")).cast("int").alias("bad_int"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
     )
+
+
+@query(
+    "eng_compact_run",
+    # identity contract: compaction must not add, drop, or alter a row.
+    # The oracle recomputes the same per-type aggregate straight from the
+    # source table — any lost/duplicated row in the rewrite breaks the
+    # hash. File-count mechanics are asserted in tests/test_engine.py
+    # (DuckDB can't see the filesystem layout).
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(event_id AS HUGEINT)) AS DOUBLE) AS id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ref="engine maintenance: small-file compaction through the "
+    "atomic swap (engine/maintenance.py), row identity driver-certified",
+)
+def eng_compact_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land the events table as 16 deliberately-small files, compact to
+    ≈2, and aggregate from the COMPACTED table — the driver's hash match
+    against the raw source certifies the rewrite is row-identical."""
+    import tempfile
+    from pathlib import Path
+
+    from oroboro_dw_dbt_spark.engine import compact_table
+    from oroboro_dw_dbt_spark.engine.maintenance import data_file_stats
+
+    path = Path(tempfile.mkdtemp(prefix="compact_wh_")) / "events"
+    load_table(spark, sf_dir, "events").repartition(16).write.parquet(str(path))
+    _, total = data_file_stats(path)
+    compacted = compact_table(spark, path, target_file_bytes=(total + 1) // 2)
+    return compacted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("event_id").cast("double").alias("id_sum"),
+    )
+
+
+@query(
+    "eng_manifest",
+    # the reference DAG's documented shape, as data: dbt docs-generate
+    # parity certified through the driver (3 nodes, their materialized
+    # configs, and model-vs-source dependency counts; user_base carries
+    # the two declared marts_schema.yml tests)
+    oracle="""
+    SELECT * FROM (VALUES
+      ('locations_clean', 'view', 0, 3, 0),
+      ('stacked_users_partners', 'view', 0, 10, 0),
+      ('user_base', 'table', 2, 2, 2)
+    ) AS t(model, materialized, n_model_deps, n_source_deps, n_tests)
+    """,
+    survey_ref="engine lifecycle: ModelGraph.manifest() lineage artifact "
+    "(dbt docs generate), ref: dbt_project.yml:9-17, marts_schema.yml:1-16",
+)
+def eng_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.operators.reference_suite import reference_graph
+
+    import tempfile
+
+    m = reference_graph(
+        spark, sf_dir, warehouse_dir=tempfile.mkdtemp(prefix="manifest_wh_")
+    ).manifest()
+    rows = [
+        (
+            n["name"],
+            n["materialized"],
+            len(n["depends_on"]["models"]),
+            len(n["depends_on"]["sources"]),
+            len(n["tests"]),
+        )
+        for n in m["nodes"].values()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "model string, materialized string, n_model_deps int, "
+        "n_source_deps int, n_tests int",
+    )
