@@ -549,6 +549,55 @@ def t_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_score_batch",
+    # the oracle restates the whole scoring function — feature exprs AND
+    # the sigmoid — so a hash match certifies the Arrow feature-matrix
+    # roundtrip and the batched numpy kernel end-to-end
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({_TOKS}) / 100.0 AS x_len,
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               * 1.0 / length(text) AS x_punct,
+             n_chars / 1000.0 AS x_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(0.8 * x_len - 2.5 * x_punct
+                                    + 0.4 * x_chars - 0.5))), 6) AS score
+    FROM feats
+    """,
+    survey_ref="beyond-reference: Arrow-batched model inference "
+    "(quality-classifier shape: JVM features -> numpy batch kernel)",
+)
+def t_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched 'classifier' scoring of the corpus: features stay JVM
+    Column expressions; only the numeric matrix crosses to Python, one
+    matmul per Arrow batch (ml/scoring.py). The stand-in linear-sigmoid
+    makes the whole path oracle-checkable."""
+    from oroboro_dw_dbt_spark.ml import batch_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        (F.size(tokens("text")) / F.lit(100.0)).alias("x_len"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", "")))
+            .cast("double")
+            / F.length("text")
+        ).alias("x_punct"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x_chars"),
+    )
+    return batch_score(
+        feats,
+        id_cols=["doc_id"],
+        feature_cols=["x_len", "x_punct", "x_chars"],
+        weights=[0.8, -2.5, 0.4],
+        bias=-0.5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering + deterministic sampling + corpus statistics
 # ---------------------------------------------------------------------------

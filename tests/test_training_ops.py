@@ -194,6 +194,44 @@ class TestMatmulTopK:
             matmul_topk(emb, list(range(100)), k=5, max_queries=8)
 
 
+class TestBatchScore:
+    def test_matches_column_expression_exactly(self, spark):
+        """The Arrow kernel must agree with the same sigmoid written as
+        a JVM Column expression — certifying the feature-matrix
+        roundtrip (dtype + batching) adds no numeric drift."""
+        from oroboro_dw_dbt_spark.ml import batch_score
+
+        df = spark.range(10_000).select(
+            "id",
+            (F.col("id") % 37 / 10.0).alias("a"),
+            (F.col("id") % 11 / 7.0).alias("b"),
+        )
+        got = {
+            r.id: r.score
+            for r in batch_score(
+                df, ["id"], ["a", "b"], weights=[0.3, -1.1], bias=0.25
+            ).collect()
+        }
+        want = {
+            r.id: r.score
+            for r in df.select(
+                "id",
+                F.round(
+                    1.0 / (1.0 + F.exp(-(0.3 * F.col("a") - 1.1 * F.col("b") + 0.25))),
+                    6,
+                ).alias("score"),
+            ).collect()
+        }
+        assert got == want
+
+    def test_weight_arity_guard(self, spark):
+        from oroboro_dw_dbt_spark.ml import batch_score
+
+        df = spark.range(5).select("id", F.lit(1.0).alias("a"))
+        with pytest.raises(ValueError, match="weights"):
+            batch_score(df, ["id"], ["a"], weights=[1.0, 2.0], bias=0.0)
+
+
 class TestIVF:
     def test_ivf_recall_and_score_exactness(self, spark):
         from oroboro_dw_dbt_spark.similarity import brute_force_topk, ivf_topk
