@@ -596,3 +596,110 @@ def eng_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "model string, materialized string, n_model_deps int, "
         "n_source_deps int, n_tests int",
     )
+
+
+@query(
+    "w_time_range_frames",
+    # RANGE frame keyed on epoch-MICROSECONDS on both engines: a cast to
+    # whole seconds would move the 1-hour boundary for sub-second event
+    # times; peers (equal timestamps) are included by RANGE semantics
+    # identically on both sides
+    oracle="""
+    SELECT event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(round(sum(CAST(value AS DECIMAL(12,4))) OVER w, 2) AS DOUBLE)
+             AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    survey_ref="beyond-reference: time-RANGE window frames (rolling "
+    "1-hour per-user aggregates — the sliding-lookback shape ROWS "
+    "frames can't express)",
+)
+def w_time_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour count/sum via a RANGE BETWEEN frame over
+    epoch-micros. One shuffle on user_id (high-cardinality, even), then
+    a single sort serves the frame scan — at 100 TB identical shape to
+    the batch sessionization. DECIMAL accumulates the sum exactly; the
+    rounded double is the cross-engine contract."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.round(F.sum(F.col("value").cast("decimal(12,4)")).over(w), 2)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
+@query(
+    "ev_anomaly_zscore",
+    # every aggregate feeding the z-score is an exact DECIMAL sum, so
+    # mean/variance derive from bit-identical doubles on both engines
+    # and the final round(z, 6) cannot flake (the float-sum-order
+    # lesson from the round-1 flagship failures)
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(round(sum(CAST(value AS DECIMAL(12,4))), 2) AS DECIMAL(14,2)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sum_x,
+             sum(x * x) AS sum_xx
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hr, CAST(h.x AS DOUBLE) AS hourly_value,
+           round((CAST(h.x AS DOUBLE) - CAST(s.sum_x AS DOUBLE) / s.n)
+                 / sqrt((CAST(s.sum_xx AS DOUBLE)
+                         - CAST(s.sum_x AS DOUBLE) * CAST(s.sum_x AS DOUBLE) / s.n)
+                        / (s.n - 1)), 6) AS z
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE s.n > 1
+      AND (CAST(s.sum_xx AS DOUBLE)
+           - CAST(s.sum_x AS DOUBLE) * CAST(s.sum_x AS DOUBLE) / s.n) > 0
+    """,
+    survey_ref="beyond-reference: per-series z-score anomaly detection "
+    "over hourly rollups (exact decimal moments -> deterministic z)",
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomalies per event_type: z-score of each hour's
+    value against the series' own distribution. Two shuffles total
+    (hourly rollup, then per-type moments joined back — the moments
+    side is tiny and broadcasts). Moments accumulate in DECIMAL so the
+    derived mean/σ are bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+        .cast("decimal(14,2)")
+        .alias("x")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+    )
+    xd = F.col("x").cast("double")
+    sxd = F.col("sum_x").cast("double")
+    sxxd = F.col("sum_xx").cast("double")
+    var_num = sxxd - sxd * sxd / F.col("n")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("n") > 1) & (var_num > 0))
+        .select(
+            "event_type",
+            "hr",
+            xd.alias("hourly_value"),
+            F.round((xd - sxd / F.col("n")) / F.sqrt(var_num / (F.col("n") - 1)), 6).alias("z"),
+        )
+    )

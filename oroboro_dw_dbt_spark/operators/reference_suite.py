@@ -41,10 +41,19 @@ def _fixture_parquet_dir(spark: SparkSession, sf_dir: str) -> str:
     full mart DAG (measured 17.6 s → 3.4 s + one-time 4.2 s write at
     sf0.1)."""
     if sf_dir not in _FIXTURE_DIRS:
+        from concurrent.futures import ThreadPoolExecutor
+
         register_fixture_views(spark, sf_dir)
         out = tempfile.mkdtemp(prefix="ref_fixtures_")
-        for name in FIXTURE_SQL:
+
+        def write(name: str) -> None:
             spark.table(name).write.mode("overwrite").parquet(f"{out}/{name}")
+
+        # 14 independent tiny writes: submit concurrently (Spark job
+        # submission is thread-safe) — serial submission pays 14×
+        # job-scheduling latency for KB-scale work
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(write, FIXTURE_SQL))
         _FIXTURE_DIRS[sf_dir] = out
     return _FIXTURE_DIRS[sf_dir]
 
