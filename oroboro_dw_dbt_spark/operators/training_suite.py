@@ -668,6 +668,44 @@ def sp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sp_ring_negatives",
+    # band = first hex byte of md5 mod 16 (both engines parse the hex
+    # pair to the same integer); ring position arithmetic is pure
+    # modular math over identical (band, rank) tables
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, md5('v1|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, h,
+             CAST('0x' || substr(h, 1, 2) AS INTEGER) % 16 AS band
+      FROM ranked
+    ),
+    rr AS (
+      SELECT doc_id, band,
+             row_number() OVER (PARTITION BY band ORDER BY h, doc_id) AS rn,
+             count(*) OVER (PARTITION BY band) AS n
+      FROM pos
+    )
+    SELECT a.doc_id, b.doc_id AS neg_doc_id, CAST(s.slot AS INT) AS slot
+    FROM rr a
+    CROSS JOIN (VALUES (1), (2)) AS s(slot)
+    JOIN rr b ON b.band = a.band AND b.rn = ((a.rn - 1 + s.slot) % a.n) + 1
+    WHERE a.rn != b.rn
+    """,
+    survey_ref="beyond-reference: deterministic hash-ring negative "
+    "sampling (contrastive pairs without rand() — retry-stable)",
+)
+def sp_ring_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.ops import ring_negatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ring_negatives(docs, ["doc_id"], k=2, n_bands=16)
+    return out.select("doc_id", "neg_doc_id", F.col("slot").cast("int").alias("slot"))
+
+
+@query(
     "sp_stratified_sample",
     oracle="""
     SELECT lang, doc_id

@@ -1,6 +1,6 @@
 from oroboro_dw_dbt_spark.ops.graph import connected_components
 from oroboro_dw_dbt_spark.ops.history import merge_upsert, scd2_from_events
-from oroboro_dw_dbt_spark.ops.sampling import hash_split, stratified_sample, weighted_mix
+from oroboro_dw_dbt_spark.ops.sampling import hash_split, ring_negatives, stratified_sample, weighted_mix
 from oroboro_dw_dbt_spark.ops.sketches import (
     approx_distinct_by,
     approx_quantiles_by,
@@ -21,6 +21,7 @@ __all__ = [
     "bucketed_range_join",
     "connected_components",
     "hash_split",
+    "ring_negatives",
     "merge_upsert",
     "salted_join",
     "scd2_from_events",

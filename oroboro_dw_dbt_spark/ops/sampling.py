@@ -106,3 +106,62 @@ def weighted_mix(
     )
     keep = default_rule if expr is None else expr.otherwise(default_rule)
     return df.filter(keep)
+
+
+def ring_negatives(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int = 2,
+    n_bands: int = 16,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    row draws ``k`` pseudo-random partners by walking a hash ring.
+
+    Rows land on one of ``n_bands`` rings by md5-prefix band; within a
+    band they order by the full hash, and row r's negatives are the
+    rows at positions (r+1) mod n, ..., (r+k) mod n — a self-join on
+    the band + modular position, never a rand() draw, so task retries
+    and re-runs produce the SAME pairs (the property rand()-based
+    negative sampling silently lacks). Hash order is as-if-random with
+    respect to any content attribute, which is what "negative" needs.
+
+    Scale: band-partitioned ring — both the ranking window and the
+    position self-join shuffle on the band key (uniform by
+    construction); no global sort, no single-task window. k small
+    multiplies output rows, not shuffle width. Bands bound each ring's
+    sort; raise n_bands with corpus size (cost is per-band modular
+    wrap, semantics unchanged)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = _hash_hex(key_cols, salt)
+    ranked = (
+        df.select(*key_cols, h.alias("_h"))
+        .withColumn("_band", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int") % n_bands)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_band").orderBy("_h", *[F.col(c) for c in key_cols])
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_band")))
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    pairs = None
+    for slot in range(1, k + 1):
+        target = ((F.col("a._rn") - 1 + slot) % F.col("a._n")) + 1
+        p = (
+            a.join(
+                b,
+                (F.col("a._band") == F.col("b._band")) & (F.col("b._rn") == target),
+            )
+            .filter(F.col("a._rn") != F.col("b._rn"))  # 1-row band: no self-pair
+            .select(
+                *[F.col(f"a.{c}").alias(c) for c in key_cols],
+                *[F.col(f"b.{c}").alias(f"neg_{c}") for c in key_cols],
+                F.lit(slot).alias("slot"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs

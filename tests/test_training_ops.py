@@ -194,6 +194,29 @@ class TestMatmulTopK:
             matmul_topk(emb, list(range(100)), k=5, max_queries=8)
 
 
+class TestRingNegatives:
+    def test_deterministic_no_self_exact_k(self, spark):
+        from oroboro_dw_dbt_spark.ops import ring_negatives
+
+        docs = load_table(spark, SF, "documents")
+        a = ring_negatives(docs, ["doc_id"], k=2, n_bands=16).collect()
+        b = ring_negatives(docs, ["doc_id"], k=2, n_bands=16).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # retry-stable
+        assert all(r.doc_id != r.neg_doc_id for r in a)
+        per_doc = {}
+        for r in a:
+            per_doc.setdefault(r.doc_id, set()).add((r.neg_doc_id, r.slot))
+        # every doc draws exactly k distinct negatives (bands ≫ k rows)
+        assert set(map(len, per_doc.values())) == {2}
+        assert len(per_doc) == docs.count()
+
+    def test_k_guard(self, spark):
+        from oroboro_dw_dbt_spark.ops import ring_negatives
+
+        with pytest.raises(ValueError, match="k must be"):
+            ring_negatives(load_table(spark, SF, "documents"), ["doc_id"], k=0)
+
+
 class TestBatchScore:
     def test_matches_column_expression_exactly(self, spark):
         """The Arrow kernel must agree with the same sigmoid written as
