@@ -461,3 +461,37 @@ def st_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "ev_json_typed",
+    # from_json with a declared schema (vs get_json_object's per-path
+    # string extraction): schema enforcement means a malformed document
+    # yields NULL fields, not a runtime error — restated in the oracle
+    # via TRY_CAST of the extracted path
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           json_valid(props) AS is_valid
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+    survey_ref="beyond-reference: schema-enforced JSON parsing "
+    "(from_json -> typed struct, null-on-malformed)",
+)
+def ev_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json projects props into a declared
+    struct once (one parse per row, pushed next to the scan), with
+    malformed rows surfacing as NULL fields — the semi-structured
+    ingestion contract at scale, where a single bad document must not
+    kill a 100 TB job."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = ev.withColumn("p", F.from_json("props", schema))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.col("p").isNotNull().alias("is_valid"),
+    )

@@ -703,3 +703,51 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((xd - sxd / F.col("n")) / F.sqrt(var_num / (F.col("n") - 1)), 6).alias("z"),
         )
     )
+
+
+@query(
+    "p_unpivot_long",
+    # the oracle restates UNPIVOT as its defining UNION ALL expansion —
+    # engine-portable, and proves the wide->long reshape loses nothing
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+             CAST(round(sum(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM wide
+    """,
+    survey_ref="beyond-reference: UNPIVOT / melt (wide->long reshape — "
+    "the inverse of pivot_wide, §2.12 absent from the reference)",
+)
+def p_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide metric columns melted to (id, metric, value) rows with the
+    DataFrame unpivot API. Row-local reshape: the fan-out multiplies
+    rows AFTER the aggregate (3 × |groups|), so nothing new shuffles —
+    the safe direction to run at any scale (pivot, the inverse, is the
+    one that needs a value allowlist)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.sum(F.col(c).cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias(a)
+            for c, a in [
+                ("l_quantity", "sum_qty"),
+                ("l_extendedprice", "sum_price"),
+                ("l_discount", "sum_disc"),
+            ]
+        ]
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
