@@ -425,3 +425,44 @@ def pipe_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.frame("corpus_shards").select(
         "source", "doc_id", "n_tokens", "shard_id", "tokens_before"
     )
+
+
+@query(
+    "udtf_char_chunks",
+    # the oracle restates the chunk arithmetic with generate_series —
+    # certifying the UDTF's 1->k lateral fan-out row-for-row
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           CAST(i * 100 + 1 AS INT) AS start_pos,
+           CAST(least(100, length(text) - i * 100) AS INT) AS chunk_chars
+    FROM documents,
+         unnest(range(0, CAST(ceil(length(text) / 100.0) AS BIGINT))) AS r(i)
+    """,
+    survey_ref="beyond-reference API surface: Python UDTF (table "
+    "function) via lateralJoin, Arrow-optimized — SURVEY §2.11 notes "
+    "the reference exposes no UDF/UDTF surface at all",
+)
+def udtf_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a lateral join: each document fans out to its
+    100-char chunk spans. The declarative twin (ch_token_chunks) is the
+    production path — this entry certifies the UDTF API itself, with
+    spark.sql.execution.pythonUDTF.arrow.enabled so the plan carries an
+    ArrowEvalPythonUDTF batch node, not row-at-a-time pickling."""
+    from pyspark.sql.functions import col, lit, udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="chunk_id int, start_pos int, chunk_chars int")
+    class CharChunks:
+        def eval(self, text: str, size: int):
+            if not text:
+                return
+            n = len(text)
+            for i, s in enumerate(range(0, n, size)):
+                yield (i, s + 1, min(size, n - s))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.lateralJoin(CharChunks(col("text").outer(), lit(100))).select(
+        "doc_id", "chunk_id", "start_pos", "chunk_chars"
+    )
