@@ -751,3 +751,77 @@ def p_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "a_regression_pandas",
+    # SAME oracle as a_regression_stats: the entry certifies the
+    # grouped-map applyInPandas API produces bit-identical results to
+    # the Column-expression plan. Python ints are arbitrary-precision —
+    # the kernel's moment sums are exact like the DECIMAL(38,0)/HUGEINT
+    # sums, and the final float divisions mirror the SQL's cast order
+    # op-for-op; rounding happens JVM-side (HALF_UP, like the oracle).
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS HUGEINT) AS x,
+             CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0, 6) AS slope_micro,
+           round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / n / 1000000.0, 6) AS intercept
+    FROM m
+    """,
+    survey_ref="beyond-reference API surface: grouped-map applyInPandas "
+    "(per-group kernel), result-identical to the Column-tree twin",
+)
+def a_regression_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least squares via applyInPandas: one pandas kernel per
+    event_type computes the moment sums as Python ints (exact, like the
+    twin's DECIMAL(38,0)) and the slope/intercept with float ops
+    mirroring the SQL cast-for-cast. Grouped-map shuffles each group to
+    one kernel call — right when per-group state must live in Python
+    (models, scipy); the Column-tree twin (a_regression_stats) is the
+    plan to prefer when expressions suffice."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = [int(t.value // 1_000_000_000) for t in pdf["ts"]]
+        ys = [int((v * 1_000_000 + 0.5) // 1) for v in pdf["value"]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = (float(sy) - slope * float(sx)) / float(n) / 1_000_000.0
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": pd.Series([n], dtype="int64"),
+                "slope_raw": [slope * 1_000_000.0],
+                "intercept_raw": [intercept],
+            }
+        )
+
+    fitted = ev.groupBy("event_type").applyInPandas(
+        fit, "event_type string, n bigint, slope_raw double, intercept_raw double"
+    )
+    return fitted.select(
+        "event_type",
+        "n",
+        F.round("slope_raw", 6).alias("slope_micro"),
+        F.round("intercept_raw", 6).alias("intercept"),
+    )
