@@ -112,6 +112,17 @@ class SourceRegistry:
 MATERIALIZATIONS = ("view", "table", "ephemeral", "incremental")
 
 
+class ModelTestsFailed(RuntimeError):
+    """Raised under ``run(strict_tests=True)`` when a model's declared
+    data tests fail — ``dbt build``'s halt-downstream contract."""
+
+    def __init__(self, model_name: str, failures: list) -> None:
+        self.model_name = model_name
+        self.failures = failures
+        names = ", ".join(f.name for f in failures)
+        super().__init__(f"model {model_name!r} failed data tests: {names}")
+
+
 @dataclass
 class Model:
     name: str
@@ -226,6 +237,7 @@ class ModelGraph:
         spark: SparkSession,
         select: list[str] | None = None,
         run_tests: bool = True,
+        strict_tests: bool = False,
     ) -> dict[str, Any]:
         """Build all (or selected) models in DAG order.
 
@@ -233,6 +245,13 @@ class ModelGraph:
         (every model carrying the tag — dbt's ``--select tag:marts``,
         ref: dbt_project.yml:12-17); each selected model's upstream
         closure is always included, mirroring dbt's ``+model``.
+
+        ``strict_tests=True`` is ``dbt build`` semantics: a model whose
+        declared data tests fail raises :class:`ModelTestsFailed` and
+        nothing downstream of it is scheduled (in-flight siblings finish
+        first, as dbt's executor also lets them). The default mirrors
+        ``dbt run`` + ``dbt test`` reporting: failures are recorded on
+        the RunResult and the caller decides.
 
         Returns {model_name: RunResult}; built DataFrames are available
         via :meth:`frame` afterwards. Independent ready nodes are
@@ -252,7 +271,7 @@ class ModelGraph:
 
             def submit_ready() -> None:
                 for n in ts.get_ready():
-                    futs[pool.submit(self._build, spark, n, run_tests)] = n
+                    futs[pool.submit(self._build, spark, n, run_tests, strict_tests)] = n
 
             # work-queue scheduling, not wave-based: a finished node
             # releases its dependents immediately even while slower
@@ -296,7 +315,9 @@ class ModelGraph:
             stack.extend(edges[n])
         return out
 
-    def _build(self, spark: SparkSession, name: str, run_tests: bool) -> RunResult:
+    def _build(
+        self, spark: SparkSession, name: str, run_tests: bool, strict_tests: bool = False
+    ) -> RunResult:
         m = self.models[name]
         t0 = time.monotonic()
         kwargs = {}
@@ -321,6 +342,9 @@ class ModelGraph:
         test_results: list[TestResult] = []
         if run_tests:
             test_results = [t.run(df) for t in m.tests]
+            failed = [t for t in test_results if not t.passed]
+            if strict_tests and failed:
+                raise ModelTestsFailed(name, failed)
         return RunResult(
             name=name,
             materialized=m.materialized,

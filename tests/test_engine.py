@@ -103,6 +103,37 @@ def test_independent_models_run_concurrently(spark, sources, tmp_path):
     assert out1 == out2
 
 
+def test_strict_tests_halt_downstream(spark, sources, tmp_path):
+    """dbt build semantics: a failed data test under strict_tests=True
+    raises and nothing downstream of the failed model is built; the
+    default (strict_tests=False) records the failure and continues."""
+    from oroboro_dw_dbt_spark.engine.dag import ModelTestsFailed
+
+    built = []
+
+    @model(tests=(not_null("email"),))  # raw_users has a NULL email
+    def flaky_int(raw_users):
+        built.append("flaky_int")
+        return raw_users
+
+    @model()
+    def downstream(flaky_int):
+        built.append("downstream")
+        return flaky_int
+
+    g = ModelGraph(sources, warehouse_dir=str(tmp_path), threads=2)
+    g.add(flaky_int, downstream)
+
+    with pytest.raises(ModelTestsFailed, match="flaky_int.*not_null"):
+        g.run(spark, strict_tests=True)
+    assert built == ["flaky_int"]  # downstream never scheduled
+
+    built.clear()
+    results = g.run(spark)  # default: report, don't halt
+    assert built == ["flaky_int", "downstream"]
+    assert not results["flaky_int"].tests_passed
+
+
 def test_manifest_exports_lineage_and_config(sources, tmp_path):
     """dbt docs-generate parity: the manifest must carry each node's
     config, split model vs source lineage, and a valid build order —
