@@ -14,8 +14,10 @@ current on-disk bytes, round-robin ``repartition`` for even files (a
 deliberate full shuffle — evenness is the point; ``coalesce`` would be
 cheaper but inherits upstream skew into the merged files), and swap the
 rewrite in through the format's backup-first ``replace`` so readers
-never observe a missing table. Partitioned tables compact within each
-hive partition (``partition_by`` re-declared on the write).
+never observe a missing table. Hive-partitioned tables instead
+repartition ON the partition columns so each value's rows co-locate and
+the rewrite lands one file per partition value — there, the hive layout
+itself is the size policy.
 
 At 100 TB this is the same job, run per partition as a background
 maintenance task (Delta OPTIMIZE / Iceberg rewrite_data_files do exactly
@@ -60,7 +62,16 @@ def compact_table(
         raise FileNotFoundError(f"no parquet data files under {path}")
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     df = fmt.read(spark, path)
+    if partition_by:
+        # hive-partitioned table: co-locate each partition value so the
+        # rewrite lands ONE file per value (a round-robin repartition
+        # would scatter every value across all tasks and multiply files
+        # instead of merging them); the hive partitioning itself is the
+        # size policy here
+        df = df.repartition(*partition_by)
+    else:
+        df = df.repartition(n_out)
     staging = path.with_name(path.name + "__compacting")
-    fmt.write(df.repartition(n_out), staging, partition_by)
+    fmt.write(df, staging, partition_by)
     fmt.replace(staging, path)
     return fmt.read(spark, path)

@@ -180,6 +180,25 @@ def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
     assert after == before
 
 
+def test_compact_table_partitioned_one_file_per_value(spark, tmp_path):
+    """A hive-partitioned table compacts to one data file per partition
+    value (the layout is the size policy), rows intact."""
+    from oroboro_dw_dbt_spark.engine import compact_table
+    from oroboro_dw_dbt_spark.engine.maintenance import data_file_stats
+
+    path = tmp_path / "part_table"
+    df = spark.range(10_000).selectExpr("id", "id % 4 AS bucket")
+    df.repartition(8).write.partitionBy("bucket").parquet(str(path))
+    n_before, _ = data_file_stats(path)
+    assert n_before > 4  # several small files per partition value
+    before = sorted(map(tuple, spark.read.parquet(str(path)).collect()))
+
+    out = compact_table(spark, path, partition_by=("bucket",))
+    n_after, _ = data_file_stats(path)
+    assert n_after == 4, n_after  # exactly one file per bucket value
+    assert sorted(map(tuple, out.collect())) == before
+
+
 def test_compact_table_empty_dir_fails_loudly(spark, tmp_path):
     from oroboro_dw_dbt_spark.engine import compact_table
 
