@@ -825,3 +825,48 @@ def a_regression_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope_raw", 6).alias("slope_micro"),
         F.round("intercept_raw", 6).alias("intercept"),
     )
+
+
+@query(
+    "p_null_semantics",
+    # Spark's <=> is DuckDB's IS NOT DISTINCT FROM; COUNT(col) skips
+    # NULLs while COUNT(*) doesn't; sum over an all-NULL group is NULL,
+    # not 0 — the three null traps every dialect port hits
+    oracle="""
+    SELECT nullif(o_orderkey % 5, 0) AS a_val,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(nullif(o_orderkey % 3, 0)) AS BIGINT) AS n_b_nonnull,
+           CAST(sum(CASE WHEN nullif(o_orderkey % 5, 0)
+                         IS NOT DISTINCT FROM nullif(o_orderkey % 3, 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ns_eq,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                         ELSE o_orderkey END) AS DOUBLE) AS sum_with_nulls
+    FROM orders
+    GROUP BY 1
+    """,
+    survey_ref="beyond-reference dialect surface: null-safe equality "
+    "(<=> / IS NOT DISTINCT FROM), COUNT(col) NULL-skipping, "
+    "NULL-propagating aggregates",
+)
+def p_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.nullif(F.col("o_orderkey") % 5, F.lit(0))
+    b = F.nullif(F.col("o_orderkey") % 3, F.lit(0))
+    return (
+        orders.select(
+            a.alias("a_val"),
+            b.alias("b"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_orderkey"))
+            .alias("k7"),
+        )
+        .groupBy("a_val")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("b").cast("bigint").alias("n_b_nonnull"),
+            F.sum(F.col("a_val").eqNullSafe(F.col("b")).cast("int"))
+            .cast("bigint")
+            .alias("n_ns_eq"),
+            F.sum("k7").cast("double").alias("sum_with_nulls"),
+        )
+    )
