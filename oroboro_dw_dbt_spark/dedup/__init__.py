@@ -4,6 +4,7 @@ from oroboro_dw_dbt_spark.dedup.dedup import (
     exact_dedup,
     minhash_band_index,
     minhash_lsh_pairs,
+    prefix_filter_pairs,
     ngram_jaccard_pairs,
     simhash_groups,
     simhash_hamming_pairs,
@@ -15,6 +16,7 @@ __all__ = [
     "exact_dedup",
     "minhash_band_index",
     "minhash_lsh_pairs",
+    "prefix_filter_pairs",
     "ngram_jaccard_pairs",
     "simhash_groups",
     "simhash_hamming_pairs",

@@ -253,3 +253,74 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFram
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Set-similarity join via prefix filtering (AllPairs/PPJoin family,
+    Bayardo et al. 2007): exact token-Jaccard pairs ≥ ``threshold``
+    WITHOUT comparing all pairs and WITHOUT LSH's false-negative risk.
+
+    The filter: order every document's distinct tokens by global rarity
+    (ascending frequency, then token); if two token sets have
+    Jaccard ≥ t, each must index a token from the other's first
+    ``|s| - ceil(t·|s|) + 1`` tokens under that shared order — so only
+    documents sharing a PREFIX token are candidates, and rare-first
+    ordering keeps those postings short (the hot stopword tokens never
+    enter a prefix). Exact verification runs on candidates only.
+
+    Plan shape at 100 TB: token-frequency aggregation (one shuffle,
+    map-side combined), a broadcast-size frequency dim joined back,
+    prefix explode (rows ≈ (1-t)·corpus tokens), equi-join on token,
+    then the verify — O(candidate pairs), lossless (asserted against
+    the naive all-pairs join in tests)."""
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("ts")
+    )
+    freq = (
+        toks.select("doc_id", F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # per-doc tokens reordered rare-first under the global (df, token)
+    # order; array_sort on (df, token) structs is engine-deterministic
+    ordered = (
+        toks.select("doc_id", F.explode("ts").alias("token"))
+        .join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "token"))),
+                lambda s: s["token"],
+            ).alias("ts")
+        )
+    )
+    n = F.size("ts")
+    k = n - F.ceil(n * F.lit(threshold)).cast("int") + 1
+    prefixes = ordered.select(
+        "doc_id", "ts", F.explode(F.slice("ts", 1, k)).alias("token")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ts").alias("ts_a"),
+            F.col("b.ts").alias("ts_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = (
+        F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
+        / F.size(F.array_union("ts_a", "ts_b"))
+    )
+    return (
+        cand.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -507,6 +507,52 @@ def t_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_prefix_filter_join",
+    # the oracle replays the SAME prefix-filter pipeline (rare-first
+    # global token order, prefix postings, exact Jaccard on candidates)
+    # — and tests/test_training_ops.py separately proves the filter
+    # LOSSLESS against the naive all-pairs join
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ts0
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(ts0) AS token FROM toks),
+    freq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+    ordered AS (
+      SELECT doc_id, list(token ORDER BY df, token) AS ts
+      FROM tok JOIN freq USING (token)
+      GROUP BY doc_id
+    ),
+    pref AS (
+      SELECT doc_id,
+             unnest(ts[1 : len(ts) - CAST(ceil(len(ts) * 0.7) AS INT) + 1]) AS token
+      FROM ordered
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_filter(oa.ts, x -> list_contains(ob.ts, x))) * 1.0
+                 / len(list_distinct(list_concat(oa.ts, ob.ts))), 6) AS jaccard
+    FROM cand
+    JOIN ordered oa ON cand.doc_a = oa.doc_id
+    JOIN ordered ob ON cand.doc_b = ob.doc_id
+    WHERE round(len(list_filter(oa.ts, x -> list_contains(ob.ts, x))) * 1.0
+                / len(list_distinct(list_concat(oa.ts, ob.ts))), 6) >= 0.7
+    """,
+    survey_ref="beyond-reference: prefix-filtering set-similarity join "
+    "(AllPairs/PPJoin — exact Jaccard >= t with no all-pairs compare "
+    "and no LSH false negatives)",
+)
+def dd_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(load_table(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@query(
     "t_topk_tokens",
     oracle=f"""
     WITH toks AS (

@@ -194,6 +194,41 @@ class TestMatmulTopK:
             matmul_topk(emb, list(range(100)), k=5, max_queries=8)
 
 
+class TestPrefixFilterJoin:
+    def test_lossless_vs_naive_all_pairs(self, spark):
+        """Prefix filtering must find EXACTLY the pairs the naive
+        all-pairs token-Jaccard join finds — the filter's defining
+        guarantee (unlike LSH, zero false negatives)."""
+        from oroboro_dw_dbt_spark.dedup import prefix_filter_pairs
+
+        docs = load_table(spark, SF, "documents")
+        t = 0.7
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in prefix_filter_pairs(docs, threshold=t).collect()
+        }
+        toks = docs.select(
+            "doc_id", F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("ts")
+        )
+        a, b = toks.alias("a"), toks.alias("b")
+        jac = F.size(F.array_intersect("a.ts", "b.ts")).cast("double") / F.size(
+            F.array_union("a.ts", "b.ts")
+        )
+        naive = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.round(jac, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= t)
+            .collect()
+        }
+        assert got == naive
+        assert naive, "fixture must contain similar pairs for the test to bite"
+
+
 class TestRingNegatives:
     def test_deterministic_no_self_exact_k(self, spark):
         from oroboro_dw_dbt_spark.ops import ring_negatives
