@@ -495,3 +495,36 @@ def ev_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         F.col("p").isNotNull().alias("is_valid"),
     )
+
+
+@query(
+    "ev_value_histogram",
+    # equal-width binning spelled as pure arithmetic (floor(v/width),
+    # clamped) — identical on any engine, no reliance on a histogram
+    # builtin whose bucket-edge conventions differ
+    oracle="""
+    SELECT event_type,
+           CAST(least(floor(value / 50), 9) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ref="beyond-reference: equal-width histogram per series "
+    "(single map-side-combined aggregation — the distribution-profile "
+    "shape)",
+)
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value distribution per event_type in 10 fixed-width bins (last
+    bin open-ended). One shuffle on (type, bin) with partial
+    aggregation; at 100 TB this is the cheap first look at any metric's
+    shape — and the exact-arithmetic binning (floor + clamp) means any
+    engine reproduces the same buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int")
+    return ev.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
