@@ -1,4 +1,6 @@
 from oroboro_dw_dbt_spark.multimodal.media import (
+    perceptual_hash,
+    phash_near_dup_pairs,
     decode_media,
     extract_media_features,
     media_from_documents,
@@ -6,6 +8,8 @@ from oroboro_dw_dbt_spark.multimodal.media import (
 )
 
 __all__ = [
+    "perceptual_hash",
+    "phash_near_dup_pairs",
     "decode_media",
     "extract_media_features",
     "media_from_documents",

@@ -121,3 +121,89 @@ def decode_media(media: DataFrame, kind: str = "image") -> DataFrame:
             "extract_media_features/sample_frames instead"
         ) from e
     raise NotImplementedError("decoder wiring reserved for real deployments")
+
+
+PHASH_BLOCKS = 16
+
+
+def perceptual_hash(media: DataFrame, n_blocks: int = PHASH_BLOCKS) -> DataFrame:
+    """Byte-level perceptual hash over the binary payload: bit b is set
+    iff block b's byte-sum exceeds its pro-rata share of the whole
+    payload's sum (integer cross-multiply — no float division, so any
+    engine derives identical bits). Similar payloads flip few bits:
+    the locality property a real pHash (DCT over decoded pixels) has,
+    computed here over raw bytes through the same Arrow kernel seam the
+    decoder would use.
+
+    All comparisons are exact integer arithmetic; the DuckDB oracle
+    restates them over the UTF-8 text twin byte-for-byte."""
+
+    pruned = media.select("doc_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                total = sum(payload)
+                h = 0
+                for b in range(n_blocks):
+                    s, e = (b * n) // n_blocks, ((b + 1) * n) // n_blocks
+                    block = payload[s:e]
+                    # block_mean > total_mean  ⇔  sum_b·n > total·len_b
+                    if sum(block) * n > total * (e - s):
+                        h |= 1 << b
+                ids.append(doc_id)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int32"),
+                }
+            )
+
+    return pruned.mapInPandas(kernel, schema="doc_id bigint, phash int")
+
+
+def phash_near_dup_pairs(
+    media: DataFrame, k: int = 1, n_blocks: int = PHASH_BLOCKS
+) -> DataFrame:
+    """Media near-dup pairs with perceptual-hash Hamming distance ≤ k,
+    via the same pigeonhole banding as SimHash (dedup/dedup.py): split
+    the ``n_blocks``-bit hash into k+1 bands — a pair within Hamming k
+    agrees on at least one whole band — and verify bit_count(xor) on
+    band collisions only. O(collisions), never all-pairs over payloads."""
+    n_bands = k + 1
+    band_bits = n_blocks // n_bands
+    hashed = perceptual_hash(media, n_blocks)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    idx = hashed.select("doc_id", "phash", F.explode(bands).alias("bk")).select(
+        "doc_id", "phash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .dropDuplicates()
+    )

@@ -528,3 +528,56 @@ def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+def _phash_bit_sql(b: int, blocks: int = 16) -> str:
+    """bit b of the byte-level perceptual hash, as exact integer SQL
+    (list slice is 1-based inclusive ⇒ [s+1 : e] ≡ python [s:e])."""
+    s = f"({b} * n) // {blocks}"
+    e = f"(({b} + 1) * n) // {blocks}"
+    return (
+        f"(CASE WHEN list_sum(bytes[{s} + 1 : {e}]) * n"
+        f" > total * ({e} - {s}) THEN {1 << b} ELSE 0 END)"
+    )
+
+
+@query(
+    "mm_phash_near_dup",
+    # restates the integer block-sum hash bit-for-bit over the UTF-8
+    # text twin (payload bytes ARE the text bytes — ASCII fixture), then
+    # the same 2-band pigeonhole join and Hamming<=1 verify
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, length(text) AS n,
+             list_transform(string_split(text, ''), x -> ord(x)) AS bytes
+      FROM documents
+    ),
+    tot AS (SELECT doc_id, n, bytes, list_sum(bytes) AS total FROM base),
+    ph AS (
+      SELECT doc_id, {" + ".join(_phash_bit_sql(b) for b in range(16))} AS phash
+      FROM tot
+    ),
+    bands AS (
+      SELECT doc_id, phash, b.band, (phash >> (b.band * 8)) & 255 AS band_val
+      FROM ph, (VALUES (0), (1)) AS b(band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(CAST(a.phash AS BIGINT), CAST(b.phash AS BIGINT))) AS INT)
+             AS hamming
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(CAST(a.phash AS BIGINT), CAST(b.phash AS BIGINT))) <= 1
+    """,
+    survey_ref="beyond-reference: perceptual-hash near-dup over media "
+    "payloads (Arrow kernel hash -> pigeonhole band join, Hamming<=1)",
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dups: byte-level perceptual hash per payload (Arrow
+    kernel, integer-exact bits) then the SimHash-style banded join —
+    never all-pairs over binary columns. The decode-then-DCT pHash of a
+    real deployment swaps into the same kernel seam."""
+    from oroboro_dw_dbt_spark.multimodal import phash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phash_near_dup_pairs(media_from_documents(docs), k=1)

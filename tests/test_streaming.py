@@ -102,6 +102,29 @@ class TestMultimodal:
         ).agg(F.sum("k")).first()[0]
         assert frames.count() == expect
 
+    def test_phash_banding_complete_vs_naive(self, spark):
+        """Pigeonhole banding must recover EVERY Hamming<=1 phash pair
+        the naive all-pairs compare finds (k < bands => lossless)."""
+        from oroboro_dw_dbt_spark.multimodal import (
+            perceptual_hash,
+            phash_near_dup_pairs,
+        )
+
+        media = media_from_documents(load_table(spark, SF, "documents"))
+        ph = {r.doc_id: r.phash for r in perceptual_hash(media).collect()}
+        ids = sorted(ph)
+        naive = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(ph[a] ^ ph[b]).count("1") <= 1
+        }
+        got = {
+            (r.doc_a, r.doc_b) for r in phash_near_dup_pairs(media, k=1).collect()
+        }
+        assert got == naive
+        assert naive, "fixture must contain near-dup payloads"
+
     def test_decode_stub_gated(self, spark):
         media = media_from_documents(load_table(spark, SF, "documents"))
         with pytest.raises(NotImplementedError):
