@@ -870,3 +870,61 @@ def p_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k7").cast("double").alias("sum_with_nulls"),
         )
     )
+
+
+@query(
+    "eng_csv_seed",
+    # dbt seed lifecycle: a CSV lands as a source with an EXPLICIT
+    # schema (no inference pass — at 100 TB schema inference is a full
+    # extra read), flows through a model, and must aggregate exactly as
+    # the parquet original it was exported from
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="engine S1 csv source (dbt seed, ref: dbt seeds dir "
+    "convention): explicit-schema csv -> SourceRegistry -> model",
+)
+def eng_csv_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from oroboro_dw_dbt_spark.engine.dag import ModelGraph, SourceRegistry, model
+
+    seed_dir = tempfile.mkdtemp(prefix="csv_seed_")
+    subset = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    subset.write.mode("overwrite").option("header", "true").csv(seed_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    sources = SourceRegistry()
+    sources.add_path(
+        "seed_orders", seed_dir, schema=schema, format="csv",
+        options={"header": "true"},
+    )
+
+    @model(name="seed_rollup")
+    def seed_rollup(seed_orders):
+        return seed_orders.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+
+    graph = ModelGraph(sources).add(seed_rollup)
+    graph.run(spark, select=["seed_rollup"], run_tests=False)
+    return graph.frame("seed_rollup")
