@@ -51,8 +51,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # warm up: JVM + parquet footer reads
+    # warm up: JVM + parquet footer reads, and the Python worker pool
+    # (first Arrow-batched query otherwise pays worker startup — a
+    # session fixed cost, not a per-query cost)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
 
     RETRY_ABOVE_SEC = 20.0
 
