@@ -394,6 +394,38 @@ def ss_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ss_lsh_matmul_topk",
+    # SAME oracle as ss_lsh_topk: the composed plan (bucket restriction
+    # + per-bucket GEMM scoring) must be result-identical to the
+    # expression-tree LSH path — SCALE.md's "compose matmul with the
+    # LSH candidate restriction" made a certified fact
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_planes_dot_sql('v')} AS bucket FROM v),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS} AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs
+    ) t WHERE rank <= 5
+    """,
+    survey_ref="beyond-reference: the composed 100 TB ANN plan — LSH "
+    "bucket candidate restriction + per-bucket BLAS GEMM scoring",
+)
+def ss_lsh_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.similarity import lsh_matmul_topk
+
+    return lsh_matmul_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
     "ss_lsh_multiprobe_topk",
     # the oracle's join condition is Hamming(q,c) ≤ 1 over buckets —
     # mathematically what "own bucket OR any single-bit flip" probes

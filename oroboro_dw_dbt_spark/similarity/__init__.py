@@ -2,6 +2,7 @@ from oroboro_dw_dbt_spark.similarity.quantize import int8_codes, int8_quantize
 from oroboro_dw_dbt_spark.similarity.stats import label_centroids
 from oroboro_dw_dbt_spark.similarity.search import (
     brute_force_topk,
+    lsh_matmul_topk,
     matmul_topk,
     cosine_similarity,
     hyperplane_bucket,
@@ -13,6 +14,7 @@ from oroboro_dw_dbt_spark.similarity.search import (
 
 __all__ = [
     "brute_force_topk",
+    "lsh_matmul_topk",
     "matmul_topk",
     "cosine_similarity",
     "hyperplane_bucket",

@@ -259,6 +259,99 @@ def matmul_topk(
     return _topk(partials, k)
 
 
+def lsh_matmul_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 6,
+    dim: int = 64,
+    max_queries: int = 1024,
+) -> DataFrame:
+    """The composed 100 TB ANN plan: LSH bucket restriction for the
+    candidate set + a BLAS GEMM for the scoring — identical results to
+    :func:`lsh_bucketed_topk` (same buckets, same rounding, same
+    oracle), with the scoring cost of :func:`matmul_topk`.
+
+    Buckets are assigned JVM-side (codegen literals); the corpus then
+    groups by bucket and one `applyInPandas` kernel per bucket scores
+    its Arrow batch against ONLY that bucket's query vectors with a
+    single matmul, emitting bucket-local top-k partials. Queries ride
+    to executors in the kernel closure keyed by bucket (driver-bounded
+    by ``max_queries``). Shuffle: one hash partition on bucket id —
+    exactly the LSH equi-join's shuffle — plus ≤ buckets × queries × k
+    partial rows for the final merge window.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if len(query_ids) > max_queries:
+        raise ValueError(
+            f"lsh_matmul_topk collects query vectors onto the driver: got "
+            f"{len(query_ids)} query_ids, max_queries={max_queries}"
+        )
+    planes = lsh_planes(num_planes, dim)
+    v = emb.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "bucket", hyperplane_bucket(F.col("v"), planes)
+    )
+    qrows = sorted(
+        v.filter(F.col("vec_id").isin(query_ids)).collect(), key=lambda r: r.vec_id
+    )
+    by_bucket: dict[int, tuple] = {}
+    for r in qrows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    q_pack = {
+        b: (
+            np.array([r.vec_id for r in rs], dtype=np.int64),
+            np.array([r.v for r in rs], dtype=np.float64),
+        )
+        for b, rs in by_bucket.items()
+    }
+    for b, (qids, qmat) in q_pack.items():
+        qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+        qnorm[qnorm == 0.0] = 1.0
+        q_pack[b] = (qids, qmat, qnorm)
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (bucket,) = key
+        pack = q_pack.get(bucket)
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if pack is None or not len(pdf):
+            return empty
+        qids, qmat, qnorm = pack
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["v"].to_numpy())
+        norm = np.sqrt((mat * mat).sum(axis=1))
+        norm[norm == 0.0] = 1.0
+        cos = np.round((mat @ qmat.T) / np.outer(norm, qnorm), 6)
+        out_q, out_v, out_c = [], [], []
+        for j, qid in enumerate(qids):
+            col, cand = cos[:, j], ids
+            mask = cand != qid
+            col, cand = col[mask], cand[mask]
+            order = np.lexsort((cand, -col))[: min(k, len(cand))]
+            out_q.extend([qid] * len(order))
+            out_v.extend(cand[order])
+            out_c.extend(col[order])
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "vec_id": pd.Series(out_v, dtype="int64"),
+                "cosine": pd.Series(out_c, dtype="float64"),
+            }
+        )
+
+    partials = v.groupBy("bucket").applyInPandas(
+        score, "query_id long, vec_id long, cosine double"
+    )
+    return _topk(partials, k)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],

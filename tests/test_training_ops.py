@@ -186,6 +186,18 @@ class TestMatmulTopK:
         for b, e in zip(blas, exact):
             assert b.cosine == pytest.approx(e.cosine, abs=2e-6)
 
+    def test_lsh_matmul_equals_lsh_expression_path(self, spark):
+        """The composed plan (bucket restriction + per-bucket GEMM) must
+        be row-identical to the expression-tree LSH top-k."""
+        from oroboro_dw_dbt_spark.similarity import lsh_matmul_topk
+
+        emb = load_table(spark, SF, "embeddings")
+        qids = [0, 1, 2, 3, 4]
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        expr = sorted(lsh_bucketed_topk(emb, qids, k=5).collect(), key=key)
+        gemm = sorted(lsh_matmul_topk(emb, qids, k=5).collect(), key=key)
+        assert [tuple(r) for r in gemm] == [tuple(r) for r in expr]
+
     def test_matmul_query_cap(self, spark):
         from oroboro_dw_dbt_spark.similarity import matmul_topk
 
