@@ -67,6 +67,59 @@ class TestStreaming:
         n_users = events.select("user_id").distinct().count()
         assert len(batch) - len(stream) == n_users
 
+    def test_append_mode_finalized_windows_exact_on_ordered_feed(
+        self, spark, tmp_path
+    ):
+        """Append mode + watermark over an (event-time-)ordered feed:
+        every emitted window is FINAL — exactly once, value identical to
+        the batch aggregate. Ordering matters: on an out-of-order feed
+        the watermark would close windows early and drop late rows
+        (correct streaming semantics, but then emitted values are
+        partial); in-order arrival is the contract under which append
+        mode's exactly-once-per-window claim holds."""
+        from pyspark.sql import functions as F
+
+        from oroboro_dw_dbt_spark.sources.testdata import load_table
+        from oroboro_dw_dbt_spark.streaming.jobs import (
+            EVENTS_SCHEMA,
+            windowed_event_counts,
+        )
+
+        feed = str(tmp_path / "ordered_feed")
+        ev = load_table(spark, SF, "events")
+        # range partitions = time slices => files arrive in event order
+        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.parquet(feed)
+
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName("t_append_wm")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = {tuple(r) for r in spark.table("t_append_wm").collect()}
+        batch = {tuple(r) for r in windowed_event_counts(ev).collect()}
+        assert emitted, "watermark must finalize some windows"
+        # finalized windows carry their FINAL value: strict exact subset
+        assert emitted < batch
+        # exactly-once per window key
+        keys = [(s, e, t) for (s, e, t, _n, _v) in emitted]
+        assert len(keys) == len(set(keys))
+        # and the boundary is the watermark: nothing newer than
+        # (global max ts - 1h delay) was finalized
+        import datetime
+
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        wm_bound = max_ts - datetime.timedelta(hours=1)
+        assert all(win_end <= wm_bound for (_s, win_end, *_r) in emitted)
+
     def test_watermark_present_in_streaming_plan(self, spark):
         # the builder must attach a watermark to streaming input (bounds
         # window state at scale); verify it lands in the analyzed plan
