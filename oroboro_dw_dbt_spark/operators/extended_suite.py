@@ -928,3 +928,40 @@ def eng_csv_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph = ModelGraph(sources).add(seed_rollup)
     graph.run(spark, select=["seed_rollup"], run_tests=False)
     return graph.frame("seed_rollup")
+
+
+@query(
+    "f_map_ops",
+    # the map is engine-internal (map key order is unspecified, so maps
+    # never appear in output); the entry certifies the MapType
+    # roundtrip by identity: build map -> explode back must reproduce
+    # the plain aggregation exactly
+    oracle="""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE user_id % 11 = 0
+    GROUP BY user_id, event_type
+    """,
+    survey_ref="beyond-reference API surface: MapType "
+    "(map_from_entries / explode-to-entries roundtrip, certified by "
+    "identity)",
+)
+def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type count map: collect (type, n) entries into a
+    MAP column, then explode the map back to rows. Map columns are the
+    right shape for sparse per-entity features at 100 TB (one row per
+    entity, not per feature) — but they stay engine-internal here
+    because map iteration order is unspecified, so the certified
+    surface is the lossless roundtrip."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 11 == 0)
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    mapped = per_user.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    return mapped.select(
+        "user_id", F.explode("type_counts").alias("event_type", "n")
+    )
