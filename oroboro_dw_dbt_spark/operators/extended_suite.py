@@ -965,3 +965,36 @@ def f_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.select(
         "user_id", F.explode("type_counts").alias("event_type", "n")
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    survey_ref="beyond-reference: explicit GROUPING SETS with grouping "
+    "flags (the arbitrary-subtotal shape rollup/cube can't pick freely)",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary subtotal lattice via GROUPING SETS (one pass, Expand
+    node — each input row fans to its 3 grouping sets before one
+    aggregation; no union of separate scans). gid disambiguates real
+    NULL group values from subtotal rows, exactly as in agg_rollup."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS sum_qty,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+                 AS gid
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
