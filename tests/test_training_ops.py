@@ -253,9 +253,22 @@ class TestRingNegatives:
         per_doc = {}
         for r in a:
             per_doc.setdefault(r.doc_id, set()).add((r.neg_doc_id, r.slot))
-        # every doc draws exactly k distinct negatives (bands ≫ k rows)
-        assert set(map(len, per_doc.values())) == {2}
-        assert len(per_doc) == docs.count()
+        # per-doc draw count follows ring size exactly: a band of n rows
+        # yields min(k, n-1) negatives (wrap hits self, which is
+        # filtered) — recompute band sizes independently in Python
+        import hashlib
+        from collections import Counter
+
+        ids = [r.doc_id for r in docs.select("doc_id").collect()]
+        band_of = {
+            i: int(hashlib.md5(f"v1|{i}".encode()).hexdigest()[:2], 16) % 16
+            for i in ids
+        }
+        sizes = Counter(band_of.values())
+        for i in ids:
+            expect = min(2, sizes[band_of[i]] - 1)
+            assert len(per_doc.get(i, ())) == expect, (i, expect)
+        assert sum(map(len, per_doc.values())) > 0
 
     def test_k_guard(self, spark):
         from oroboro_dw_dbt_spark.ops import ring_negatives
