@@ -112,3 +112,29 @@ def test_scd2_interval_invariants(spark, events):
         for a, b in zip(rs, rs[1:]):
             assert a["valid_to"] == b["valid_from"]  # gapless intervals
             assert a["event_type"] != b["event_type"]  # collapsed runs
+
+
+@given(docs=st.lists(DOC, min_size=2, max_size=8), t=st.sampled_from([0.5, 0.7, 0.9]))
+@settings(**SETTINGS)
+def test_prefix_filter_lossless_for_any_corpus(spark, docs, t):
+    """AllPairs prefix filtering must equal the naive all-pairs
+    token-Jaccard join for ANY corpus and threshold — the pigeonhole
+    guarantee, not a fixture accident."""
+    from oroboro_dw_dbt_spark.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_pairs(df, threshold=t).collect()
+    }
+    sets = {i: set(d.split()) for i, d in enumerate(docs)}
+    naive = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6)
+            if j >= t:
+                naive[(a, b)] = j
+    assert got == naive
