@@ -40,6 +40,30 @@ def tj_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tj_asof_forward",
+    # DuckDB ASOF with >= is the forward direction: earliest future
+    # click at-or-after each purchase
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS next_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts >= p.ts
+    """,
+    survey_ref="beyond-reference: forward as-of join (earliest "
+    "at-or-after match — the reaction-time/next-event direction)",
+)
+def tj_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        purchases, clicks, key="user_id", direction="forward", prefix="next_"
+    )
+
+
+@query(
     "tj_range_join",
     oracle="""
     SELECT e.event_type,

@@ -37,10 +37,16 @@ def asof_join(
     right_ts: str = "ts",
     right_payload: tuple[str, ...] = (),
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach ``right_ts`` and ``right_payload`` of
-    the latest right row with the same ``key`` and ts <= the left ts
-    (NULLs when no such row). Left columns pass through unchanged.
+    the matched right row with the same ``key`` (NULLs when no such
+    row): ``direction='backward'`` (default) matches the LATEST right
+    row with ts <= left ts; ``'forward'`` matches the EARLIEST right
+    row with ts >= left ts (both inclusive — same as DuckDB/pandas
+    merge_asof directions). Left columns pass through unchanged.
+    Forward is the same one-shuffle union trick with the window order
+    reversed.
 
     The whole right row is carried as ONE struct through a single
     ``last(ignorenulls=True)``: per-column lasts would back-fill a NULL
@@ -68,9 +74,16 @@ def asof_join(
         F.lit(None).cast(struct_type).alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    order = (
+        [F.col("_ts").asc(), F.col("_tag").asc()]
+        if direction == "backward"
+        else [F.col("_ts").desc(), F.col("_tag").asc()]
+    )
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_tag")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (

@@ -199,6 +199,37 @@ class TestTemporalJoins:
         assert out["L2"] == (15.0, "R@15")  # latest prior, not first
         assert out["L3"] == (None, None)  # right row is AFTER left → null
 
+    def test_asof_forward_direction(self, spark):
+        from oroboro_dw_dbt_spark.ops import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10.0, "L1"), (1, 20.0, "L2"), (2, 5.0, "L3")],
+            "k long, ts double, lbl string",
+        )
+        right = spark.createDataFrame(
+            [(1, 10.0, "R@10"), (1, 15.0, "R@15"), (2, 3.0, "R@3")],
+            "k long, ts double, val string",
+        )
+        out = {
+            r.lbl: (r.next_ts, r.next_val)
+            for r in asof_join(
+                left,
+                right,
+                key="k",
+                right_payload=("val",),
+                direction="forward",
+                prefix="next_",
+            ).collect()
+        }
+        assert out["L1"] == (10.0, "R@10")  # inclusive ts_right >= ts_left
+        assert out["L2"] == (None, None)  # nothing at-or-after
+        assert out["L3"] == (None, None)  # right row is BEFORE left → null
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="direction"):
+            asof_join(left, right, key="k", direction="sideways")
+
     def test_bucketed_range_join_inclusive_bounds(self, spark):
         from oroboro_dw_dbt_spark.ops import bucketed_range_join
 
