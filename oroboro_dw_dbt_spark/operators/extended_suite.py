@@ -1022,3 +1022,40 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@query(
+    "f_pandas_udf_scalar",
+    # same-oracle twin of a Column expression: the vectorized scalar
+    # pandas_udf (Arrow series -> series) must add no numeric drift
+    oracle="""
+    SELECT o_orderkey,
+           round(1.0 / (1.0 + exp(-(o_totalprice / 100000.0 - 1.0))), 6)
+             AS squashed
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    """,
+    survey_ref="beyond-reference API surface: scalar pandas_udf "
+    "(Arrow-vectorized series kernel), completing the Python API "
+    "matrix (mapInPandas / applyInPandas[WithState] / UDTF / scalar)",
+)
+def f_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar UDF: one Arrow batch in, one Series out — the
+    ~10-100x-over-row-Python path when a scalar kernel must be Python.
+    The sigmoid here mirrors the SQL op-for-op; rounding stays JVM-side
+    so the oracle's HALF_UP convention applies."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no param annotations: postponed-evaluation mode (PEP 563, active
+    # module-wide here) stringifies them and pandas_udf can't resolve
+    # that; the returnType plus bare signature is the supported spelling
+    @pandas_udf("double")
+    def squash(price):
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-(price / 100000.0 - 1.0)))
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    return orders.select(
+        "o_orderkey", F.round(squash(F.col("o_totalprice")), 6).alias("squashed")
+    )
