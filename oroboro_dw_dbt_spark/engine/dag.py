@@ -133,6 +133,7 @@ class Model:
     tests: tuple[DataTest, ...] = ()
     partition_by: tuple[str, ...] = ()  # table/incremental only
     unique_key: tuple[str, ...] = ()  # incremental merge key
+    on_schema_change: str = "ignore"  # ignore | append_new_columns | fail
 
     def __post_init__(self) -> None:
         if self.materialized not in MATERIALIZATIONS:
@@ -143,6 +144,11 @@ class Model:
             raise ValueError(f"{self.name}: incremental models need a unique_key")
         if self.partition_by and self.materialized not in ("table", "incremental"):
             raise ValueError(f"{self.name}: partition_by requires a table write")
+        if self.on_schema_change not in ("ignore", "append_new_columns", "fail"):
+            raise ValueError(
+                f"{self.name}: on_schema_change must be ignore | "
+                f"append_new_columns | fail, got {self.on_schema_change!r}"
+            )
 
 
 @dataclass
@@ -165,6 +171,7 @@ def model(
     tests: tuple[DataTest, ...] = (),
     partition_by: tuple[str, ...] = (),
     unique_key: tuple[str, ...] = (),
+    on_schema_change: str = "ignore",
 ) -> Callable[[Callable[..., DataFrame]], Model]:
     """Decorator: declare a model; deps are the function's parameter names."""
 
@@ -179,6 +186,7 @@ def model(
             tests=tuple(tests),
             partition_by=tuple(partition_by),
             unique_key=tuple(unique_key),
+            on_schema_change=on_schema_change,
         )
 
     return wrap
@@ -371,8 +379,9 @@ class ModelGraph:
         if m.materialized == "incremental" and not first_build:
             existing = fmt.read(spark, out)
             keys = [k for k in m.unique_key]
+            df = self._apply_schema_policy(m, existing, df)
             kept = existing.join(df.select(*keys).dropDuplicates(), on=keys, how="left_anti")
-            merged = kept.unionByName(df)
+            merged = kept.unionByName(df, allowMissingColumns=True)
             # parquet can't overwrite a dir it is reading: stage then swap
             staging = Path(self.warehouse_dir) / f"{m.name}__staging"
             fmt.write(merged, staging, m.partition_by)
@@ -380,6 +389,36 @@ class ModelGraph:
         else:
             fmt.write(df, out, m.partition_by)
         return fmt.read(spark, out)
+
+    def _apply_schema_policy(
+        self, m: Model, existing: DataFrame, df: DataFrame
+    ) -> DataFrame:
+        """dbt's ``on_schema_change`` for incremental runs. ``ignore``
+        (the dbt default): new columns in this run's output are DROPPED
+        so the table keeps its schema — but a run missing an existing
+        column is always an error (silently nulling a column the table
+        promised is data loss, not drift). ``append_new_columns``: new
+        columns join the table, historical rows read NULL for them.
+        ``fail``: any column-set difference raises."""
+        old_cols = existing.columns
+        new_cols = df.columns
+        added = [c for c in new_cols if c not in old_cols]
+        removed = [c for c in old_cols if c not in new_cols]
+        if removed:
+            raise ValueError(
+                f"model {m.name!r}: incremental run dropped column(s) "
+                f"{removed} still present in the target table"
+            )
+        if not added:
+            return df
+        if m.on_schema_change == "fail":
+            raise ValueError(
+                f"model {m.name!r}: schema changed (new columns {added}) "
+                f"and on_schema_change='fail'"
+            )
+        if m.on_schema_change == "ignore":
+            return df.select(*old_cols)
+        return df  # append_new_columns: union fills old rows with NULL
 
     def frame(self, name: str) -> DataFrame:
         return self._frames[name]
@@ -405,6 +444,7 @@ class ModelGraph:
                 "tests": [t.name for t in m.tests],
                 "partition_by": list(m.partition_by),
                 "unique_key": list(m.unique_key),
+                "on_schema_change": m.on_schema_change,
             }
         return {
             "nodes": nodes,

@@ -134,6 +134,89 @@ def test_strict_tests_halt_downstream(spark, sources, tmp_path):
     assert not results["flaky_int"].tests_passed
 
 
+class TestOnSchemaChange:
+    """dbt's on_schema_change contract for incremental models."""
+
+    def _graph(self, spark, tmp_path, policy):
+        state = {"v": 1}
+
+        @model(
+            name="inc",
+            materialized="incremental",
+            unique_key=("id",),
+            on_schema_change=policy,
+        )
+        def inc(raw_users):
+            df = raw_users.select("id", F.lit(state["v"]).alias("batch"))
+            if state["v"] == 2:
+                df = df.withColumn("extra", F.lit("new"))
+            return df
+
+        reg = SourceRegistry()
+        reg.add_provider(
+            "raw_users",
+            lambda s: s.createDataFrame([(1,), (2,)], "id long"),
+        )
+        g = ModelGraph(reg, warehouse_dir=str(tmp_path), threads=1)
+        g.add(inc)
+        return g, state
+
+    def test_ignore_drops_new_columns(self, spark, tmp_path):
+        g, state = self._graph(spark, tmp_path, "ignore")
+        g.run(spark, run_tests=False)
+        state["v"] = 2
+        g.run(spark, run_tests=False)
+        out = g.frame("inc")
+        assert set(out.columns) == {"id", "batch"}  # table schema kept
+        assert {r.batch for r in out.collect()} == {2}
+
+    def test_append_new_columns_nulls_history(self, spark, tmp_path):
+        g, state = self._graph(spark, tmp_path, "append_new_columns")
+        g.run(spark, run_tests=False)
+        state["v"] = 2
+        g.run(spark, run_tests=False)
+        out = g.frame("inc")
+        assert set(out.columns) == {"id", "batch", "extra"}
+        assert {r.extra for r in out.collect()} == {"new"}  # all keys re-delivered
+
+    def test_fail_policy_raises(self, spark, tmp_path):
+        g, state = self._graph(spark, tmp_path, "fail")
+        g.run(spark, run_tests=False)
+        state["v"] = 2
+        with pytest.raises(ValueError, match="on_schema_change='fail'"):
+            g.run(spark, run_tests=False)
+
+    def test_removed_column_always_errors(self, spark, tmp_path):
+        state = {"v": 1}
+
+        @model(name="inc2", materialized="incremental", unique_key=("id",))
+        def inc2(raw_users):
+            df = raw_users.select("id", F.lit("x").alias("keep"))
+            if state["v"] == 2:
+                df = df.select("id")  # drops a promised column
+            return df
+
+        reg = SourceRegistry()
+        reg.add_provider(
+            "raw_users", lambda s: s.createDataFrame([(1,)], "id long")
+        )
+        g = ModelGraph(reg, warehouse_dir=str(tmp_path), threads=1)
+        g.add(inc2)
+        g.run(spark, run_tests=False)
+        state["v"] = 2
+        with pytest.raises(ValueError, match="dropped column"):
+            g.run(spark, run_tests=False)
+
+    def test_invalid_policy_rejected(self):
+        with pytest.raises(ValueError, match="on_schema_change"):
+            model(
+                name="bad",
+                materialized="incremental",
+                unique_key=("id",),
+                on_schema_change="explode",
+            )(lambda raw_users: raw_users)
+
+
 def test_manifest_exports_lineage_and_config(sources, tmp_path):
     """dbt docs-generate parity: the manifest must carry each node's
     config, split model vs source lineage, and a valid build order —
