@@ -246,8 +246,14 @@ class ModelGraph:
         select: list[str] | None = None,
         run_tests: bool = True,
         strict_tests: bool = False,
+        full_refresh: bool = False,
     ) -> dict[str, Any]:
         """Build all (or selected) models in DAG order.
+
+        ``full_refresh=True`` is dbt's ``--full-refresh``: incremental
+        models rebuild from scratch (overwrite through the staged swap)
+        instead of merging — the recovery path after bad data or an
+        intentional schema break.
 
         ``select`` entries are model names or ``tag:<t>`` selectors
         (every model carrying the tag — dbt's ``--select tag:marts``,
@@ -279,7 +285,11 @@ class ModelGraph:
 
             def submit_ready() -> None:
                 for n in ts.get_ready():
-                    futs[pool.submit(self._build, spark, n, run_tests, strict_tests)] = n
+                    futs[
+                        pool.submit(
+                            self._build, spark, n, run_tests, strict_tests, full_refresh
+                        )
+                    ] = n
 
             # work-queue scheduling, not wave-based: a finished node
             # releases its dependents immediately even while slower
@@ -324,7 +334,12 @@ class ModelGraph:
         return out
 
     def _build(
-        self, spark: SparkSession, name: str, run_tests: bool, strict_tests: bool = False
+        self,
+        spark: SparkSession,
+        name: str,
+        run_tests: bool,
+        strict_tests: bool = False,
+        full_refresh: bool = False,
     ) -> RunResult:
         m = self.models[name]
         t0 = time.monotonic()
@@ -342,7 +357,7 @@ class ModelGraph:
                     f"model {name!r} is materialized as {m.materialized} but the "
                     f"graph has no warehouse_dir"
                 )
-            df = self._write_table(spark, m, df)
+            df = self._write_table(spark, m, df, full_refresh=full_refresh)
         if m.materialized != "ephemeral":
             df.createOrReplaceTempView(name)
         self._frames[name] = df
@@ -360,7 +375,9 @@ class ModelGraph:
             test_results=test_results,
         )
 
-    def _write_table(self, spark: SparkSession, m: Model, df: DataFrame) -> DataFrame:
+    def _write_table(
+        self, spark: SparkSession, m: Model, df: DataFrame, full_refresh: bool = False
+    ) -> DataFrame:
         """Materialize ``df`` at ``warehouse_dir/name`` via the graph's
         ``table_format`` and return the on-disk frame. ``incremental``:
         delete+insert by unique_key — the new output is the authority
@@ -376,6 +393,13 @@ class ModelGraph:
         out = Path(self.warehouse_dir) / m.name
         first_build = not out.exists()
 
+        if m.materialized == "incremental" and not first_build and full_refresh:
+            # dbt --full-refresh: rebuild from scratch, but through the
+            # staged swap so a crash mid-rebuild cannot lose the table
+            staging = Path(self.warehouse_dir) / f"{m.name}__staging"
+            fmt.write(df, staging, m.partition_by)
+            fmt.replace(staging, out)
+            return fmt.read(spark, out)
         if m.materialized == "incremental" and not first_build:
             existing = fmt.read(spark, out)
             keys = [k for k in m.unique_key]

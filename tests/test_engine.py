@@ -207,6 +207,31 @@ class TestOnSchemaChange:
         with pytest.raises(ValueError, match="dropped column"):
             g.run(spark, run_tests=False)
 
+    def test_full_refresh_rebuilds_incremental(self, spark, tmp_path):
+        """dbt --full-refresh: the incremental table rebuilds from this
+        run's output alone — v1-only keys vanish instead of surviving
+        the merge."""
+        state = {"rows": [(1, "v1"), (2, "v1")]}
+
+        @model(name="inc3", materialized="incremental", unique_key=("id",))
+        def inc3(raw_users):
+            return spark.createDataFrame(state["rows"], "id long, batch string")
+
+        reg = SourceRegistry()
+        reg.add_provider("raw_users", lambda s: s.createDataFrame([(1,)], "id long"))
+        g = ModelGraph(reg, warehouse_dir=str(tmp_path), threads=1)
+        g.add(inc3)
+        g.run(spark, run_tests=False)
+        state["rows"] = [(2, "v2")]
+        g.run(spark, run_tests=False)  # normal merge: key 1 survives
+        assert {(r.id, r.batch) for r in g.frame("inc3").collect()} == {
+            (1, "v1"),
+            (2, "v2"),
+        }
+        state["rows"] = [(3, "v3")]
+        g.run(spark, run_tests=False, full_refresh=True)
+        assert {(r.id, r.batch) for r in g.frame("inc3").collect()} == {(3, "v3")}
+
     def test_invalid_policy_rejected(self):
         with pytest.raises(ValueError, match="on_schema_change"):
             model(
