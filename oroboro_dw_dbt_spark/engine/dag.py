@@ -220,11 +220,22 @@ class ModelGraph:
     # -- graph ------------------------------------------------------------
 
     def _edges(self) -> dict[str, set[str]]:
-        """node → set of upstream *model* deps (sources are leaves)."""
+        """node → set of upstream *model* deps (sources are leaves).
+        The reserved dep name ``this`` is dbt's ``{{ this }}``: the
+        model's OWN existing table (None on first build) — not a graph
+        edge."""
         edges: dict[str, set[str]] = {}
         for m in self.models.values():
             up = set()
             for d in m.deps:
+                if d == "this":
+                    if m.materialized != "incremental":
+                        raise ValueError(
+                            f"model {m.name!r} takes 'this' but is not "
+                            f"incremental — only incremental models see "
+                            f"their previous state"
+                        )
+                    continue
                 if d in self.models:
                     up.add(d)
                 elif d not in self.sources:
@@ -345,7 +356,16 @@ class ModelGraph:
         t0 = time.monotonic()
         kwargs = {}
         for d in m.deps:
-            if d in self.models:
+            if d == "this":
+                from pathlib import Path
+
+                out = Path(self.warehouse_dir) / m.name if self.warehouse_dir else None
+                kwargs[d] = (
+                    self.table_format.read(spark, out)
+                    if out is not None and out.exists() and not full_refresh
+                    else None
+                )
+            elif d in self.models:
                 kwargs[d] = self._frames[d]
             else:
                 kwargs[d] = self.sources.load(spark, d)
@@ -463,7 +483,9 @@ class ModelGraph:
                 "tags": list(m.tags),
                 "depends_on": {
                     "models": sorted(d for d in m.deps if d in self.models),
-                    "sources": sorted(d for d in m.deps if d not in self.models),
+                    "sources": sorted(
+                        d for d in m.deps if d not in self.models and d != "this"
+                    ),
                 },
                 "tests": [t.name for t in m.tests],
                 "partition_by": list(m.partition_by),

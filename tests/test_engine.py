@@ -232,6 +232,48 @@ class TestOnSchemaChange:
         g.run(spark, run_tests=False, full_refresh=True)
         assert {(r.id, r.batch) for r in g.frame("inc3").collect()} == {(3, "v3")}
 
+    def test_this_gives_incremental_models_their_own_state(self, spark, tmp_path):
+        """dbt's {{ this }} / is_incremental(): the model sees its own
+        existing table (None on first build) and self-derives the delta
+        cutoff — run 2 must only process rows newer than what the table
+        already holds."""
+        from pyspark.sql import functions as F2
+
+        seen_inputs = []
+
+        @model(name="inc4", materialized="incremental", unique_key=("id",))
+        def inc4(raw_rows, this):
+            df = raw_rows
+            if this is not None:
+                cutoff = this.agg(F2.max("id")).first()[0]
+                df = df.filter(F2.col("id") > cutoff)
+            seen_inputs.append(df.count())
+            return df
+
+        state = {"rows": [(1,), (2,)]}
+        reg = SourceRegistry()
+        reg.add_provider(
+            "raw_rows", lambda s: s.createDataFrame(state["rows"], "id long")
+        )
+        g = ModelGraph(reg, warehouse_dir=str(tmp_path), threads=1)
+        g.add(inc4)
+        g.run(spark, run_tests=False)
+        assert seen_inputs == [2]  # first build: this is None, full load
+        state["rows"] = [(1,), (2,), (3,)]  # one new row arrives
+        g.run(spark, run_tests=False)
+        assert seen_inputs == [2, 1]  # delta only: the model filtered on this
+        assert {r.id for r in g.frame("inc4").collect()} == {1, 2, 3}
+
+    def test_this_rejected_on_non_incremental(self, spark, sources, tmp_path):
+        @model(name="v_this")
+        def v_this(raw_users, this):
+            return raw_users
+
+        g = ModelGraph(sources, warehouse_dir=str(tmp_path))
+        g.add(v_this)
+        with pytest.raises(ValueError, match="'this'"):
+            g.run(spark, run_tests=False)
+
     def test_invalid_policy_rejected(self):
         with pytest.raises(ValueError, match="on_schema_change"):
             model(
