@@ -676,6 +676,75 @@ def t_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sk_countmin_freq",
+    # the md5-derived sketch is deterministic, so the ENTIRE count-min
+    # construction (counter tables, min-over-rows estimate) restates in
+    # SQL — a sketch whose accuracy claim the oracle can check value-
+    # for-value, not just bound
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+    ),
+    counters AS (
+      SELECT r.i,
+             CAST('0x' || substr(md5('cm|' || r.i || '|' || token), 1, 8) AS BIGINT)
+               % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM toks CROSS JOIN (VALUES (0), (1), (2)) AS r(i)
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS true_n
+      FROM toks GROUP BY token
+      ORDER BY true_n DESC, token LIMIT 20
+    ),
+    est AS (
+      SELECT t.token, min(c.n) AS cm_estimate
+      FROM truth t
+      CROSS JOIN (VALUES (0), (1), (2)) AS r(i)
+      JOIN counters c
+        ON c.i = r.i
+       AND c.bucket = CAST('0x' || substr(md5('cm|' || r.i || '|' || t.token), 1, 8)
+                           AS BIGINT) % 512
+      GROUP BY t.token
+    )
+    SELECT t.token, t.true_n, e.cm_estimate,
+           e.cm_estimate >= t.true_n AS never_undercounts
+    FROM truth t JOIN est e ON t.token = e.token
+    """,
+    survey_ref="beyond-reference: count-min sketch frequency estimates "
+    "(fixed d*w counter state, mergeable, never undercounts) — "
+    "deterministic hashes make it fully oracle-checkable",
+)
+def sk_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates for the exact top-20 tokens, alongside truth
+    and the overcount invariant. The sketch state is depth*width
+    counters — KBs at any corpus size; estimates are the min over the
+    depth rows."""
+    from oroboro_dw_dbt_spark.ops.sketches import countmin_estimates
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    truth = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "token")
+        .limit(20)
+    )
+    est = countmin_estimates(toks, "token")
+    return (
+        truth.join(est, "token")
+        .select(
+            "token",
+            "true_n",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("true_n")).alias("never_undercounts"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering + deterministic sampling + corpus statistics
 # ---------------------------------------------------------------------------

@@ -45,3 +45,50 @@ def approx_quantiles_by(
     for i, q in enumerate(quantiles):
         cols.append(F.col("_qs")[i].alias(f"q_{int(q * 100)}"))
     return out.select(*cols)
+
+
+def countmin_estimates(
+    df: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 512,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-min sketch frequency estimates for every distinct value of
+    ``col`` — deterministic (md5-derived row hashes), so unlike most
+    sketch implementations the whole construction is exactly restatable
+    in SQL and oracle-checkable, while keeping the defining properties:
+    ``depth × width`` integer counters of FIXED size regardless of
+    cardinality, mergeable across partitions (counter addition), and
+    estimates that never undercount (min over d rows of an
+    overcounting counter each).
+
+    Plan: one explode-free pass builds the counter table (groupBy on
+    (row, bucket) — at most depth×width groups, map-side combined);
+    estimating joins each distinct value to its d counters and takes
+    the min. At 100 TB the counter table is KBs — THE point: frequency
+    estimates whose state does not grow with vocabulary."""
+    rows = list(range(depth))
+    bucket = lambda i: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.lit(i), F.col(col))), 1, 8), 16, 10)
+        .cast("long")
+        % width
+    )
+    counters = None
+    src = df.select(col)
+    for i in rows:
+        c = src.groupBy(bucket(i).alias("bucket")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).withColumn("row", F.lit(i))
+        counters = c if counters is None else counters.unionByName(c)
+    distinct = df.select(col).distinct()
+    est = None
+    for i in rows:
+        e = (
+            distinct.withColumn("row", F.lit(i))
+            .withColumn("bucket", bucket(i))
+            .join(counters, ["row", "bucket"])
+            .select(col, F.col("n").alias("est"))
+        )
+        est = e if est is None else est.unionByName(e)
+    return est.groupBy(col).agg(F.min("est").cast("bigint").alias("cm_estimate"))
