@@ -677,6 +677,46 @@ def t_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_feature_hash",
+    # the hashing trick: token -> fixed bucket space via md5 (the same
+    # deterministic-hash discipline as the count-min entry), emitted
+    # exploded as (doc_id, bucket, n) — nested struct arrays would hash
+    # differently across engines' stringifications, rows don't
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5('fh|' || token), 1, 8) AS BIGINT) % 1024
+                AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY 1, 2
+    """,
+    survey_ref="beyond-reference: feature hashing (the hashing trick — "
+    "unbounded vocabulary to fixed 1024-dim sparse counts, no "
+    "vocabulary table to build, ship, or keep consistent)",
+)
+def t_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse bag-of-words features in a FIXED bucket space: tokens
+    hash to 1024 buckets, so featurization needs no vocabulary pass,
+    no broadcast dictionary, and no retraining-time vocab drift — the
+    property that makes the hashing trick the default at 100 TB. One
+    map-side-combined aggregation; collisions are the accepted trade
+    (norm-preserving in expectation)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh|"), F.col("token"))), 1, 8), 16, 10)
+        .cast("long")
+        % 1024
+    ).cast("int")
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@query(
     "sk_countmin_freq",
     # the md5-derived sketch is deterministic, so the ENTIRE count-min
     # construction (counter tables, min-over-rows estimate) restates in
