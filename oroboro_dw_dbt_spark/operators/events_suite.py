@@ -581,3 +581,54 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return phash_near_dup_pairs(media_from_documents(docs), k=1)
+
+
+@query(
+    "ev_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || ' > ' || t1 || ' > ' || t2 AS path,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE t2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path LIMIT 20
+    """,
+    survey_ref="beyond-reference: clickstream path mining (top event "
+    "trigrams — lead-window sequences, no self-joins)",
+)
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step behavior paths: per-user lead() windows build
+    the trigram in one pass (the self-join-free way to mine sequences),
+    then a map-side-combined count. One shuffle on user_id for the
+    window, one on the trigram string — path cardinality is |types|^3,
+    tiny at any corpus size."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    return (
+        seq.select(
+            "user_id",
+            F.concat_ws(" > ", "event_type", "t1", "t2").alias("path"),
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
