@@ -1059,3 +1059,56 @@ def f_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", F.round(squash(F.col("o_totalprice")), 6).alias("squashed")
     )
+
+
+@query(
+    "eng_json_source",
+    # same contract as eng_csv_seed for the JSON-lines reader: explicit
+    # schema (no inference pass), values surviving the text round-trip
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderkey % 9 = 0
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="engine S1 json source: explicit-schema JSON-lines -> "
+    "SourceRegistry -> model (the log-ingest landing format)",
+)
+def eng_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from oroboro_dw_dbt_spark.engine.dag import ModelGraph, SourceRegistry, model
+
+    land_dir = tempfile.mkdtemp(prefix="json_src_")
+    subset = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 9 == 0
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    subset.write.mode("overwrite").json(land_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    sources = SourceRegistry()
+    sources.add_path("landed_orders", land_dir, schema=schema, format="json")
+
+    @model(name="json_rollup")
+    def json_rollup(landed_orders):
+        return landed_orders.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+
+    graph = ModelGraph(sources).add(json_rollup)
+    graph.run(spark, select=["json_rollup"], run_tests=False)
+    return graph.frame("json_rollup")
