@@ -1112,3 +1112,49 @@ def eng_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph = ModelGraph(sources).add(json_rollup)
     graph.run(spark, select=["json_rollup"], run_tests=False)
     return graph.frame("json_rollup")
+
+
+@query(
+    "eng_orc_source",
+    # completes the source-format matrix (parquet everywhere, csv seed,
+    # json lines, orc here): ORC is columnar like parquet, so unlike
+    # the text formats the round-trip is binary-exact by construction —
+    # the entry certifies the reader wiring, schema application, and
+    # pushdown-capable scan
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderkey % 8 = 0
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="engine S1 orc source: the columnar alternative format "
+    "through SourceRegistry -> model",
+)
+def eng_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from oroboro_dw_dbt_spark.engine.dag import ModelGraph, SourceRegistry, model
+
+    land_dir = tempfile.mkdtemp(prefix="orc_src_")
+    load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).write.mode("overwrite").orc(land_dir)
+
+    sources = SourceRegistry()
+    sources.add_path("orc_orders", land_dir, format="orc")
+
+    @model(name="orc_rollup")
+    def orc_rollup(orc_orders):
+        return orc_orders.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+
+    graph = ModelGraph(sources).add(orc_rollup)
+    graph.run(spark, select=["orc_rollup"], run_tests=False)
+    return graph.frame("orc_rollup")
