@@ -41,23 +41,45 @@ def query(name: str, oracle: str | None, survey_ref: str = "") -> Callable:
     return wrap
 
 
-def _driver_covered() -> set[str]:
-    """Entry names already green-checked by a prior driver round.
+def _driver_covered(root=None, specs: dict[str, QuerySpec] | None = None) -> set[str]:
+    """Entry names already *green*-checked by a prior driver round.
 
     The driver compares a bounded prefix of ``queries()`` per round, so we
-    rotate never-yet-covered entries to the front: each round's window then
+    rotate never-yet-green entries to the front: each round's window then
     certifies new entries while earlier rounds' results stand on record.
+
+    "Green" is per-record, not per-appearance: a window row counts only if it
+    hash-matched the oracle, or — for entries that have no oracle in the
+    current catalog — if the rows-only check ran clean (``err == 'no_oracle'``
+    with a row count). An entry that appeared but crashed or predates its
+    oracle keeps front-rotating until a round certifies it (round 4: four
+    entries were stuck never-green because appearance alone counted).
     """
     import json
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[2]
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    if specs is None:
+        specs = QUERIES
     covered: set[str] = set()
-    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+    for f in sorted(Path(root).glob("CORRECTNESS_r*.json")):
         try:
-            covered |= set(json.loads(f.read_text()))
+            records = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
+            spec = specs.get(name)
+            has_oracle = spec is not None and spec.oracle is not None
+            if has_oracle:
+                green = bool(rec.get("hash_match")) and rec.get("err") is None
+            else:
+                # rows-only entry: best achievable is a clean no_oracle run
+                green = rec.get("err") in (None, "no_oracle") and rec.get("spark_rows") is not None
+            if green:
+                covered.add(name)
     return covered
 
 

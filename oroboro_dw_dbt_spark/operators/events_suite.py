@@ -465,35 +465,76 @@ def st_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ev_json_typed",
-    # from_json with a declared schema (vs get_json_object's per-path
-    # string extraction): schema enforcement means a malformed document
-    # yields NULL fields, not a runtime error — restated in the oracle
-    # via TRY_CAST of the extracted path
+    # is_valid is "document parsed AS THE DECLARED SCHEMA", not raw
+    # json_valid(): Spark PERMISSIVE from_json returns a NON-null struct
+    # with null fields even for '{not json' (round-4 advice — the old
+    # p.isNotNull() definition could never be false for non-empty input,
+    # and only greened because the fixture has no malformed props). The
+    # Spark signal is the _corrupt_record column; the oracle restates the
+    # same schema-conformance predicate: syntactically valid AND a JSON
+    # object AND k absent/null/integral. Probed divergences this covers:
+    # mis-typed k ('{"k":"abc"}', '{"k":1.5}'), arrays, 'null' docs,
+    # single-quoted JSON (allowSingleQuotes=false pins Jackson to spec).
     oracle="""
+    WITH j AS (
+      SELECT event_id, props,
+             CASE WHEN json_valid(props)
+                  THEN json_type(CAST(props AS JSON)) = 'OBJECT'
+                  ELSE false END AS is_obj,
+             CASE WHEN json_valid(props)
+                  THEN json_type(CAST(props AS JSON), '$.k') END AS kt,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS ks
+      FROM events WHERE event_id % 7 = 0
+    )
     SELECT event_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
-           json_valid(props) AS is_valid
-    FROM events
-    WHERE event_id % 7 = 0
+           CASE WHEN is_obj AND kt IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(ks AS INT) END AS k,
+           COALESCE(is_obj AND (kt IS NULL OR kt = 'NULL'
+                    OR (kt IN ('BIGINT', 'UBIGINT')
+                        AND TRY_CAST(ks AS INT) IS NOT NULL)), false) AS is_valid
+    FROM j
     """,
     survey_ref="beyond-reference: schema-enforced JSON parsing "
-    "(from_json -> typed struct, null-on-malformed)",
+    "(from_json -> typed struct, corrupt-record malformed signal)",
 )
 def ev_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON parsing: from_json projects props into a declared
     struct once (one parse per row, pushed next to the scan), with
-    malformed rows surfacing as NULL fields — the semi-structured
-    ingestion contract at scale, where a single bad document must not
-    kill a 100 TB job."""
-    from pyspark.sql import types as T
-
+    schema-violating rows flagged via the corrupt-record channel — the
+    semi-structured ingestion contract at scale, where a single bad
+    document must not kill a 100 TB job but must stay auditable."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
-    schema = T.StructType([T.StructField("k", T.IntegerType())])
-    parsed = ev.withColumn("p", F.from_json("props", schema))
+    parsed = ev.withColumn("p", _json_typed_struct(F.col("props")))
     return parsed.select(
         "event_id",
         F.col("p.k").alias("k"),
-        F.col("p").isNotNull().alias("is_valid"),
+        (F.col("p").isNotNull() & F.col("p._corrupt_record").isNull()).alias(
+            "is_valid"
+        ),
+    )
+
+
+def _json_typed_struct(props):
+    """from_json with the schema-conformance contract ev_json_typed
+    certifies: PERMISSIVE + explicit corrupt-record capture, Jackson's
+    single-quote laxness disabled so "valid" matches the JSON spec."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    return F.from_json(
+        props,
+        schema,
+        {
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": "_corrupt_record",
+            "allowSingleQuotes": "false",
+        },
     )
 
 

@@ -990,6 +990,11 @@ def ss_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "ss_label_centroids",
+    # Long format (label, n_vectors, pos, value): the driver's pandas
+    # canonicalizer hashes scalar cells only — an array<double> column
+    # crashed it in round 4 ("unhashable type: 'list'"). The API
+    # (label_centroids) still returns the array; the entry explodes it.
+    # DuckDB generate_subscripts is 1-based vs posexplode's 0-based → -1.
     oracle="""
     WITH e AS (
       SELECT label, generate_subscripts(embedding, 1) AS pos,
@@ -1000,11 +1005,13 @@ def ss_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
       SELECT label, pos, sum(xi) AS sx, count(*) AS n
       FROM e GROUP BY label, pos
+    ),
+    nv AS (
+      SELECT label, CAST(max(n) AS BIGINT) AS n_vectors FROM p GROUP BY label
     )
-    SELECT label,
-           CAST(max(n) AS BIGINT) AS n_vectors,
-           list(round(sx * 1.0 / (n * 1000000), 6) ORDER BY pos) AS centroid
-    FROM p GROUP BY label
+    SELECT p.label, nv.n_vectors, CAST(p.pos - 1 AS INT) AS pos,
+           round(p.sx * 1.0 / (p.n * 1000000), 6) AS value
+    FROM p JOIN nv ON p.label = nv.label
     """,
     survey_ref=(
         "beyond-reference: per-label embedding centroids — posexplode + "
@@ -1017,7 +1024,11 @@ def ss_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oroboro_dw_dbt_spark.similarity import label_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return label_centroids(emb)
+    return label_centroids(emb).select(
+        "label",
+        "n_vectors",
+        F.posexplode("centroid").alias("pos", "value"),
+    )
 
 
 # ---------------------------------------------------------------------------

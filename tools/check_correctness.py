@@ -39,6 +39,27 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     return h, len(rows)
 
 
+def complex_cols(cols: list[str], rows: list[tuple]) -> list[str]:
+    """Columns whose cells the DRIVER's pandas canonicalizer cannot hash.
+
+    The driver sorts a pandas frame of the result; unhashable cells (list /
+    dict / set / Row / ndarray) crash it with "unhashable type" (round 4,
+    ss_label_centroids). The local mirror stringifies cells, so without this
+    check such an entry false-greens locally and red-crashes at the gate.
+    """
+    bad: set[str] = set()
+    for r in rows[:1000]:
+        for c, v in zip(cols, r):
+            if v is not None and not isinstance(
+                v, (bool, int, float, str, bytes)
+            ) and not hasattr(v, "isoformat"):  # date/datetime ok
+                try:
+                    hash(v)
+                except TypeError:
+                    bad.add(c)
+    return sorted(bad)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -64,6 +85,15 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        bad = complex_cols(scols, srows)
+        if bad:
+            print(
+                f"FAIL {name}: driver-incompatible complex-typed columns {bad} "
+                "(pandas canonicalizer cannot hash list/map cells — flatten "
+                "to scalars, e.g. posexplode to long format)"
+            )
             failures.append(name)
             continue
         if spec.oracle is None:
