@@ -52,6 +52,8 @@ def batch_score(
     import numpy as np
     import pandas as pd
 
+    from oroboro_dw_dbt_spark.functions.rounding import np_round_half_up
+
     if len(weights) != len(feature_cols):
         raise ValueError(
             f"{len(feature_cols)} feature cols but {len(weights)} weights"
@@ -71,7 +73,8 @@ def batch_score(
             if not len(pdf):
                 continue
             x = pdf[feats].to_numpy(dtype=np.float64)
-            score = np.round(1.0 / (1.0 + np.exp(-(x @ w + b))), 6)
+            # HALF_UP like the SQL twin's round() — np.round is banker's
+            score = np_round_half_up(1.0 / (1.0 + np.exp(-(x @ w + b))))
             out_pdf = pdf[ids].copy()
             out_pdf[out] = score
             yield out_pdf

@@ -879,7 +879,7 @@ def sp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rr a
     CROSS JOIN (VALUES (1), (2)) AS s(slot)
     JOIN rr b ON b.band = a.band AND b.rn = ((a.rn - 1 + s.slot) % a.n) + 1
-    WHERE a.rn != b.rn
+    WHERE a.rn != b.rn AND s.slot <= a.n - 1
     """,
     survey_ref="beyond-reference: deterministic hash-ring negative "
     "sampling (contrastive pairs without rand() — retry-stable)",

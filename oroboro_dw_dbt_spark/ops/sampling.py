@@ -131,7 +131,12 @@ def ring_negatives(
     construction); no global sort, no single-task window. k small
     multiplies output rows, not shuffle width. Bands bound each ring's
     sort; raise n_bands with corpus size (cost is per-band modular
-    wrap, semantics unchanged)."""
+    wrap, semantics unchanged).
+
+    Slots are capped at the band's n-1 distinct partners: a band smaller
+    than k+1 rows would otherwise wrap the ring past self and re-emit
+    the same partner under a later slot (band of 2, k=3 → slot 1 and
+    slot 3 both naming the single other row)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     h = _hash_hex(key_cols, salt)
@@ -157,6 +162,7 @@ def ring_negatives(
                 (F.col("a._band") == F.col("b._band")) & (F.col("b._rn") == target),
             )
             .filter(F.col("a._rn") != F.col("b._rn"))  # 1-row band: no self-pair
+            .filter(F.lit(slot) <= F.col("a._n") - 1)  # no ring wrap past self
             .select(
                 *[F.col(f"a.{c}").alias(c) for c in key_cols],
                 *[F.col(f"b.{c}").alias(f"neg_{c}") for c in key_cols],

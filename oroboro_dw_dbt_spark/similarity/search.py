@@ -212,6 +212,8 @@ def matmul_topk(
     import numpy as np
     import pandas as pd
 
+    from oroboro_dw_dbt_spark.functions.rounding import np_round_half_up
+
     if len(query_ids) > max_queries:
         raise ValueError(
             f"matmul_topk collects query vectors onto the driver: got "
@@ -221,6 +223,12 @@ def matmul_topk(
     qrows = sorted(
         v.filter(F.col("vec_id").isin(query_ids)).collect(), key=lambda r: r.vec_id
     )
+    if not qrows:
+        # none of query_ids exist: a (0, dim) qmat would crash the kernel's
+        # matmul/outer on executors; match brute_force_topk's empty frame
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qmat = np.array([r.v for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
@@ -234,7 +242,9 @@ def matmul_topk(
             mat = np.stack(pdf["v"].to_numpy())  # (batch, dim) float64
             norm = np.sqrt((mat * mat).sum(axis=1))
             norm[norm == 0.0] = 1.0
-            cos = np.round((mat @ qmat.T) / np.outer(norm, qnorm), 6)
+            # HALF_UP like F.round/DuckDB — np.round is banker's and flips
+            # dyadic midpoints (and therefore can flip a pruned rank)
+            cos = np_round_half_up((mat @ qmat.T) / np.outer(norm, qnorm))
             take = min(k, len(ids))
             out_q, out_v, out_c = [], [], []
             for j, qid in enumerate(qids):
@@ -284,6 +294,8 @@ def lsh_matmul_topk(
     import numpy as np
     import pandas as pd
 
+    from oroboro_dw_dbt_spark.functions.rounding import np_round_half_up
+
     if len(query_ids) > max_queries:
         raise ValueError(
             f"lsh_matmul_topk collects query vectors onto the driver: got "
@@ -328,7 +340,8 @@ def lsh_matmul_topk(
         mat = np.stack(pdf["v"].to_numpy())
         norm = np.sqrt((mat * mat).sum(axis=1))
         norm[norm == 0.0] = 1.0
-        cos = np.round((mat @ qmat.T) / np.outer(norm, qnorm), 6)
+        # HALF_UP like F.round/DuckDB (np.round is banker's — see rounding.py)
+        cos = np_round_half_up((mat @ qmat.T) / np.outer(norm, qnorm))
         out_q, out_v, out_c = [], [], []
         for j, qid in enumerate(qids):
             col, cand = cos[:, j], ids

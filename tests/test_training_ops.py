@@ -276,6 +276,19 @@ class TestRingNegatives:
         with pytest.raises(ValueError, match="k must be"):
             ring_negatives(load_table(spark, SF, "documents"), ["doc_id"], k=0)
 
+    def test_small_band_does_not_wrap_past_self(self, spark):
+        """Band of 2 rows with k=3: the ring would wrap and re-emit the
+        single partner under slot 3 (round-4 advice). Slots are capped
+        at n-1, so each row draws exactly one distinct negative."""
+        from oroboro_dw_dbt_spark.ops import ring_negatives
+
+        df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        rows = ring_negatives(df, ["doc_id"], k=3, n_bands=1).collect()
+        pairs = [(r.doc_id, r.neg_doc_id) for r in rows]
+        assert sorted(pairs) == [(1, 2), (2, 1)]
+        assert len(pairs) == len(set(pairs))  # no duplicate (doc, neg)
+        assert all(r.slot == 1 for r in rows)
+
 
 class TestBatchScore:
     def test_matches_column_expression_exactly(self, spark):
