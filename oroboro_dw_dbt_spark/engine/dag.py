@@ -467,6 +467,32 @@ class ModelGraph:
     def frame(self, name: str) -> DataFrame:
         return self._frames[name]
 
+    def plan_frames(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """Every model's BUILD plan as an un-materialized DataFrame.
+
+        ``run()`` materializes table models and hands consumers the
+        on-disk read, so explaining ``frame(name)`` afterwards shows a
+        2-node parquet scan — not the join/window tree the build
+        executed (the round-4 audit blind spot). This resolves the whole
+        graph with view semantics — deps feed the upstream *plan*, no
+        writes, no temp views — so `.explain` shows exactly what
+        Catalyst optimizes when the model builds. Incremental models see
+        ``this=None`` (the first-build plan, which is the full-query
+        shape the optimizer must survive)."""
+        frames: dict[str, DataFrame] = {}
+        for name in self.topo_order():
+            m = self.models[name]
+            kwargs = {}
+            for d in m.deps:
+                if d == "this":
+                    kwargs[d] = None
+                elif d in self.models:
+                    kwargs[d] = frames[d]
+                else:
+                    kwargs[d] = self.sources.load(spark, d)
+            frames[name] = m.fn(**kwargs)
+        return frames
+
     # -- documentation artifacts ------------------------------------------
 
     def manifest(self) -> dict[str, Any]:

@@ -364,6 +364,39 @@ def w_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w_rank_twophase",
+    # the SAME oracle as w_rank_suite: a hash match proves the two-phase
+    # rewrite (range partition -> local row_number -> offset add) is
+    # exactly the window's semantics, closing the SCALE.md
+    # "single-task sort per group" caveat with certified code
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS INT)    AS quartile,
+           round(percent_rank() OVER w, 6)     AS pct_rank,
+           round(cume_dist()    OVER w, 6)     AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    survey_ref="beyond-reference: two-phase exact ranking — the scale "
+    "rewrite of w_rank_suite (no single-task sort per group; sorts "
+    "bounded by range-partition size, offsets from a KB-scale count "
+    "table)",
+)
+def w_rank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.ops import ranking_family
+
+    orders = load_table(spark, sf_dir, "orders")
+    return ranking_family(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        part_cols=["o_orderpriority"],
+        order_cols=["o_totalprice", "o_orderkey"],
+    ).select("o_orderkey", "o_orderpriority", "rnk", "drnk", "quartile", "pct_rank", "cume")
+
+
+@query(
     "a_exact_percentiles",
     # exact linear-interpolation percentiles: both engines sort the group
     # and interpolate between the same two doubles — deterministic, unlike

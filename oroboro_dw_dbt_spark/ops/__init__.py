@@ -1,5 +1,6 @@
 from oroboro_dw_dbt_spark.ops.graph import connected_components
 from oroboro_dw_dbt_spark.ops.history import merge_upsert, scd2_from_events
+from oroboro_dw_dbt_spark.ops.ranking import ranking_family, two_phase_rank
 from oroboro_dw_dbt_spark.ops.sampling import hash_split, ring_negatives, stratified_sample, weighted_mix
 from oroboro_dw_dbt_spark.ops.sketches import (
     approx_distinct_by,
@@ -23,9 +24,11 @@ __all__ = [
     "hash_split",
     "ring_negatives",
     "merge_upsert",
+    "ranking_family",
     "salted_join",
     "scd2_from_events",
     "stratified_sample",
+    "two_phase_rank",
     "two_phase_distinct_agg",
     "weighted_mix",
 ]

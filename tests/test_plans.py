@@ -51,6 +51,63 @@ class TestPlanShapes:
         assert plan.count("Exchange") == 1, plan
         assert plan.count("Sort ") == 1, plan
 
+    def test_reference_build_plans_clean(self, spark):
+        """The 3 reference models' BUILD plans (not the post-materialize
+        parquet read — the round-4 audit blind spot): no cartesian or
+        nested-loop joins, no row-at-a-time Python, no broadcast hint
+        over a scaling table, anywhere in the trees Catalyst actually
+        optimizes when the DAG runs."""
+        from explain_audit import audit_one
+
+        from oroboro_dw_dbt_spark.operators.reference_suite import reference_graph
+
+        graph = reference_graph(spark, SF)
+        frames = graph.plan_frames(spark)
+        assert set(frames) == {
+            "stacked_users_partners", "locations_clean", "user_base"
+        }
+        for name, df in frames.items():
+            plan = plan_text(df)
+            allow_wide = name == "user_base"  # the mart projects 35 cols
+            flags = audit_one("build:" + name if allow_wide else name, plan)
+            flags += audit_broadcast_hints(df)
+            assert flags == [], (name, flags)
+
+    def test_user_base_build_join_strategies(self, spark):
+        """Execute the mart build plan and check the AQE-final physical
+        plan. Two properties, both load-bearing at 100 TB:
+
+        - the dim joins (J1-J3/J9-J11 — attribution routes, invite
+          chains, api keys) go BroadcastHashJoin — no shuffle of the
+          probe side for dim-scale build sides;
+        - the SortMergeJoins that remain are the partitioning-REUSE
+          joins: their inputs are already hash-partitioned on the join
+          key by an upstream window/aggregate (QUALIFY top-1 emits
+          from_location_id partitioning; the A2/A3 dedup emits user_id
+          partitioning), so SMJ there is exchange-free while a broadcast
+          would ADD an exchange of a scaling intermediate. Their count
+          is pinned so a refactor that loses the reuse (SMJ count grows)
+          or forces broadcasts of intermediates (count hits zero via
+          hints) both fail loudly.
+        """
+        import re
+
+        from oroboro_dw_dbt_spark.operators.reference_suite import reference_graph
+
+        df = reference_graph(spark, SF).plan_frames(spark)["user_base"]
+        df.collect()  # AQE finalizes the plan only on execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:200]
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 20  # the 5-chain x2 + mart joins
+        # every surviving SMJ must join on one of the two keys whose
+        # partitioning the upstream operator already produced
+        smj_keys = re.findall(r"SortMergeJoin \[(\w+)#", plan)
+        assert smj_keys, "expected partition-reuse SMJs in the mart build"
+        assert set(smj_keys) <= {"id", "location_id", "user_id"}, smj_keys
+        assert plan.count("SortMergeJoin") <= 12, plan.count("SortMergeJoin")
+
     def test_q18_aggregates_below_the_join(self, spark):
         # the HAVING pre-aggregate must appear beneath the orders join:
         # in the formatted plan the lineitem aggregate node is a child of

@@ -107,8 +107,9 @@ def plan_text(df) -> str:
 
 
 # queries whose OUTPUT is legitimately a wide table (the mart has 35
-# columns; ref_user_base reads back the table it just materialized)
-WIDE_SCAN_OK = {"ref_user_base"}
+# columns; ref_user_base reads back the table it just materialized, and
+# its BUILD plan genuinely projects most of the user fixture's columns)
+WIDE_SCAN_OK = {"ref_user_base", "build:user_base"}
 
 
 def audit_one(name: str, plan: str) -> list[str]:
@@ -127,6 +128,19 @@ def audit_one(name: str, plan: str) -> list[str]:
     return flags
 
 
+def build_plan_frames(spark, sf_dir: str) -> dict[str, "object"]:
+    """The 3 reference models' BUILD plans (un-materialized).
+
+    ``ref_user_base``'s catalog builder materializes the mart, so its
+    auditable plan was only the post-write parquet read — a 2-node scan
+    that says nothing about the joins the build executed (the round-4
+    blind spot). These frames are the actual trees Catalyst optimizes."""
+    from oroboro_dw_dbt_spark.operators.reference_suite import reference_graph
+
+    graph = reference_graph(spark, sf_dir)
+    return {f"build:{n}": df for n, df in graph.plan_frames(spark).items()}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or [n for n in QUERIES if n not in SKIP]
@@ -134,19 +148,22 @@ def main() -> int:
     out_dir = Path("/tmp/plan_audit")
     out_dir.mkdir(exist_ok=True)
     n_flags = 0
-    for name in names:
-        if name in SKIP:
-            continue
-        df = QUERIES[name].builder(spark, sf_dir)
+
+    builds = build_plan_frames(spark, sf_dir) if not sys.argv[2:] else {}
+    todo = [(n, None) for n in names if n not in SKIP]
+    todo += [(n, df) for n, df in builds.items()]
+    for name, df in todo:
+        if df is None:
+            df = QUERIES[name].builder(spark, sf_dir)
         plan = plan_text(df)
-        (out_dir / f"{name}.txt").write_text(plan)
+        (out_dir / f"{name.replace(':', '_')}.txt").write_text(plan)
         flags = audit_one(name, plan) + audit_broadcast_hints(df)
         if flags:
             n_flags += len(flags)
             print(f"FLAG {name}: {'; '.join(flags)}")
         else:
             print(f"pass {name}")
-    print(f"\n{n_flags} flags across {len(names)} plans (plans in {out_dir}/)")
+    print(f"\n{n_flags} flags across {len(todo)} plans (plans in {out_dir}/)")
     return 1 if n_flags else 0
 
 
