@@ -5,19 +5,31 @@ The reference materializes marts as BigQuery tables (dbt_project.yml:
 aren't: a naive ``rmtree(old) + rename(staging)`` has a crash window
 that destroys the existing table. This seam isolates that concern:
 
-- :class:`LocalParquetFormat` — the test-env implementation. Writes
+- :class:`LocalParquetFormat` — the minimal implementation. Writes
   plain parquet dirs; ``replace`` renames the old table aside, moves
   the staging dir into place, and only then deletes the backup, so a
   crash at any single step leaves either the old or the new table
   recoverable on disk (the ``__old`` backup is restored on failure).
-- A production deployment implements the same three methods with
-  Delta/Iceberg, whose commit protocol makes ``replace`` truly atomic
-  and adds time travel — no executor-side changes needed.
+- :class:`ManifestParquetFormat` — the ACID implementation: every
+  write lands an IMMUTABLE snapshot directory, and the table "is"
+  whatever one pointer file says. Commit = ``os.replace`` of that
+  pointer — atomic on POSIX — so readers see the previous snapshot
+  until the instant the new one is complete, a crash anywhere before
+  the pointer swap leaves the table byte-identical to before (the
+  half-written snapshot is an unreferenced orphan), and old snapshots
+  remain readable by version (time travel). This is the same
+  commit-protocol shape Delta's _delta_log / Iceberg's metadata
+  pointer use; swapping them in behind the seam changes no executor
+  code and upgrades the pointer swap to an object-store-safe commit.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import shutil
+import time
+from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,3 +64,164 @@ class LocalParquetFormat:
             backup.rename(final)  # restore the original table
             raise
         shutil.rmtree(backup)
+
+
+class ManifestParquetFormat:
+    """Snapshot + manifest-pointer parquet tables: atomic replace and
+    time-travel reads with no storage-system help beyond POSIX rename.
+
+    Layout of a table at ``path``::
+
+        path/
+          _manifest/CURRENT          # text file: the committed version
+          _manifest/snap-<v>.json    # snapshot metadata (data dir, ts)
+          data-<v>/                  # immutable parquet dir, one per version
+
+    The COMMIT is ``os.replace(tmp, CURRENT)`` — the only mutation any
+    write performs on shared state, and it is atomic. Everything before
+    it (parquet write, metadata json) touches only not-yet-referenced
+    paths, so a crash at ANY earlier point leaves readers on the prior
+    version with the dead snapshot as an orphan (reclaimed by
+    :meth:`vacuum`). ``before_commit`` is the chaos seam the crash test
+    kills in (same pattern as the streaming upsert's ``before_batch``,
+    streaming/jobs.py).
+    """
+
+    def __init__(self, before_commit: Callable[[Path, int], None] | None = None):
+        self.before_commit = before_commit
+
+    # -- manifest plumbing -------------------------------------------------
+
+    def _manifest_dir(self, path: Path) -> Path:
+        return Path(path) / "_manifest"
+
+    def current_version(self, path: Path) -> int | None:
+        cur = self._manifest_dir(path) / "CURRENT"
+        if not cur.exists():
+            return None
+        return int(cur.read_text().strip())
+
+    def versions(self, path: Path) -> list[int]:
+        """COMMITTED, still-present snapshot versions (ascending).
+        Snapshot metadata is written before the pointer swap, so a json
+        with version > CURRENT is a crashed, never-committed write —
+        excluded here (and overwritten by the next successful write)."""
+        mdir = self._manifest_dir(path)
+        cur = self.current_version(path)
+        if not mdir.exists() or cur is None:
+            return []
+        return sorted(
+            v
+            for p in mdir.glob("snap-*.json")
+            if (v := int(p.stem.split("-")[1])) <= cur
+        )
+
+    def _snapshot_meta(self, path: Path, version: int) -> dict:
+        return json.loads(
+            (self._manifest_dir(path) / f"snap-{version:06d}.json").read_text()
+        )
+
+    def _commit(self, path: Path, version: int) -> None:
+        mdir = self._manifest_dir(path)
+        if self.before_commit is not None:
+            self.before_commit(Path(path), version)
+        tmp = mdir / f"CURRENT.tmp.{version}"
+        tmp.write_text(str(version))
+        os.replace(tmp, mdir / "CURRENT")  # THE commit: atomic pointer swap
+
+    # -- TableFormat interface --------------------------------------------
+
+    def write(
+        self, df: DataFrame, path: Path, partition_by: tuple[str, ...] = ()
+    ) -> None:
+        """Land a NEW snapshot and atomically point the table at it.
+        The previous snapshot stays on disk, readable via ``version=``."""
+        path = Path(path)
+        mdir = self._manifest_dir(path)
+        mdir.mkdir(parents=True, exist_ok=True)
+        version = (self.current_version(path) or 0) + 1
+        data_dir = path / f"data-{version:06d}"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(data_dir))
+        (mdir / f"snap-{version:06d}.json").write_text(
+            json.dumps(
+                {
+                    "version": version,
+                    "data_dir": data_dir.name,
+                    "partition_by": list(partition_by),
+                    "committed_at_unix": time.time(),
+                }
+            )
+        )
+        self._commit(path, version)
+
+    def read(
+        self, spark: SparkSession, path: Path, version: int | None = None
+    ) -> DataFrame:
+        """Read the committed snapshot (or a historical ``version`` —
+        time travel). Uncommitted/orphan data dirs are invisible."""
+        path = Path(path)
+        v = version if version is not None else self.current_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        meta = self._snapshot_meta(path, v)
+        return spark.read.parquet(str(path / meta["data_dir"]))
+
+    def replace(self, staging: Path, final: Path) -> None:
+        """Adopt ``staging``'s current snapshot as ``final``'s next
+        version. The data dir moves (rename — no copy), the metadata is
+        rewritten under final's version counter, and the pointer swap
+        is the only commit; a crash before it leaves ``final`` exactly
+        as it was."""
+        staging, final = Path(staging), Path(final)
+        sv = self.current_version(staging)
+        if sv is None:
+            raise FileNotFoundError(f"staging table {staging} has no commit")
+        smeta = self._snapshot_meta(staging, sv)
+        version = (self.current_version(final) or 0) + 1
+        mdir = self._manifest_dir(final)
+        mdir.mkdir(parents=True, exist_ok=True)
+        data_dir = final / f"data-{version:06d}"
+        os.replace(staging / smeta["data_dir"], data_dir)
+        (mdir / f"snap-{version:06d}.json").write_text(
+            json.dumps(
+                {
+                    "version": version,
+                    "data_dir": data_dir.name,
+                    "partition_by": smeta.get("partition_by", []),
+                    "committed_at_unix": time.time(),
+                }
+            )
+        )
+        self._commit(final, version)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self, path: Path, keep_last: int = 1) -> list[str]:
+        """Delete orphan data dirs (crashed, never-committed writes) and
+        snapshots older than the ``keep_last`` most recent committed
+        ones. Returns the deleted dir names. Never touches the current
+        snapshot."""
+        path = Path(path)
+        cur = self.current_version(path)
+        if cur is None:
+            return []
+        keep_versions = set(
+            v for v in self.versions(path) if v <= cur
+        )
+        keep_versions = set(sorted(keep_versions)[-keep_last:]) | {cur}
+        referenced = {
+            self._snapshot_meta(path, v)["data_dir"] for v in keep_versions
+        }
+        deleted: list[str] = []
+        for d in sorted(path.glob("data-*")):
+            if d.name not in referenced:
+                shutil.rmtree(d)
+                deleted.append(d.name)
+        for j in sorted(self._manifest_dir(path).glob("snap-*.json")):
+            if int(j.stem.split("-")[1]) not in keep_versions:
+                j.unlink()
+        return deleted

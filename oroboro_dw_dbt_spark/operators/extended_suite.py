@@ -615,6 +615,86 @@ def eng_compact_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eng_acid_commit",
+    # ACID contract as data, all four phases recomputed independently by
+    # the oracle from the source table:
+    #   v1        — first commit (even event_ids)
+    #   crash     — a write that dies BETWEEN data write and pointer
+    #               commit must leave readers on v1 exactly
+    #   v2        — the retried commit (odd event_ids) is fully visible
+    #   timetravel— version 1 stays readable after v2 (snapshot isolation)
+    oracle="""
+    WITH ev AS (SELECT event_id, value FROM events),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(event_id AS HUGEINT)) AS DOUBLE) AS id_sum
+      FROM ev WHERE event_id % 2 = 0
+    ),
+    agg_odd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(event_id AS HUGEINT)) AS DOUBLE) AS id_sum
+      FROM ev WHERE event_id % 2 = 1
+    )
+    SELECT 'v1' AS phase, n, id_sum FROM agg
+    UNION ALL SELECT 'after_crash', n, id_sum FROM agg
+    UNION ALL SELECT 'v2', n, id_sum FROM agg_odd
+    UNION ALL SELECT 'timetravel_v1', n, id_sum FROM agg
+    """,
+    survey_ref="engine storage: ManifestParquetFormat ACID commit — "
+    "atomic pointer swap, read-after-crash equivalence, time travel "
+    "(engine/table_format.py; the Delta/Iceberg seam made concrete)",
+)
+def eng_acid_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the manifest format through commit → injected crash →
+    retry → time travel, aggregating what a READER sees at each phase.
+    The crash is injected between the snapshot's data write and the
+    pointer swap (the widest vulnerable window); the driver's hash
+    match against pure source SQL certifies the reader was never
+    exposed to the half-written snapshot."""
+    import tempfile
+    from pathlib import Path
+
+    from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+
+    table = Path(tempfile.mkdtemp(prefix="acid_wh_")) / "events_acid"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+
+    fmt = ManifestParquetFormat()
+    fmt.write(ev.filter(F.col("event_id") % 2 == 0), table)  # v1
+
+    class Killed(RuntimeError):
+        pass
+
+    def die(path: Path, version: int) -> None:
+        raise Killed(f"chaos: killed before committing v{version}")
+
+    chaos = ManifestParquetFormat(before_commit=die)
+    try:
+        chaos.write(ev.filter(F.col("event_id") % 2 == 1), table)
+    except Killed:
+        pass  # data-XXXXX2 exists on disk but is unreferenced
+
+    def agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("event_id").cast("double").alias("id_sum"),
+        ).select("phase", "n", "id_sum")
+
+    # reads pin a concrete immutable data dir, so laziness is safe:
+    # each phase's DataFrame keeps pointing at its own snapshot
+    phases = [agg(fmt.read(spark, table), "v1")]  # == first commit
+    phases.append(agg(fmt.read(spark, table), "after_crash"))  # still v1
+    fmt.write(ev.filter(F.col("event_id") % 2 == 1), table)  # retry commits v2
+    phases.append(agg(fmt.read(spark, table), "v2"))
+    phases.append(agg(fmt.read(spark, table, version=1), "timetravel_v1"))
+    out = phases[0]
+    for p in phases[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "eng_manifest",
     # the reference DAG's documented shape, as data: dbt docs-generate
     # parity certified through the driver (3 nodes, their materialized

@@ -1,0 +1,122 @@
+"""ManifestParquetFormat: the ACID commit protocol under fire.
+
+The invariant under test (the whole point of the pointer design): after
+ANY prefix of operations in which some writes crash before the pointer
+swap, a reader sees exactly the data of the last SUCCESSFUL commit —
+never a torn mix, never the orphan — and every committed version stays
+readable until vacuumed.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+
+
+class Killed(RuntimeError):
+    pass
+
+
+def _kill(path, version):
+    raise Killed(str(version))
+
+
+def _ids(spark, fmt, table, version=None):
+    df = fmt.read(spark, table, version=version)
+    return sorted(r.x for r in df.collect())
+
+
+class TestAcidCommit:
+    def test_crash_before_commit_leaves_reader_on_previous(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        chaos = ManifestParquetFormat(before_commit=_kill)
+        table = tmp_path / "t"
+        fmt.write(spark.range(3).select(F.col("id").alias("x")), table)
+        with pytest.raises(Killed):
+            chaos.write(spark.range(100, 105).select(F.col("id").alias("x")), table)
+        assert _ids(spark, fmt, table) == [0, 1, 2]
+        assert fmt.current_version(table) == 1
+        assert fmt.versions(table) == [1]  # the orphan json is not a version
+
+    def test_randomized_commit_crash_sequence(self, spark, tmp_path):
+        """30 operations, seeded shuffle of commit/crash: after each op
+        the reader must see the last committed payload exactly."""
+        rng = random.Random(5)
+        fmt = ManifestParquetFormat()
+        chaos = ManifestParquetFormat(before_commit=_kill)
+        table = tmp_path / "t"
+        committed: list[int] | None = None
+        for step in range(30):
+            payload = [step * 10 + i for i in range(3)]
+            df = spark.createDataFrame([(x,) for x in payload], "x long")
+            if rng.random() < 0.4:
+                with pytest.raises(Killed):
+                    chaos.write(df, table)
+            else:
+                fmt.write(df, table)
+                committed = payload
+            if committed is None:
+                with pytest.raises(FileNotFoundError):
+                    fmt.read(spark, table)
+            else:
+                assert _ids(spark, fmt, table) == committed, f"step {step}"
+
+    def test_time_travel_and_vacuum(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "t"
+        for v, base in ((1, 0), (2, 10), (3, 20)):
+            df = spark.createDataFrame([(base + i,) for i in range(2)], "x long")
+            fmt.write(df, table)
+        assert fmt.versions(table) == [1, 2, 3]
+        assert _ids(spark, fmt, table, version=1) == [0, 1]
+        assert _ids(spark, fmt, table, version=2) == [10, 11]
+        assert _ids(spark, fmt, table) == [20, 21]
+        deleted = fmt.vacuum(table, keep_last=2)
+        assert deleted == ["data-000001"]
+        assert fmt.versions(table) == [2, 3]
+        assert _ids(spark, fmt, table, version=2) == [10, 11]  # kept
+        assert _ids(spark, fmt, table) == [20, 21]
+
+    def test_vacuum_reclaims_crash_orphans(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        chaos = ManifestParquetFormat(before_commit=_kill)
+        table = tmp_path / "t"
+        fmt.write(spark.range(2).select(F.col("id").alias("x")), table)
+        with pytest.raises(Killed):
+            chaos.write(spark.range(5).select(F.col("id").alias("x")), table)
+        assert (table / "data-000002").exists()  # orphan data landed
+        deleted = fmt.vacuum(table)
+        assert deleted == ["data-000002"]
+        assert _ids(spark, fmt, table) == [0, 1]
+
+    def test_incremental_dag_on_manifest_format(self, spark, tmp_path):
+        """The DAG's staged-swap path (write staging, replace into final)
+        must run unchanged on the ACID format — the seam's promise."""
+        from oroboro_dw_dbt_spark.engine import ModelGraph, SourceRegistry, model
+
+        fmt = ManifestParquetFormat()
+        sources = SourceRegistry()
+        state = {"rows": [(1, "a"), (2, "b")]}
+        sources.add_provider(
+            "feed", lambda s: s.createDataFrame(state["rows"], "k long, v string")
+        )
+
+        @model(name="inc", materialized="incremental", unique_key=("k",))
+        def inc(feed):
+            return feed
+
+        graph = ModelGraph(sources, warehouse_dir=str(tmp_path), table_format=fmt).add(inc)
+        graph.run(spark, run_tests=False)
+        assert {(r.k, r.v) for r in graph.frame("inc").collect()} == {(1, "a"), (2, "b")}
+
+        state["rows"] = [(2, "B"), (3, "c")]  # update 2, insert 3
+        graph.run(spark, run_tests=False)
+        assert {(r.k, r.v) for r in graph.frame("inc").collect()} == {
+            (1, "a"), (2, "B"), (3, "c"),
+        }
+        # both merge generations remain as committed versions
+        assert len(fmt.versions(tmp_path / "inc")) == 2
