@@ -7,12 +7,15 @@ Python (`mapInPandas`) ONLY for the decode/feature kernels — one
 Python process per partition, zero per-row overhead, schema declared up
 front so Catalyst can prune around it.
 
-The real decode kernels (PIL / torchaudio / decord) are NOT in this
-container, so `decode_media` gates them behind an import-try and raises
-NotImplementedError; `extract_media_features` and `sample_frames` run a
-deterministic byte-level kernel through the SAME plumbing (schema,
-grouping, Arrow batch shape), so the Spark-side contract is fully real
-and fully tested — swap the kernel body, keep the plan.
+The real-codec libraries (PIL / torchaudio / decord) are NOT in this
+container, so the decode path runs on dependency-free PUBLIC container
+formats instead: `encode_media_containers` wraps payload bytes in
+spec-valid BMP / PCM RIFF-WAVE / RIFF-AVI files and `decode_media`
+parses the binary headers back (struct.unpack + magic checks, bad files
+flagged ok=false, never fatal). `extract_media_features` and
+`sample_frames` run deterministic byte-level kernels through the same
+plumbing. Every kernel here shares the schema/grouping/Arrow-batch
+shape a real codec kernel needs — swap the parse body, keep the plan.
 
 Payloads here are derived from documents.text (UTF-8 bytes) — ASCII by
 construction, which lets the DuckDB oracle state the same features over
@@ -105,22 +108,164 @@ def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame
     return pruned.mapInPandas(kernel, schema=FRAMES_SCHEMA)
 
 
-def decode_media(media: DataFrame, kind: str = "image") -> DataFrame:
-    """Real decoder entry point — gated on the actual libraries.
+# ---------------------------------------------------------------------------
+# Real container codec: BMP / WAV / AVI headers, dependency-free
+# ---------------------------------------------------------------------------
+# The decode path runs REAL bytes in this sandbox: documents become
+# spec-valid containers (BITMAPINFOHEADER BMPs, PCM RIFF/WAVE, RIFF/AVI
+# with an avih main header), and decode_media parses the binary headers
+# back with struct.unpack — the same mapInPandas seam a PIL/torchaudio/
+# decord kernel plugs into, but executable and oracle-checkable here
+# because the encoded dimensions derive deterministically from n_chars.
 
-    In this container the import fails and this raises
-    NotImplementedError; on a cluster with the decode deps installed the
-    same mapInPandas shape runs (see extract_media_features for the
-    exercised twin)."""
-    try:  # pragma: no cover - decode libs absent by design
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "media decoding requires pillow/torchaudio/decord, which are "
-            "not installed here; the Arrow plumbing is exercised via "
-            "extract_media_features/sample_frames instead"
-        ) from e
-    raise NotImplementedError("decoder wiring reserved for real deployments")
+DECODE_SCHEMA = (
+    "doc_id bigint, kind string, ok boolean, width int, height int, "
+    "channels int, sample_rate int, n_units bigint, duration_ms double"
+)
+
+
+def encode_media_containers(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, kind, payload) where payload is a VALID
+    media container wrapping the text bytes: BMP for image docs, PCM
+    WAV for audio, AVI for video (kind cycles on doc_id % 3 like
+    media_from_documents). Container parameters are modular functions
+    of n_chars so an SQL oracle can predict what the decoder must read
+    back out of the binary."""
+    import struct
+
+    pruned = docs.select("doc_id", "text")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def bmp(n: int, body: bytes) -> bytes:
+            width, height = n % 31 + 1, n % 17 + 1
+            stride = (width * 3 + 3) // 4 * 4
+            pix = (body * (stride * height // max(len(body), 1) + 1))[: stride * height]
+            header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+            )
+            return header + dib + pix
+
+        def wav(n: int, body: bytes) -> bytes:
+            channels, rate = 1 + n % 2, 8000 * (1 + n % 3)
+            n_samples = n
+            data = (body * 2)[: n_samples * 2 * channels].ljust(
+                n_samples * 2 * channels, b"\x00"
+            )
+            fmt = struct.pack(
+                "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+            )
+            return (
+                struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+                + struct.pack("<4sI", b"fmt ", 16)
+                + fmt
+                + struct.pack("<4sI", b"data", len(data))
+                + data
+            )
+
+        def avi(n: int, body: bytes) -> bytes:
+            width, height = n % 63 + 2, n % 37 + 2
+            micro = n % 50000 + 20000  # µs per frame
+            frames = n % 300 + 1
+            avih = struct.pack(
+                "<IIIIIIIIIIIIII",
+                micro, 0, 0, 0, frames, 0, 1, 0, width, height, 0, 0, 0, 0,
+            )
+            hdrl = b"hdrl" + struct.pack("<4sI", b"avih", len(avih)) + avih
+            movi = b"movi" + body[:64]
+            payload = (
+                b"AVI "
+                + struct.pack("<4sI", b"LIST", len(hdrl)) + hdrl
+                + struct.pack("<4sI", b"LIST", len(movi)) + movi
+            )
+            return struct.pack("<4sI", b"RIFF", len(payload)) + payload
+
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = text.encode("utf-8")
+                n = len(text)
+                k = ("image", "audio", "video")[doc_id % 3]
+                enc = {"image": bmp, "audio": wav, "video": avi}[k]
+                ids.append(doc_id)
+                kinds.append(k)
+                payloads.append(enc(n, body))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series(kinds, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return pruned.mapInPandas(kernel, schema="doc_id bigint, kind string, payload binary")
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Parse each payload's container header into typed metadata —
+    entirely from the BYTES (struct.unpack, magic checks), never from
+    the row's metadata columns.
+
+    Emits one row per input with ``ok=false`` and null fields when the
+    magic/structure doesn't parse (the bad-file row must be flagged,
+    not kill the job — same contract as ev_json_typed for JSON). The
+    unit fields: image → (width, height, channels, n_units=pixels);
+    audio → (channels, sample_rate, n_units=samples, duration_ms);
+    video → (width, height, n_units=frames, duration_ms). A real-codec
+    deployment (PIL/torchaudio/decord) swaps the parse functions and
+    keeps this exact plan shape and schema."""
+    import struct
+
+    pruned = media.select("doc_id", "payload")
+
+    def parse(raw: bytes) -> tuple:
+        # → (kind, width, height, channels, rate, n_units, duration_ms)
+        if len(raw) >= 54 and raw[:2] == b"BM":
+            _, _, _, _, _ = struct.unpack("<2sIHHI", raw[:14])
+            size, width, height, _, bpp = struct.unpack("<IiiHH", raw[14:30])
+            if size != 40 or bpp % 8:
+                raise ValueError("bad DIB header")
+            return ("image", width, abs(height), bpp // 8, None,
+                    width * abs(height), None)
+        if len(raw) >= 44 and raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            if raw[12:16] != b"fmt ":
+                raise ValueError("missing fmt chunk")
+            (fmt_len,) = struct.unpack("<I", raw[16:20])
+            _, channels, rate, _, block, bits = struct.unpack("<HHIIHH", raw[20:36])
+            data_off = 20 + fmt_len
+            if raw[data_off : data_off + 4] != b"data":
+                raise ValueError("missing data chunk")
+            (data_len,) = struct.unpack("<I", raw[data_off + 4 : data_off + 8])
+            n_samples = data_len // block
+            # duration is emitted UNROUNDED (Python round is banker's —
+            # see functions/rounding.py); consumers round JVM-side
+            return ("audio", None, None, channels, rate, n_samples,
+                    n_samples * 1000.0 / rate)
+        if len(raw) >= 88 and raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+            if raw[12:16] != b"LIST" or raw[20:24] != b"hdrl" or raw[24:28] != b"avih":
+                raise ValueError("missing avih")
+            vals = struct.unpack("<IIIIIIIIII", raw[32:72])
+            micro, frames, width, height = vals[0], vals[4], vals[8], vals[9]
+            return ("video", width, height, None, None, frames,
+                    micro * frames / 1000.0)
+        raise ValueError("unknown container")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    kind, w, h, ch, rate, units, dur = parse(bytes(raw))
+                    rows.append((doc_id, kind, True, w, h, ch, rate, units, dur))
+                except (ValueError, struct.error):
+                    rows.append((doc_id, None, False, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "ok", "width", "height",
+                         "channels", "sample_rate", "n_units", "duration_ms"],
+            )
+
+    return pruned.mapInPandas(kernel, schema=DECODE_SCHEMA)
 
 
 PHASH_BLOCKS = 16

@@ -625,6 +625,55 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_decode_meta",
+    # a REAL decode roundtrip, executable in this sandbox: documents are
+    # wrapped in spec-valid containers (BMP / PCM RIFF-WAVE / RIFF-AVI
+    # with avih) whose geometry derives modularly from the text length,
+    # then decode_media parses the BINARY HEADERS back with struct
+    # semantics. The oracle recomputes every field straight from
+    # length(text) — a hash match means the bytes written and the bytes
+    # parsed agree on dimensions, channels, rate, units, and duration.
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           true AS ok,
+           CASE doc_id % 3
+                WHEN 0 THEN length(text) % 31 + 1
+                WHEN 2 THEN length(text) % 63 + 2 END AS width,
+           CASE doc_id % 3
+                WHEN 0 THEN length(text) % 17 + 1
+                WHEN 2 THEN length(text) % 37 + 2 END AS height,
+           CASE doc_id % 3
+                WHEN 0 THEN 3
+                WHEN 1 THEN 1 + length(text) % 2 END AS channels,
+           CASE doc_id % 3
+                WHEN 1 THEN 8000 * (1 + length(text) % 3) END AS sample_rate,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN (length(text) % 31 + 1) * (length(text) % 17 + 1)
+                WHEN 1 THEN length(text)
+                ELSE length(text) % 300 + 1 END AS BIGINT) AS n_units,
+           CASE doc_id % 3
+                WHEN 1 THEN round(length(text) * 1000.0
+                                  / (8000 * (1 + length(text) % 3)), 6)
+                WHEN 2 THEN round((length(text) % 50000 + 20000)
+                                  * (length(text) % 300 + 1) / 1000.0, 6)
+                END AS duration_ms
+    FROM documents
+    """,
+    survey_ref="beyond-reference: multimodal decode — real container "
+    "parsing (BMP/WAV/AVI headers) through the Arrow kernel seam; the "
+    "PIL/torchaudio/decord kernel swaps in with the same plan + schema",
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.multimodal import decode_media, encode_media_containers
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(encode_media_containers(docs))
+    return decoded.withColumn("duration_ms", F.round("duration_ms", 6))
+
+
+@query(
     "ev_top_paths",
     oracle="""
     WITH seq AS (
