@@ -20,6 +20,28 @@ import time
 from oroboro_dw_dbt_spark.operators import QUERIES
 from oroboro_dw_dbt_spark.session import get_spark
 
+
+def _host_load() -> dict:
+    """Contention snapshot: loadavg + cumulative steal jiffies. Judged
+    cross-round comparisons discard runs whose load/steal say the box
+    was busy (BASELINE.md documents 6 s vs 367 s for identical code)."""
+    snap: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            snap["loadavg_1m"], snap["loadavg_5m"], snap["loadavg_15m"] = [
+                float(x) for x in f.read().split()[:3]
+            ]
+    except OSError:
+        pass
+    try:
+        with open("/proc/stat") as f:
+            cpu = f.readline().split()  # cpu user nice system idle iowait irq softirq steal ...
+        if len(cpu) > 8:
+            snap["steal_jiffies"] = int(cpu[8])
+    except (OSError, ValueError):
+        pass
+    return snap
+
 HEADLINE = [
     # relational core
     "q1_pricing_summary",
@@ -49,6 +71,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_before = _host_load()
     spark = get_spark("bench")
 
     # warm up: JVM + parquet footer reads, and the Python worker pool
@@ -74,12 +97,23 @@ def main() -> None:
             t = min(t, run_once(name))
         timings[name] = t
 
+    load_after = _host_load()
+    steal_delta = (
+        load_after.get("steal_jiffies", 0) - load_before.get("steal_jiffies", 0)
+        if "steal_jiffies" in load_after and "steal_jiffies" in load_before
+        else None
+    )
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load": {
+            "before": load_before,
+            "after": load_after,
+            "steal_jiffies_delta": steal_delta,
+        },
     }
     print(json.dumps(out))
 

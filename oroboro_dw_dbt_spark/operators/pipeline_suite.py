@@ -364,6 +364,48 @@ def ch_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(docs, budget=2000)
 
 
+@query(
+    "ch_pack_shards_banded",
+    # the composite-grouping mode (SCALE.md "Window-family caveats"):
+    # group on (source, doc_id DIV 500) so one source dominating the
+    # corpus can no longer serialize its own running-sum window — the
+    # sequential unit is capped at 500 docs regardless of skew. Shard
+    # ids become per-(source, band); budget still overflows by at most
+    # one document within every subgroup (pinned in
+    # tests/test_pipeline_ops.py — DuckDB here certifies the values).
+    oracle=f"""
+    WITH t AS (
+      SELECT source, CAST(doc_id // 500 AS INT) AS band, doc_id,
+             len({_TOKS}) AS n_tok
+      FROM documents
+    )
+    SELECT source, band, doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(floor(coalesce(sum(n_tok) OVER (
+             PARTITION BY source, band ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+             AS INT) AS shard_id,
+           CAST(coalesce(sum(n_tok) OVER (
+             PARTITION BY source, band ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS tokens_before
+    FROM t
+    """,
+    survey_ref=(
+        "beyond-reference: shard packing under skew — composite "
+        "(source, doc_id band) grouping bounds the sequential unit at "
+        "band size; the knob that survives a one-source-dominated corpus"
+    ),
+)
+def ch_pack_shards_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.text.pipeline import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "band", F.expr("CAST(doc_id DIV 500 AS INT)")
+    )
+    return pack_shards(docs, budget=2000, group_col=["source", "band"])
+
+
 # ---------------------------------------------------------------------------
 # The corpus-build DAG end-to-end: quality -> dedup -> mix -> shards, run
 # through the engine (views + partitioned table mart + data tests) — the

@@ -202,6 +202,41 @@ class TestPackShards:
         assert [out[i]["shard_id"] for i in range(4)] == [0, 0, 1, 0]
         assert out[2]["tokens_before"] == 12
 
+    def test_composite_banding_bounds_the_sequential_unit(self, spark):
+        """A one-source-dominated corpus: 90 of 100 docs in one source.
+        Banding on doc_id DIV 10 caps every running-sum window at 10
+        docs, and within each (source, band) subgroup the budget still
+        overflows by at most one document."""
+        from pyspark.sql import functions as F
+
+        from oroboro_dw_dbt_spark.text.pipeline import pack_shards
+
+        rows = [(i, " ".join(["w"] * (3 + i % 5)), "big" if i < 90 else "s" + str(i))
+                for i in range(100)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        banded = docs.withColumn("band", F.expr("CAST(doc_id DIV 10 AS INT)"))
+        out = pack_shards(banded, budget=12, group_col=["source", "band"]).collect()
+
+        from collections import defaultdict
+
+        subgroup = defaultdict(list)
+        for r in out:
+            subgroup[(r.source, r.band)].append(r)
+        # sequential unit bounded by band size regardless of source skew
+        assert max(len(v) for v in subgroup.values()) <= 10
+        assert len([k for k in subgroup if k[0] == "big"]) == 9  # bands 0..8
+        # budget: every shard's token total <= budget + (its last doc - 1)
+        for (src, band), rs in subgroup.items():
+            per_shard = defaultdict(list)
+            for r in rs:
+                per_shard[r.shard_id].append(r)
+            for sid, docs_in in per_shard.items():
+                total = sum(d.n_tokens for d in docs_in)
+                largest = max(d.n_tokens for d in docs_in)
+                assert total <= 12 + largest - 1 or len(docs_in) == 1
+            # shard ids are contiguous from 0 within the subgroup
+            assert sorted(per_shard) == list(range(len(per_shard)))
+
 
 class TestCorpusGraph:
     def test_dag_lifecycle_and_tests(self, spark, tmp_path):
