@@ -722,3 +722,83 @@ def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion: view -> click -> purchase
+# ---------------------------------------------------------------------------
+@query(
+    "ev_funnel",
+    # each stage requires a strictly LATER event than the previous
+    # stage's completion time — the ordered-funnel semantic (a purchase
+    # before the first view does not convert), computed in two bounded
+    # aggregates, never a per-user sort of the whole event log
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'click_after_view', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'purchase_after_click', CAST(count(*) AS BIGINT) FROM p
+    ) t
+    """,
+    survey_ref="beyond-reference: ordered funnel analysis — stagewise "
+    "conditional-min aggregation (product-analytics staple; each stage "
+    "is a groupBy + semi-join, shuffle on user_id reused throughout)",
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: first view, first click AFTER that view,
+    first purchase AFTER that click; one row per stage with surviving
+    user counts. Each stage is a filtered groupBy(user_id) joined to
+    the previous stage's completion times — every shuffle is on
+    user_id, so at 100 TB the three stages co-partition and the event
+    log streams once per stage with map-side pre-aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        ).select("stage", "step", "n_users")
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click_after_view"))
+        .unionByName(stage(p, 3, "purchase_after_click"))
+    )

@@ -1081,3 +1081,142 @@ def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_fuzzy_match(
         dirty, master, lambda c: F.substring(c, -4, 4), max_dist=2
     ).withColumn("dist", F.col("dist").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build: the tokenizer-training prep step
+# ---------------------------------------------------------------------------
+@query(
+    "t_vocab_build",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    c AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY token HAVING count(*) >= 5
+    )
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS token_id
+    FROM c
+    """,
+    survey_ref="beyond-reference: vocabulary construction — min-count "
+    "filter + deterministic contiguous id assignment (the "
+    "tokenizer-training prep step)",
+)
+def t_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with contiguous frequency-ranked ids: explode
+    tokens (map-side partial counts collapse the heavy tail before the
+    shuffle), min-count filter, then ids by row_number over the pinned
+    (count DESC, token ASC) total order. The global window runs over the
+    VOCABULARY, not the corpus — vocab grows ~log with corpus size, so
+    the single-task id assignment stays bounded at 100 TB (and the
+    two-phase ranking rewrite in ops/ranking.py is the escape hatch if
+    a tokenizer ever needs billions of types)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return counts.withColumn("token_id", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Per-language length outliers: exact-percentile corpus filtering
+# ---------------------------------------------------------------------------
+@query(
+    "t_length_outliers",
+    # exact interpolated percentiles per language (the quantile_cont /
+    # F.percentile agreement is certified by a_exact_percentiles); the
+    # outlier flag compares against the ROUNDED bounds on both engines
+    # so the boundary decision is bit-identical
+    oracle="""
+    WITH p AS (
+      SELECT lang,
+             round(quantile_cont(n_chars, 0.05), 6) AS p05,
+             round(quantile_cont(n_chars, 0.95), 6) AS p95
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, d.doc_id, d.n_chars, p.p05, p.p95,
+           d.n_chars < p.p05 OR d.n_chars > p.p95 AS is_outlier
+    FROM documents d JOIN p ON d.lang = p.lang
+    """,
+    survey_ref="beyond-reference: per-language length-outlier filter — "
+    "exact percentile thresholds broadcast back over the corpus (the "
+    "adaptive length-filter shape, vs fixed cutoffs)",
+)
+def t_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag documents outside their language's [p05, p95] length band.
+    Plan: one tiny per-language percentile aggregate (exact
+    interpolation — languages are few, each group's sort is bounded),
+    broadcast-joined back over the corpus; the scan stays one pass and
+    the corpus never shuffles. The 100 TB variant swaps the exact
+    percentile for approx_percentile with the same join shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    pcts = docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", 0.05), 6).alias("p05"),
+        F.round(F.percentile("n_chars", 0.95), 6).alias("p95"),
+    )
+    return docs.join(F.broadcast(pcts), "lang").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        "p05",
+        "p95",
+        ((F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95"))).alias(
+            "is_outlier"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing weights (multilingual sampling)
+# ---------------------------------------------------------------------------
+@query(
+    "sp_temperature_weights",
+    # p_i^alpha re-weighting (alpha=0.7): the standard temperature
+    # sampling that up-weights small sources. Integer inputs, one libm
+    # pow per source, outputs rounded to 6 — the same cross-engine float
+    # discipline as the haversine entries
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT *, CAST(n_chars AS DOUBLE) / sum(n_chars) OVER () AS p_raw,
+             pow(CAST(n_chars AS DOUBLE) / sum(n_chars) OVER (), 0.7) AS w_un
+      FROM s
+    )
+    SELECT source, n_docs, n_chars,
+           round(p_raw, 6) AS p_raw,
+           round(w_un / sum(w_un) OVER (), 6) AS w_temp
+    FROM t
+    """,
+    survey_ref="beyond-reference: temperature-based source mixing "
+    "(p^0.7 re-weighting — multilingual/multi-source sampling prep)",
+)
+def sp_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights under temperature alpha=0.7:
+    w_i = p_i^alpha / sum(p^alpha), where p_i is the source's char
+    share. One KB-scale aggregate (sources are few); the global windows
+    run over the source list, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    w_all = Window.partitionBy()
+    p_raw = F.col("n_chars").cast("double") / F.sum("n_chars").over(w_all)
+    t = s.withColumn("p_raw", p_raw).withColumn("w_un", F.pow(p_raw, F.lit(0.7)))
+    return t.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(F.col("w_un") / F.sum("w_un").over(w_all), 6).alias("w_temp"),
+    )
