@@ -1220,3 +1220,111 @@ def sp_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_raw", 6).alias("p_raw"),
         F.round(F.col("w_un") / F.sum("w_un").over(w_all), 6).alias("w_temp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics novelty score (the perplexity-filter shape, exact)
+# ---------------------------------------------------------------------------
+@query(
+    "t_bigram_novelty",
+    # the CCNet/perplexity-filter SHAPE with fully deterministic math:
+    # a corpus bigram model scores each document by its mean smoothed
+    # bigram probability (B(w1,w2)+1)/(U(w1)+V). No logarithms — probed
+    # this session, Spark and DuckDB ln() disagree in the last ulp on
+    # 9% of rational inputs — instead IEEE division (exactly rounded,
+    # so bit-identical cross-engine) quantized to nano-units and summed
+    # in integers (order-independent), divided once per doc.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    bg0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> {{'w1': t[i], 'bigram': t[i] || ' ' || t[i+1]}})) AS x
+      FROM toks WHERE len(t) >= 2
+    ),
+    bg AS (SELECT doc_id, x.w1 AS w1, x.bigram AS bigram FROM bg0),
+    uni AS (
+      SELECT t_u AS w1, CAST(count(*) AS BIGINT) AS u
+      FROM toks, unnest(t) AS un(t_u) GROUP BY t_u
+    ),
+    v AS (SELECT count(DISTINCT t_u) AS v FROM toks, unnest(t) AS un(t_u)),
+    bgc AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS b FROM bg GROUP BY bigram
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(floor((bgc.b + 1.0) / (uni.u + v.v) * 1000000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM bg JOIN bgc ON bg.bigram = bgc.bigram
+              JOIN uni ON bg.w1 = uni.w1
+              CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(q) / (count(*) * 1000000000.0), 6) AS mean_bigram_p
+    FROM scored GROUP BY doc_id
+    """,
+    survey_ref="beyond-reference: corpus-LM document scoring — the "
+    "perplexity-filter pipeline shape (corpus model + per-doc score) "
+    "with order-independent integer-quantized aggregation",
+)
+def t_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document against a corpus bigram model: mean add-1
+    smoothed bigram probability. Low score = unusual token sequences
+    (novel or noisy), high = formulaic — the quality/novelty signal a
+    perplexity filter provides, minus the neural LM.
+
+    Plan at 100 TB: two vocabulary-bounded aggregates (bigram and
+    unigram counts — vocab grows ~log with corpus), one scalar V
+    broadcast, then the bigram stream joins its counts — shuffles on
+    bigram/w1 keys with map-side combine, or plain broadcasts when the
+    model fits (vocab² in the worst case, bounded in practice). The
+    per-doc mean uses floor(p·1e9+0.5) BIGINT quantization so float
+    summation order can never flip a hash (same discipline as
+    ss_label_centroids)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.col("t")[i].alias("w1"),
+                    F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]).alias("bigram"),
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.w1").alias("w1"), F.col("x.bigram").alias("bigram"))
+
+    all_toks = docs.select(F.explode(tokens("text")).alias("w"))
+    uni = all_toks.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("u")
+    )
+    v = all_toks.agg(F.countDistinct("w").alias("v"))
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+
+    scored = (
+        bg.join(bgc, "bigram")
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.col("b") + F.lit(1.0))
+                / (F.col("u") + F.col("v"))
+                * F.lit(1_000_000_000)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("q") / (F.count(F.lit(1)) * F.lit(1_000_000_000.0)), 6
+        ).alias("mean_bigram_p"),
+    )

@@ -178,10 +178,14 @@ class TestMultimodal:
         assert got == naive
         assert naive, "fixture must contain near-dup payloads"
 
-    def test_decode_stub_gated(self, spark):
+    def test_decode_flags_noncontainer_payloads(self, spark):
+        """media_from_documents payloads are raw text bytes, not
+        containers — decode_media must flag each row ok=false rather
+        than raise (the old stub raised NotImplementedError; the decode
+        path is now real, tests/test_multimodal.py)."""
         media = media_from_documents(load_table(spark, SF, "documents"))
-        with pytest.raises(NotImplementedError):
-            decode_media(media)
+        out = decode_media(media).select("ok").distinct().collect()
+        assert [r.ok for r in out] == [False]
 
 
 def test_stream_dedup_recovers_original(spark):
