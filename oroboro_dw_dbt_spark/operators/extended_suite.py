@@ -1271,3 +1271,96 @@ def eng_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph = ModelGraph(sources).add(orc_rollup)
     graph.run(spark, select=["orc_rollup"], run_tests=False)
     return graph.frame("orc_rollup")
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+@query(
+    "j_null_safe_join",
+    # NULL keys match each other under <=>, unlike '=' which drops them
+    # — the semantic a dedup-by-nullable-business-key pipeline needs.
+    # Fixture: orders bucketed by a key that is NULL for every third
+    # order, self-joined null-safely at equal bucket counts.
+    oracle="""
+    WITH k AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 7 AS INT) END AS nk
+      FROM orders WHERE o_orderkey <= 600
+    )
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           a.nk AS nk
+    FROM k a JOIN k b
+      ON a.nk IS NOT DISTINCT FROM b.nk AND a.o_orderkey < b.o_orderkey
+    """,
+    survey_ref="beyond-reference: null-safe equi-join (<=> / "
+    "IS NOT DISTINCT FROM) — NULL business keys group together instead "
+    "of silently dropping from the join",
+)
+def j_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe self-join: eqNullSafe compiles to a hash-join key that
+    treats NULL as a value (<=>), so NULL-keyed rows co-partition and
+    match — still a shuffle-hash/broadcast equi-join in the plan, NOT a
+    nested loop (a naive `a.nk = b.nk OR both null` predicate degrades
+    to BroadcastNestedLoopJoin; asserted in tests/test_plans.py)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 600)
+    k = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("o_orderkey") % 7).cast("int"))
+        .alias("nk"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.nk").eqNullSafe(F.col("b.nk"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            F.col("a.nk").alias("nk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG / string_agg)
+# ---------------------------------------------------------------------------
+@query(
+    "a_string_agg_ordered",
+    # deterministic listagg: collect, SORT, then join — collect_list
+    # order is partition-dependent, so the explicit array_sort is what
+    # makes the concatenation reproducible (the W4 lesson applied to
+    # aggregation)
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey) AS keys_csv,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderkey <= 200
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="beyond-reference: ordered string aggregation "
+    "(LISTAGG/string_agg with ORDER BY — deterministic via explicit "
+    "sort before join)",
+)
+def a_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group CSV of keys in pinned numeric order. collect_list's
+    order is whatever the partitions delivered — array_sort on the
+    NUMERIC values before stringification pins it (sorting the strings
+    would put 100 before 2). One shuffle with map-side partials."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("keys_csv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -108,6 +108,15 @@ class TestPlanShapes:
         assert set(smj_keys) <= {"id", "location_id", "user_id"}, smj_keys
         assert plan.count("SortMergeJoin") <= 12, plan.count("SortMergeJoin")
 
+    def test_null_safe_join_is_a_hash_join(self, spark):
+        """eqNullSafe must compile to a hash-joinable key — the naive
+        `a.nk = b.nk OR (both null)` spelling degrades to a
+        BroadcastNestedLoopJoin, which is the cluster-killer this entry
+        exists to avoid."""
+        plan = _plan(spark, "j_null_safe_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_q18_aggregates_below_the_join(self, spark):
         # the HAVING pre-aggregate must appear beneath the orders join:
         # in the formatted plan the lineitem aggregate node is a child of
