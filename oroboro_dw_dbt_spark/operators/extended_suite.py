@@ -1364,3 +1364,54 @@ def a_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keys_csv"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (storage-level shuffle elimination)
+# ---------------------------------------------------------------------------
+@query(
+    "eng_bucketed_join",
+    # value-identity certification of the bucketed path: the join result
+    # over bucketed catalog tables must equal the same join computed
+    # straight from the source parquet (the oracle). The shuffle-free
+    # plan property is asserted in tests/test_bucketing.py — DuckDB
+    # cannot see Spark's physical plan, but it can prove the rows.
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey_ref="beyond-reference: bucketed co-located join — the "
+    "pay-the-shuffle-once storage lever (write bucketBy+sortBy, join "
+    "with zero Exchange; plan asserted in tests/test_bucketing.py)",
+)
+def eng_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders and customer bucketed by the join key into the
+    session catalog, then join them co-located and aggregate. At 100 TB
+    this is the storage decision that turns every repeated fact-dim
+    join on the key into a zero-Exchange plan; bucket count is a
+    capacity choice (one bucket ≈ one core's memory)."""
+    from oroboro_dw_dbt_spark.sources.bucketing import colocated_join, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders_entry", ["o_custkey"], 8,
+    )
+    write_bucketed(
+        cust.select("c_custkey", "c_mktsegment"), "b_customer_entry", ["c_custkey"], 8
+    )
+    joined = colocated_join(
+        spark, "b_orders_entry", "b_customer_entry",
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
