@@ -20,7 +20,31 @@ Rules of engagement encoded here:
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """Remove a managed-table directory orphaned by a previous process.
+
+    ``mode("overwrite").saveAsTable`` replaces a table the CATALOG knows
+    about, but a fresh session starts with an empty in-memory catalog
+    while the warehouse directory persists on disk — Spark then refuses
+    the write with LOCATION_ALREADY_EXISTS. Only a local filesystem
+    warehouse is handled (the test/driver topology); on a cluster the
+    table lives in a real metastore and overwrite works as documented.
+    """
+    if spark.catalog.tableExists(table):
+        return  # catalog-managed: overwrite handles replacement itself
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if warehouse.scheme not in ("", "file"):
+        return
+    stale = Path(warehouse.path) / table.split(".")[-1].lower()
+    if stale.exists():
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def write_bucketed(
@@ -32,6 +56,7 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a bucketed (optionally sorted) catalog table,
     replacing any previous version."""
+    _clear_stale_location(df.sparkSession, table)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort:
         writer = writer.sortBy(*bucket_cols)
