@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from oroboro_dw_dbt_spark.operators.catalog import query
 from oroboro_dw_dbt_spark.operators.relational import PRICE_DEC, RATE_DEC
+from oroboro_dw_dbt_spark.ops.graph import pagerank, pagerank_oracle_sql
 from oroboro_dw_dbt_spark.sources.testdata import load_table
 
 
@@ -248,4 +249,59 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("low"),
         F.max_by("value", tiebreak).alias("close"),
         F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative PageRank over the event-type transition graph.
+# ---------------------------------------------------------------------------
+_PR_EDGES_SQL = """
+    SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS w
+    FROM (SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events)
+    WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "gr_pagerank",
+    # the oracle is the UNROLLED fixed-point iteration — identical
+    # integer constants and floor-divisions as ops/graph.py, one CTE
+    # per round, so both engines walk the exact same trajectory
+    oracle=pagerank_oracle_sql(_PR_EDGES_SQL, iterations=5),
+    survey_ref="beyond-reference: iterative algorithm (damped PageRank, "
+    "5 fixed-point power iterations; driver-owned loop of edge⋈rank "
+    "joins — the Pregel pattern on DataFrames)",
+)
+def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank of event types in the user-session transition graph.
+
+    Edge build: one window (lag over each user's ordered events) and
+    one count aggregation — the fact is scanned once. The iteration
+    then never touches the fact again: 5 rounds of edges⋈ranks with
+    integer fixed-point arithmetic (see ops/graph.py for why integer:
+    bit-identical across engines AND partitionings). Node count here is
+    the handful of event types, but the implementation is generic over
+    any (src, dst, w) frame — at 100 TB of edges the same loop holds
+    with the edge list persisted and pre-partitioned by src."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("dst"),
+            F.lag("event_type").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    ranks = pagerank(edges, iterations=5)
+    return ranks.select(
+        "node",
+        F.round(F.col("r").cast("double") / F.lit(10.0**12), 8)
+        .cast("double")
+        .alias("pr"),
     )

@@ -71,3 +71,124 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: not converged after {max_iter} sweeps")
+
+
+# ---------------------------------------------------------------------------
+# PageRank: the power-iteration template
+# ---------------------------------------------------------------------------
+# PageRank complements connected_components as the second iterative-
+# algorithm shape: state is a (node, value) frame, each round is one
+# join of state against the edge list plus an aggregation, the DRIVER
+# owns the loop (the Pregel pattern on DataFrames; GraphFrames is this
+# productized). Scale shape at 100 TB of edges:
+# - the edge list is scanned once per iteration: persist it
+#   (DISK_ONLY on a cluster) and pre-partition by src so every
+#   iteration's join reuses one partitioning;
+# - the rank state is |V| rows — joined BY KEY against edges, never
+#   collected; per-edge contributions pre-combine map-side;
+# - iteration count is fixed (power iteration converges geometrically)
+#   so no driver-side convergence collect is needed.
+# Determinism: ranks are FIXED-POINT integers (scale 1e12); every op is
+# integer multiply / floor-division / sum, so results are bit-identical
+# on any engine and any partitioning — no float summation-order noise.
+# The 1e-12 quantization error per step is orders below PageRank's own
+# convergence tolerance.
+
+SCALE = 10**12  # fixed-point scale for rank values
+DAMP_NUM, DAMP_DEN = 17, 20  # damping d = 0.85 as an exact ratio
+
+
+def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Damped PageRank over a weighted edge list (src, dst, w).
+
+    Dangling mass (nodes with no out-edges) is redistributed uniformly
+    each iteration, so total rank is conserved up to quantization.
+    Returns (node, r) with r at fixed-point SCALE.
+    """
+    edges = edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    # carry each src's total out-weight on the edge rows once, so the
+    # per-iteration join is rank ⋈ edges only
+    ew = edges.join(outw, "src")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # one scalar; |V| is needed in the constants
+    base = (15 * SCALE) // (100 * n_nodes)  # (1-d)/N at fixed point
+
+    ranks = nodes.withColumn("r", F.lit(SCALE // n_nodes).cast("bigint"))
+    out_nodes = outw.select(F.col("src").alias("node"))
+    for _ in range(iterations):
+        contribs = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * w) div ow").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            ranks.join(out_nodes, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dang"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({DAMP_NUM} * (coalesce(contrib, 0)"
+                        f" + dang div {n_nodes})) div {DAMP_DEN}"
+                    )
+                ).cast("bigint").alias("r"),
+            )
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str, iterations: int = 5, final_round: int = 8
+) -> str:
+    """The EXACT unrolled-SQL twin of :func:`pagerank` for the DuckDB
+    oracle: same fixed-point constants, same integer floor-divisions,
+    one CTE per iteration."""
+    s = SCALE
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"it0 AS (SELECT node, CAST({s} AS BIGINT) // n AS r FROM nodes, nn)",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"it{k - 1}"
+        parts.append(
+            f"""it{k} AS (
+  SELECT n2.node,
+         CAST((15 * {s}) // (100 * nn.n)
+              + ({DAMP_NUM} * (COALESCE(c.contrib, 0) + dang.d // nn.n))
+                // {DAMP_DEN} AS BIGINT) AS r
+  FROM nodes n2
+  LEFT JOIN (SELECT e.dst AS node,
+                    CAST(sum((p.r * e.w) // o.ow) AS BIGINT) AS contrib
+             FROM edges e
+             JOIN {p} p ON p.node = e.src
+             JOIN outw o ON o.src = e.src
+             GROUP BY e.dst) c ON c.node = n2.node
+  CROSS JOIN (SELECT COALESCE(sum(p.r), 0) AS d
+              FROM {p} p LEFT JOIN outw o ON o.src = p.node
+              WHERE o.src IS NULL) dang
+  CROSS JOIN nn)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, CAST(round(CAST(r AS DOUBLE) / {s}, {final_round})"
+        f" AS DOUBLE) AS pr FROM it{iterations}"
+    )

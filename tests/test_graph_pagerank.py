@@ -1,0 +1,60 @@
+"""PageRank invariants (ops/graph.py): conservation, dangling mass,
+known closed forms."""
+
+from __future__ import annotations
+
+import pytest
+
+from oroboro_dw_dbt_spark.ops.graph import SCALE, pagerank
+
+
+def _pr(spark, edges, iterations=5):
+    df = spark.createDataFrame(edges, "src string, dst string, w bigint")
+    return {
+        r["node"]: r["r"] for r in pagerank(df, iterations=iterations).collect()
+    }
+
+
+def test_rank_mass_conserved(spark):
+    """Total rank stays ~1.0: dangling redistribution means no mass
+    leaks (up to integer-floor quantization, << 1e-6 of total)."""
+    edges = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1)]
+    ranks = _pr(spark, edges)
+    assert abs(sum(ranks.values()) - SCALE) < 100  # a few floor ops of loss
+
+
+def test_symmetric_cycle_is_uniform(spark):
+    """A 3-cycle with equal weights has the uniform stationary
+    distribution — each node exactly 1/3 at any iteration count."""
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+    ranks = _pr(spark, edges, iterations=7)
+    third = SCALE // 3
+    for v in ranks.values():
+        assert abs(v - third) < 100
+
+
+def test_sink_accumulates_rank(spark):
+    """star -> hub: the hub (everyone's target, itself dangling) must
+    out-rank the leaves."""
+    edges = [("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 1)]
+    ranks = _pr(spark, edges)
+    assert ranks["hub"] > ranks["a"] == ranks["b"] == ranks["c"]
+
+
+def test_weights_matter(spark):
+    """Heavier edge => more rank at its target (b gets 3/4 of a's
+    out-mass vs c's 1/4)."""
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)]
+    ranks = _pr(spark, edges)
+    assert ranks["b"] > ranks["c"]
+
+
+def test_deterministic_across_partitionings(spark):
+    """Fixed-point arithmetic: the same graph under a different
+    partition count yields bit-identical ranks."""
+    edges = [(f"n{i}", f"n{(i * 7 + 1) % 13}", i % 3 + 1) for i in range(13)]
+    df1 = spark.createDataFrame(edges, "src string, dst string, w bigint")
+    df2 = df1.repartition(17, "dst")
+    r1 = {r["node"]: r["r"] for r in pagerank(df1, 4).collect()}
+    r2 = {r["node"]: r["r"] for r in pagerank(df2, 4).collect()}
+    assert r1 == r2
