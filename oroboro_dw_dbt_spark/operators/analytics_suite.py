@@ -305,3 +305,64 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("pr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus chunk-dedup with document reassembly.
+# ---------------------------------------------------------------------------
+@query(
+    "t_dedup_paragraphs",
+    # same chunking arithmetic on both engines: 10-token windows via
+    # 1-based inclusive list slicing; first-occurrence = row_number
+    # over (chunk) ordered by (doc_id, chunk_idx); reassembly =
+    # order-pinned string_agg
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    ix AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+               0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1)) AS i
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+      FROM ix
+    ),
+    kept AS (
+      SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+      FROM ch GROUP BY doc_id
+    )
+    SELECT tot.doc_id,
+           COALESCE(agg.clean_text, '') AS clean_text,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           tot.n_chunks - COALESCE(agg.n_kept, 0) AS n_dropped
+    FROM tot LEFT JOIN agg ON agg.doc_id = tot.doc_id
+    """,
+    survey_ref="beyond-reference: C4-style corpus-wide chunk dedup with "
+    "document reassembly (keep-first by content, order-pinned rebuild)",
+)
+def t_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-deduplicated documents: every 10-token chunk that appears
+    earlier anywhere in the corpus is stripped, and each document is
+    reassembled from its surviving chunks (see text/pipeline.py
+    dedup_chunks for the two-shuffle plan and 100 TB notes)."""
+    from oroboro_dw_dbt_spark.text.pipeline import dedup_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_chunks(docs, chunk_tokens=10)

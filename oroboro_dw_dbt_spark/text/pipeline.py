@@ -327,6 +327,82 @@ def quality_filter(
 
 
 # --------------------------------------------------------------------------
+# Intra-corpus chunk dedup with document reassembly (C4 line-dedup shape)
+# --------------------------------------------------------------------------
+
+
+def dedup_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Remove corpus-wide duplicate chunks and reassemble documents.
+
+    The C4 cleaning step ("discard any line that appears elsewhere in
+    the corpus, keep the first occurrence") generalized to fixed
+    ``chunk_tokens``-token windows, since this corpus has no line
+    structure. Pipeline:
+
+    1. chunk every doc into consecutive token windows (row-local);
+    2. keep each distinct chunk's FIRST occurrence — row_number over a
+       window partitioned by the chunk CONTENT, ordered by
+       (doc_id, chunk_idx): one shuffle, keyed on the chunk (at 100 TB
+       hash the chunk to a 128-bit key for the shuffle and keep the
+       text beside it; identical plan);
+    3. reassemble survivors per doc in original order (second shuffle,
+       on doc_id) and report kept/dropped counts per document.
+
+    Both shuffles carry one row per CHUNK, never all-pairs; the
+    dedup-by-content window is the exact-groupBy dedup shape of
+    dd_exact applied to sub-document granularity.
+    """
+    toks = tokens(text)
+    base = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        toks.alias("_toks"),
+        F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int").alias("_nch"),
+    )
+    chunk_of = lambda i: F.array_join(  # noqa: E731
+        F.slice("_toks", i * chunk_tokens + 1, chunk_tokens), " "
+    )
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.col("_nch") - 1), chunk_of)
+        ).alias("chunk_idx", "chunk"),
+    )
+    first = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunks.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
+    )
+    return (
+        base.select("doc_id", F.col("_nch").cast("bigint").alias("_n_chunks"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("_n_chunks") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Shard packing (token-budget assignment for training-shard writes)
 # --------------------------------------------------------------------------
 
