@@ -366,3 +366,74 @@ def t_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_chunks(docs, chunk_tokens=10)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance computation (PQ-ADC).
+# ---------------------------------------------------------------------------
+_PQ_L2 = (
+    "CAST(list_sum(list_transform(range(1, 17), d -> "
+    "(v.q[s2.j * 16 + d] - s.q[s2.j * 16 + d])"
+    " * (v.q[s2.j * 16 + d] - s.q[s2.j * 16 + d]))) AS BIGINT)"
+)
+
+_PQ_ORACLE = f"""
+    WITH qe AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q
+      FROM (SELECT vec_id, q FROM qe ORDER BY vec_id LIMIT 16)
+    ),
+    subs AS (SELECT unnest(range(0, 4)) AS j),
+    ad AS (
+      SELECT v.vec_id, s2.j, s.c, {_PQ_L2} AS dist
+      FROM qe v CROSS JOIN seeds s CROSS JOIN subs s2
+    ),
+    codes AS (
+      SELECT vec_id, j, arg_min(c, dist * 16 + c) AS code
+      FROM ad GROUP BY vec_id, j
+    ),
+    dtable AS (
+      SELECT v.vec_id AS query_id, s2.j, s.c, {_PQ_L2} AS d
+      FROM qe v CROSS JOIN seeds s CROSS JOIN subs s2
+      WHERE v.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)
+    ),
+    pairs AS (
+      SELECT t.query_id, a.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
+      FROM codes a JOIN dtable t ON a.j = t.j AND a.code = t.c
+      WHERE a.vec_id != t.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+          FROM pairs) r
+    WHERE rank <= 5
+"""
+
+
+@query(
+    "ss_pq_adc_topk",
+    # every distance is an exact integer (scale-1000 quantization,
+    # round-half-away-from-zero on both engines), argmin ties break to
+    # the lowest code id on both sides (array_position first-match ==
+    # arg_min over the dist*16+c composite), so the hash is exact
+    oracle=_PQ_ORACLE,
+    survey_ref="beyond-reference: product quantization + asymmetric "
+    "distance computation (Jegou et al. 2011 / FAISS IVF-PQ design) — "
+    "the 16x-compressed candidate scan with a broadcast lookup table",
+)
+def ss_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-5 neighbors for the 8 query vectors: the
+    candidate side is reduced to (vec_id, 4 codes), the per-query
+    distance table is KB-sized and broadcast, and scoring is lookup +
+    add — see similarity/pq.py for the full 100 TB argument."""
+    from oroboro_dw_dbt_spark.operators.training_suite import QUERY_VEC_IDS
+    from oroboro_dw_dbt_spark.similarity.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, QUERY_VEC_IDS, k_neighbors=5)
