@@ -98,12 +98,21 @@ SCALE = 10**12  # fixed-point scale for rank values
 DAMP_NUM, DAMP_DEN = 17, 20  # damping d = 0.85 as an exact ratio
 
 
-def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
+def pagerank(
+    edges: DataFrame, iterations: int = 5, checkpoint_every: int = 4
+) -> DataFrame:
     """Damped PageRank over a weighted edge list (src, dst, w).
 
     Dangling mass (nodes with no out-edges) is redistributed uniformly
     each iteration, so total rank is conserved up to quantization.
     Returns (node, r) with r at fixed-point SCALE.
+
+    Lineage grows ~3× per iteration (contribs and dangling both
+    re-reference the rank state), so every ``checkpoint_every`` rounds
+    the state is truncated with an eager localCheckpoint — the same
+    plan-explosion guard as connected_components (cluster substitute:
+    a checkpoint dir / persist, values unchanged since all arithmetic
+    is integer-exact).
     """
     edges = edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
@@ -120,7 +129,7 @@ def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
 
     ranks = nodes.withColumn("r", F.lit(SCALE // n_nodes).cast("bigint"))
     out_nodes = outw.select(F.col("src").alias("node"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             ew.join(ranks, ew.src == ranks.node)
             .select(
@@ -148,6 +157,8 @@ def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
                 ).cast("bigint").alias("r"),
             )
         )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

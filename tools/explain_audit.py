@@ -50,6 +50,12 @@ NESTED_LOOP_OK = {
     "ss_ivf_topk",
     # 1-row broadcast cross join attaching the scalar n_docs — O(n)
     "t_tfidf_top_terms",
+    # same shape: the decorrelated global-average scalar is a 1-row
+    # broadcast cross join (TPC-H Q22's uncorrelated scalar subquery)
+    "q22_idle_customer_balance",
+    # same shape: per-iteration dangling-mass scalar (1-row aggregate)
+    # broadcast-crossed onto the |V|-row rank state
+    "gr_pagerank",
 }
 # streaming entries execute eagerly inside the builder; explain() on the
 # returned batch result reflects the memory sink, not the stream plan
