@@ -53,6 +53,7 @@ HEADLINE = [
     "ref_user_base",
     # training-data ops
     "t_text_profile",
+    "t_dedup_paragraphs",  # C4-style chunk dedup + reassembly (round 5)
     "dd_minhash_lsh",
     "ss_bruteforce_topk",
     "ss_matmul_topk",  # BLAS wide-vector path (added round 4)
@@ -65,6 +66,8 @@ HEADLINE = [
     "tj_range_join",
     "skew_two_phase_agg",
     "pivot_wide",
+    # iterative graph algorithm (round 5)
+    "gr_pagerank",
 ]
 
 

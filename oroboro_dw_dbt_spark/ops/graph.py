@@ -117,18 +117,30 @@ def pagerank(
     edges = edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     # carry each src's total out-weight on the edge rows once, so the
-    # per-iteration join is rank ⋈ edges only
-    ew = edges.join(outw, "src")
+    # per-iteration join is rank ⋈ edges only. Materialize ONCE: the
+    # edge build (often a window + aggregation over the raw fact) must
+    # not re-execute in every iteration's jobs — localCheckpoint here,
+    # persist(DISK_ONLY) + repartition(src) on a cluster.
+    ew = edges.join(outw, "src").localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        ew.select(F.col("src").alias("node"))
+        .union(ew.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # one scalar; |V| is needed in the constants
     base = (15 * SCALE) // (100 * n_nodes)  # (1-d)/N at fixed point
 
     ranks = nodes.withColumn("r", F.lit(SCALE // n_nodes).cast("bigint"))
-    out_nodes = outw.select(F.col("src").alias("node"))
+    out_nodes = ew.select(F.col("src").alias("node")).distinct()
+    # structural check, once: a graph where every node has out-edges
+    # (transition graphs, link graphs after pruning) needs no dangling
+    # machinery at all — skipping it removes an aggregate + cross join
+    # from EVERY iteration. Dangling NODES are a property of the edge
+    # list, not of the evolving ranks, so one check is exact.
+    has_dangling = (
+        nodes.join(out_nodes, "node", "left_anti").limit(1).count() > 0
+    )
     for i in range(iterations):
         contribs = (
             ew.join(ranks, ew.src == ranks.node)
@@ -139,23 +151,26 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        dangling = (
-            ranks.join(out_nodes, "node", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dang"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({DAMP_NUM} * (coalesce(contrib, 0)"
-                        f" + dang div {n_nodes})) div {DAMP_DEN}"
-                    )
-                ).cast("bigint").alias("r"),
+        new_ranks = nodes.join(contribs, "node", "left")
+        if has_dangling:
+            dangling = (
+                ranks.join(out_nodes, "node", "left_anti")
+                .agg(
+                    F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dang")
+                )
             )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+            redistributed = f"coalesce(contrib, 0) + dang div {n_nodes}"
+        else:
+            redistributed = "coalesce(contrib, 0)"
+        ranks = new_ranks.select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({DAMP_NUM} * ({redistributed})) div {DAMP_DEN}"
+                )
+            ).cast("bigint").alias("r"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
