@@ -377,7 +377,9 @@ _PQ_L2 = (
     " * (v.q[s2.j * 16 + d] - s.q[s2.j * 16 + d]))) AS BIGINT)"
 )
 
-_PQ_ORACLE = f"""
+# shared CTE body: quantized vectors, seed codebook, per-subspace
+# assignment distances, codes, and the query-side distance table
+_PQ_CTES = f"""
     WITH qe AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
@@ -401,18 +403,63 @@ _PQ_ORACLE = f"""
       SELECT v.vec_id AS query_id, s2.j, s.c, {_PQ_L2} AS d
       FROM qe v CROSS JOIN seeds s CROSS JOIN subs s2
       WHERE v.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)
-    ),
+    )"""
+
+_PQ_TOPK = """
+    SELECT query_id, vec_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+          FROM pairs) r
+    WHERE rank <= 5
+"""
+
+_PQ_ORACLE = f"""{_PQ_CTES},
     pairs AS (
       SELECT t.query_id, a.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
       FROM codes a JOIN dtable t ON a.j = t.j AND a.code = t.c
       WHERE a.vec_id != t.query_id
       GROUP BY 1, 2
     )
-    SELECT query_id, vec_id, adc_dist, CAST(rank AS INT) AS rank
-    FROM (SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
-          FROM pairs) r
-    WHERE rank <= 5
+    {_PQ_TOPK}
+"""
+
+# full-vector (64-dim) distances for the coarse quantizer
+_PQ_FULL_L2 = (
+    "CAST(list_sum(list_transform(range(1, 65), d -> "
+    "(v.q[d] - s.q[d]) * (v.q[d] - s.q[d]))) AS BIGINT)"
+)
+
+_IVFPQ_ORACLE = f"""{_PQ_CTES},
+    fl AS (
+      SELECT v.vec_id, s.c, {_PQ_FULL_L2} AS dist
+      FROM qe v CROSS JOIN seeds s
+    ),
+    cells AS (
+      SELECT vec_id, arg_min(c, dist * 16 + c) AS cell
+      FROM fl GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT query_id, cell
+      FROM (SELECT vec_id AS query_id, c AS cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist * 16 + c) AS rn
+            FROM fl WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)) pr
+      WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM cells a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id != p.query_id
+    ),
+    pairs AS (
+      SELECT ca.query_id, ca.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
+      FROM cand ca
+      JOIN codes co ON co.vec_id = ca.vec_id
+      JOIN dtable t ON t.query_id = ca.query_id
+                   AND t.j = co.j AND t.c = co.code
+      GROUP BY 1, 2
+    )
+    {_PQ_TOPK}
 """
 
 
@@ -437,3 +484,26 @@ def ss_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, QUERY_VEC_IDS, k_neighbors=5)
+
+
+@query(
+    "ss_ivfpq_topk",
+    # the composed FAISS IndexIVFPQ plan, every stage integer-exact:
+    # coarse cell = argmin full-vector quantized L2 (ties -> lower id),
+    # probes = each query's 4 nearest cells by the same composite,
+    # scoring = PQ-ADC within probed cells only
+    oracle=_IVFPQ_ORACLE,
+    survey_ref="beyond-reference: composed IVF-PQ ANN — partition-pruned "
+    "probe (inverted file) + 16x-compressed ADC scoring; the production "
+    "100 TB similarity-search plan",
+)
+def ss_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5: candidates restricted to each query's 4 nearest
+    coarse cells, scored by PQ lookup-tables — at 100 TB the corpus is
+    written partitioned by cell and a probe reads n_probe/k of the
+    files at 1/16th the bytes (see similarity/pq.py ivf_pq_topk)."""
+    from oroboro_dw_dbt_spark.operators.training_suite import QUERY_VEC_IDS
+    from oroboro_dw_dbt_spark.similarity.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, QUERY_VEC_IDS, k_neighbors=5)

@@ -96,6 +96,47 @@ def pq_assign(
     ).select("vec_id", F.col("s.j").alias("j"), F.col("s.code").alias("code"))
 
 
+def _distance_table(
+    emb: DataFrame,
+    query_ids: list[int],
+    codebook: list[list[list[int]]],
+    dim: int,
+) -> DataFrame:
+    """(query_id, j, c, d): every query's distance to every centroid —
+    (|queries| × m × k) rows, KB-sized, built by the same Column
+    machinery as the assignment, meant to be broadcast."""
+    m, k_codes = len(codebook), len(codebook[0])
+    sub = dim // m
+    cells = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.lit(c).alias("c"),
+            _l2sq(F.slice("q", j * sub + 1, sub), codebook[j][c]).alias("d"),
+        )
+        for j in range(m)
+        for c in range(k_codes)
+    ]
+    return (
+        _quantized(emb)
+        .filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"), F.explode(F.array(*cells)).alias("s")
+        )
+        .select("query_id", "s.j", "s.c", "s.d")
+    )
+
+
+def _adc_topk(pairs: DataFrame, k_neighbors: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -111,26 +152,8 @@ def pq_adc_topk(
     integer sum of per-subspace quantized distances.
     """
     codebook = fit_pq_codebook(emb, m=m, k=k_codes, dim=dim)
-    sub = dim // m
     codes = pq_assign(emb, codebook, dim=dim)
-
-    # distance table: (query_id, j, c, d) for the query rows only —
-    # built by the same Column machinery, then broadcast
-    cells = [
-        F.struct(
-            F.lit(j).alias("j"),
-            F.lit(c).alias("c"),
-            _l2sq(F.slice("q", j * sub + 1, sub), codebook[j][c]).alias("d"),
-        )
-        for j in range(m)
-        for c in range(k_codes)
-    ]
-    dtable = (
-        _quantized(emb)
-        .filter(F.col("vec_id").isin(query_ids))
-        .select(F.col("vec_id").alias("query_id"), F.explode(F.array(*cells)).alias("s"))
-        .select("query_id", "s.j", "s.c", "s.d")
-    )
+    dtable = _distance_table(emb, query_ids, codebook, dim)
     pairs = (
         codes.join(
             F.broadcast(dtable),
@@ -140,9 +163,102 @@ def pq_adc_topk(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d").cast("bigint").alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k_neighbors)
-        .select("query_id", "vec_id", "adc_dist", "rank")
+    return _adc_topk(pairs, k_neighbors)
+
+
+def coarse_cells(
+    emb: DataFrame, codebook: list[list[list[int]]], dim: int
+) -> DataFrame:
+    """(vec_id, cell): nearest FULL-vector seed centroid — the IVF
+    coarse quantizer, same argmin/tiebreak contract as pq_assign but
+    over the whole vector (m=1)."""
+    k = len(codebook[0])
+    full = [
+        [x for j in range(len(codebook)) for x in codebook[j][c]]
+        for c in range(k)
+    ]
+    dists = F.array(*[_l2sq(F.col("q"), full[c]) for c in range(k)])
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return _quantized(emb).select("vec_id", cell.alias("cell"))
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k_neighbors: int = 5,
+    m: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the composed production ANN plan (FAISS's IndexIVFPQ).
+
+    Candidates are restricted to each query's ``n_probe`` nearest
+    coarse cells (an equi-join on cell id — corpus × n_probe/k of the
+    data, never a full scan), then scored by PQ-ADC within the probed
+    cells. Everything stays integer-exact: cell assignment and probe
+    ranking use the same quantized full-vector L2 with the
+    (dist, cell-id) composite tiebreak, so the result is reproducible
+    bit-for-bit on any engine.
+
+    At 100 TB: the corpus is written PARTITIONED BY cell (the inverted
+    file); a probe touches n_probe/k of the files via partition
+    pruning, reads only (vec_id, codes) — the 16×-compressed payload —
+    and the distance tables ride in as one KB-scale broadcast.
+    """
+    codebook = fit_pq_codebook(emb, m=m, k=k_codes, dim=dim)
+    cells = coarse_cells(emb, codebook, dim)
+    codes = pq_assign(emb, codebook, dim=dim)
+    dtable = _distance_table(emb, query_ids, codebook, dim)
+
+    # probe list: each query's n_probe nearest cells by full-vector
+    # distance, ranked by the dist*k + cell composite (ties -> lower id)
+    k = k_codes
+    full = [
+        [x for j in range(len(codebook)) for x in codebook[j][c]]
+        for c in range(k)
+    ]
+    probe_cells = [
+        F.struct(
+            F.lit(c).alias("cell"), _l2sq(F.col("q"), full[c]).alias("d")
+        )
+        for c in range(k)
+    ]
+    pw = Window.partitionBy("query_id").orderBy(
+        (F.col("d") * k + F.col("cell")).asc()
     )
+    probes = (
+        _quantized(emb)
+        .filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.array(*probe_cells)).alias("s"),
+        )
+        .select("query_id", "s.cell", "s.d")
+        .withColumn("_rn", F.row_number().over(pw))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    candidates = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    dt = dtable.select(
+        F.col("query_id").alias("_tq"),
+        F.col("j").alias("_tj"),
+        F.col("c").alias("_tc"),
+        "d",
+    )
+    pairs = (
+        candidates.join(codes, "vec_id")
+        .join(
+            F.broadcast(dt),
+            (F.col("_tq") == F.col("query_id"))
+            & (F.col("_tj") == F.col("j"))
+            & (F.col("_tc") == F.col("code")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    return _adc_topk(pairs, k_neighbors)
