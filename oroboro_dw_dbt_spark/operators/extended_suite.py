@@ -1415,3 +1415,54 @@ def eng_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "eng_partitioned_prune",
+    # the oracle recomputes the week's aggregate straight from the raw
+    # table — a pruning bug that reads the wrong partitions (or a write
+    # that misassigns rows to partition dirs) breaks the hash. That the
+    # scan PHYSICALLY skips the other 23 partition dirs is asserted on
+    # the plan in tests/test_partition_prune.py (DuckDB can't see the
+    # directory layout).
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE)
+             AS value_sum
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+      AND CAST(ts AS DATE) <= DATE '2024-01-14'
+    GROUP BY 1
+    """,
+    survey_ref="engine storage: Hive-partitioned table write + "
+    "partition-pruned read — the first-order 100 TB IO lever",
+)
+def eng_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events Hive-partitioned by day, read one week back.
+
+    THE first-order scale lever: a date-partitioned 100 TB fact makes
+    any time-bounded query read only the matching partition dirs —
+    the filter binds at FILE LISTING time (PartitionFilters), before a
+    single byte of parquet is opened. Here 7 of 30 day-dirs survive
+    listing; the same layout at 1000x data prunes identically because
+    pruning cost scales with the PARTITION COUNT, not the data. The
+    partition column is written as its string form (Hive dirs are
+    strings) and the week filter is applied on the partition values."""
+    import tempfile
+    from pathlib import Path
+
+    path = Path(tempfile.mkdtemp(prefix="part_wh_")) / "events_by_day"
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    ).write.partitionBy("event_date").parquet(str(path))
+    week = spark.read.parquet(str(path)).filter(
+        (F.col("event_date") >= "2024-01-08") & (F.col("event_date") <= "2024-01-14")
+    )
+    return week.groupBy(F.col("event_date").cast("string").alias("event_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+        .cast("double")
+        .alias("value_sum"),
+    )
