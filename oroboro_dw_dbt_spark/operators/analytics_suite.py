@@ -18,8 +18,12 @@ Each entry is a distinct PLAN SHAPE the earlier suites don't cover:
   driven from the DRIVER loop, each iteration a broadcast join);
 - t_dedup_paragraphs: C4-style intra-corpus chunk dedup with document
   reassembly;
-- ss_pq_adc_topk: product quantization with asymmetric distance
-  computation — the memory-side rung of the ANN ladder (SQ8 → PQ).
+- ss_pq_adc_topk / ss_ivfpq_topk: product quantization with asymmetric
+  distance computation, flat and composed with partition-pruned IVF
+  probes — the memory-side rungs of the ANN ladder (SQ8 → PQ → IVF-PQ);
+- f_array_suite / d_interval_suite: the array/higher-order and
+  date/interval scalar-function matrices with pinned cross-engine
+  semantics.
 """
 
 from __future__ import annotations
@@ -507,3 +511,111 @@ def ss_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_topk(emb, QUERY_VEC_IDS, k_neighbors=5)
+
+
+# ---------------------------------------------------------------------------
+# Array / higher-order function matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "f_array_suite",
+    # each array op is reduced to a scalar (or a canonically-sorted
+    # string) so the driver's hasher sees only flat cells; list_sort
+    # with explicit ASC pins the order on both engines
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           array_to_string(list_sort(list_distinct(toks), 'ASC')[1:3], ',')
+             AS first3_sorted,
+           CAST(len(list_filter(toks, x -> len(x) > 4)) AS INT) AS n_long,
+           CAST(len(list_intersect(list_distinct(toks),
+                    ['spark', 'table', 'query', 'join'])) AS INT) AS n_kw,
+           list_contains(toks, 'spark') AS has_spark,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+             AS total_chars
+    FROM t
+    """,
+    survey_ref="beyond-reference: array / higher-order function surface "
+    "(distinct, sort, slice, filter-lambda, intersect, contains, "
+    "transform+aggregate) — all row-local, zero shuffle",
+)
+def f_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-function matrix over document token arrays: every op
+    is a row-local Column expression inside whole-stage codegen — the
+    collection-manipulation surface a warehouse user expects, at scan
+    speed at any scale. Outputs are scalars/canonical strings so the
+    gate hashes them directly."""
+    from oroboro_dw_dbt_spark.text.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    dedup = F.array_distinct(toks)
+    kw = F.array(F.lit("spark"), F.lit("table"), F.lit("query"), F.lit("join"))
+    return docs.select(
+        "doc_id",
+        F.size(dedup).cast("int").alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(dedup), 1, 3), ",").alias(
+            "first3_sorted"
+        ),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4))
+        .cast("int")
+        .alias("n_long"),
+        F.size(F.array_intersect(dedup, kw)).cast("int").alias("n_kw"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.aggregate(
+            F.transform(toks, F.length),
+            F.lit(0).cast("bigint"),
+            lambda s, x: s + x,
+        ).alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date / interval arithmetic matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "d_interval_suite",
+    # only operations with ENGINE-IDENTICAL semantics: add-month
+    # end-of-month clamping (2024-01-31 +1mo = 02-29 on both), last_day,
+    # Monday-anchored week truncation, ISO week number, day diffs.
+    # dayofweek is normalized to ISO (Mon=1..Sun=7) because the raw
+    # builtins disagree (Spark 1=Sunday, DuckDB 0=Sunday).
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+           last_day(CAST(ts AS DATE)) AS month_end,
+           CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week_start,
+           CAST(weekofyear(CAST(ts AS DATE)) AS INT) AS iso_week,
+           CAST(isodow(CAST(ts AS DATE)) AS INT) AS iso_dow,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+             AS days_since_epoch_start,
+           CAST(quarter(ts) AS INT) AS q
+    FROM events
+    WHERE event_id % 11 = 0
+    """,
+    survey_ref="beyond-reference: date/interval arithmetic surface "
+    "(add_months clamping, last_day, week truncation, ISO week/dow, "
+    "datediff, quarter)",
+)
+def d_interval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic with pinned cross-engine semantics — all
+    row-local expressions; the ISO-normalized day-of-week documents the
+    one place the builtins' conventions diverge."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    d = F.col("ts").cast("date")
+    return ev.select(
+        "event_id",
+        F.add_months(d, 1).alias("next_month"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        # Spark dayofweek: 1=Sunday..7=Saturday -> ISO Mon=1..Sun=7
+        ((F.dayofweek(d) + 5) % 7 + 1).cast("int").alias("iso_dow"),
+        F.datediff(d, F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+        F.quarter(d).cast("int").alias("q"),
+    )
