@@ -619,3 +619,122 @@ def d_interval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_epoch_start"),
         F.quarter(d).cast("int").alias("q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER reconciliation.
+# ---------------------------------------------------------------------------
+@query(
+    "j_full_outer_reconcile",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS k,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE)
+               AS amt_a
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    ),
+    b AS (
+      SELECT o_custkey AS k,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE)
+               AS amt_b
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    )
+    SELECT COALESCE(a.k, b.k) AS custkey,
+           a.amt_a, b.amt_b,
+           CASE WHEN a.k IS NULL THEN 'right_only'
+                WHEN b.k IS NULL THEN 'left_only'
+                ELSE 'both' END AS presence
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+    survey_ref="beyond-reference: FULL OUTER join — the two-ledger "
+    "reconciliation shape (presence classification + amount diff)",
+)
+def j_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two per-customer ledgers (open vs finished order
+    totals) with a FULL OUTER join — the audit shape that must keep
+    rows existing on EITHER side. Both sides pre-aggregate to one row
+    per key before the join (the shuffle carries keys, not orders);
+    full-outer cannot broadcast, so the equi-join shuffles both reduced
+    sides on the key — minimal by construction at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(14,4)")
+
+    def ledger(status: str, out: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderstatus") == status)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(F.round(F.sum(price), 2).cast("double").alias(out))
+        )
+
+    a, b = ledger("O", "amt_a"), ledger("F", "amt_b")
+    return (
+        a.withColumnRenamed("k", "ka")
+        .join(b.withColumnRenamed("k", "kb"), F.col("ka") == F.col("kb"), "full_outer")
+        .select(
+            F.coalesce("ka", "kb").alias("custkey"),
+            "amt_a",
+            "amt_b",
+            F.when(F.col("ka").isNull(), "right_only")
+            .when(F.col("kb").isNull(), "left_only")
+            .otherwise("both")
+            .alias("presence"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution on read (mergeSchema).
+# ---------------------------------------------------------------------------
+@query(
+    "eng_schema_merge",
+    # the oracle restates evolution as a typed UNION with NULL-filled
+    # missing columns — exactly what a mergeSchema read must produce
+    oracle="""
+    WITH v1 AS (
+      SELECT event_id, value, CAST(NULL AS VARCHAR) AS event_type
+      FROM events WHERE event_id % 2 = 0
+    ),
+    v2 AS (
+      SELECT event_id, value, event_type
+      FROM events WHERE event_id % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(event_type, '<pre-evolution>') AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE)
+             AS value_sum
+    FROM unioned
+    GROUP BY 1
+    """,
+    survey_ref="engine storage: schema evolution on read — mergeSchema "
+    "across parquet batches written before/after a column was added",
+)
+def eng_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a table whose files predate a column addition.
+
+    Batch 1 is written WITHOUT event_type (the pre-evolution schema),
+    batch 2 with it; a mergeSchema read reconciles the footers and
+    null-fills the missing column — the append-only schema-evolution
+    contract every long-lived 100 TB table depends on. Footer
+    reconciliation costs one metadata pass (per-file, parallel); data
+    files are never rewritten."""
+    import tempfile
+    from pathlib import Path
+
+    path = Path(tempfile.mkdtemp(prefix="evolve_wh_")) / "events_evolving"
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value").write.parquet(
+        str(path), mode="overwrite"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "value", "event_type"
+    ).write.parquet(str(path), mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(str(path))
+    return merged.groupBy(
+        F.coalesce("event_type", F.lit("<pre-evolution>")).alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+        .cast("double")
+        .alias("value_sum"),
+    )
