@@ -738,3 +738,95 @@ def eng_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PySpark 4 Python DataSource API.
+# ---------------------------------------------------------------------------
+@query(
+    "eng_python_datasource",
+    # the oracle replays the generator's pure integer arithmetic over a
+    # range() scan — same Knuth multiplicative hash, same modulo
+    oracle="""
+    SELECT CAST(i % 7 AS VARCHAR) AS tag_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((i * 2654435761) % 1000) AS BIGINT) AS bucket_sum,
+           CAST(min(i) AS BIGINT) AS min_id,
+           CAST(max(i) AS BIGINT) AS max_id
+    FROM range(0, 5000) t(i)
+    GROUP BY 1
+    """,
+    survey_ref="engine sources: custom Python DataSource (PySpark 4 "
+    "pyspark.sql.datasource) — executor-side partitioned reads through "
+    "a pure-Python source class",
+)
+def eng_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a pure-Python custom DataSource and aggregate it.
+
+    The source plans 8 independent range partitions; each partition's
+    generator runs on an executor and Arrow-batches rows back — the
+    PySpark 4 pattern for grafting bespoke feeds (internal APIs, custom
+    binary formats) into DataFrames with real parallelism. The hash
+    match against a SQL range() replay certifies the partition planning
+    loses/duplicates nothing (sf_dir is unused: the source IS the
+    data)."""
+    from oroboro_dw_dbt_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("detgen")
+        .option("numRows", 5000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return df.groupBy(
+        F.regexp_replace("tag", "row-", "").alias("tag_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("bucket").cast("bigint").alias("bucket_sum"),
+        F.min("id").cast("bigint").alias("min_id"),
+        F.max("id").cast("bigint").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VariantType: Spark 4 semi-structured values.
+# ---------------------------------------------------------------------------
+@query(
+    "ev_variant_extract",
+    # Variant is Spark's binary semi-structured encoding; extraction
+    # semantics (path access, typed cast, null on absent) mirror SQL
+    # JSON extraction, which is exactly what the oracle restates
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+           json_extract_string(props, '$.tag') AS tag,
+           CAST(json_valid(props) AS BOOLEAN) AS parsed
+    FROM events
+    WHERE event_id % 13 = 0
+    """,
+    survey_ref="beyond-reference: VariantType (Spark 4 semi-structured "
+    "binary encoding) — parse once, typed path extraction",
+)
+def ev_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse JSON props into a VARIANT once and extract typed paths.
+
+    Variant is the Spark 4 answer to semi-structured columns: one parse
+    into a binary encoding at ingest, then every downstream path access
+    reads the encoded form — at 100 TB this is the difference between
+    N regex/JSON parses per row and one. try_parse_json yields NULL
+    (not an error) on malformed input, and variant_get's typed access
+    returns NULL on absent paths — the same total semantics the oracle
+    states over json_extract."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    v = F.try_parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        # $.tag never occurs in the fixture: certifies the absent-path
+        # -> NULL contract (not an error) on both engines
+        F.try_variant_get(v, "$.tag", "string").alias("tag"),
+        v.isNotNull().alias("parsed"),
+    )
