@@ -830,3 +830,69 @@ def ev_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.tag", "string").alias("tag"),
         v.isNotNull().alias("parsed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python streaming DataSource: offset-tracked micro-batches.
+# ---------------------------------------------------------------------------
+@query(
+    "st_python_stream_source",
+    # same replay as the batch twin — if any micro-batch were lost,
+    # duplicated, or cut short by the drain loop, counts/sums break
+    oracle="""
+    SELECT CAST(i % 7 AS VARCHAR) AS tag_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((i * 2654435761) % 1000) AS BIGINT) AS bucket_sum
+    FROM range(0, 5000) t(i)
+    GROUP BY 1
+    """,
+    survey_ref="streaming sources: Python streaming DataSource "
+    "(SimpleDataSourceStreamReader) — offset-tracked micro-batches "
+    "drained to a sink, exactly-once vs the batch replay",
+)
+def st_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a bounded pure-Python stream source and aggregate the sink.
+
+    The reader advances an explicit offset 1000 ids per micro-batch
+    (5 real batches through the commit log); the drain loop polls until
+    the source reports no progress, then stops. The hash match against
+    the batch replay certifies exactly-once delivery across the
+    offset/commit protocol — the same contract a Kafka-like production
+    source owes. availableNow cannot bound a SimpleStream source (it
+    snapshots one read() call), hence the explicit drain."""
+    import time
+    import uuid
+
+    from oroboro_dw_dbt_spark.sources.pydatasource import (
+        STREAM_ROWS,
+        register_stream,
+    )
+
+    register_stream(spark)
+    name = f"pysrc_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("detstream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= STREAM_ROWS:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("stream did not drain within 120 s")
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    return sink.groupBy(
+        F.regexp_replace("tag", "row-", "").alias("tag_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("bucket").cast("bigint").alias("bucket_sum"),
+    )

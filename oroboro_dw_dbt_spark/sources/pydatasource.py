@@ -68,3 +68,57 @@ class DetGenDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the detgen source on a session."""
     spark.dataSource.register(DetGenDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming side of the API: a bounded deterministic stream source
+# ---------------------------------------------------------------------------
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+STREAM_ROWS = 5000
+STREAM_BATCH = 1000
+
+
+class DetStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked deterministic generator: each micro-batch advances
+    the offset by STREAM_BATCH ids until STREAM_ROWS, then reports
+    no-progress forever (a bounded topic). read() hands Spark the batch
+    AND the next offset — replays after failure go through
+    readBetweenOffsets with the SAME arithmetic, so recovery is exact.
+    """
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def _rows(self, start: int, end: int):
+        return iter(
+            [(j, (j * KNUTH) % 1000, f"row-{j % 7}") for j in range(start, end)]
+        )
+
+    def read(self, start):
+        i = start["i"]
+        if i >= STREAM_ROWS:
+            return iter([]), {"i": i}
+        end = min(i + STREAM_BATCH, STREAM_ROWS)
+        return self._rows(i, end), {"i": end}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["i"], end["i"])
+
+
+class DetStreamDataSource(DataSource):
+    """``spark.readStream.format("detstream")`` bounded stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "detstream"
+
+    def schema(self) -> str:
+        return "id bigint, bucket bigint, tag string"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return DetStreamReader()
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(DetStreamDataSource)
