@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from oroboro_dw_dbt_spark.operators.catalog import query
-from oroboro_dw_dbt_spark.operators.relational import PRICE_DEC, RATE_DEC
+from oroboro_dw_dbt_spark.operators.relational import PRICE_DEC
 from oroboro_dw_dbt_spark.ops.graph import pagerank, pagerank_oracle_sql
 from oroboro_dw_dbt_spark.sources.testdata import load_table
 
