@@ -896,3 +896,58 @@ def st_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("bucket").cast("bigint").alias("bucket_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPED_AGG pandas UDF: the last cell of the Python API matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "a_grouped_agg_pandas",
+    # trimmed mean with EXACT integer arithmetic: values micro-quantized
+    # to ints, the trim boundary is a (count-based) sort slice, the sum
+    # is an integer sum — only the final division is float, rounded to 6
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(floor(value * 1000000 + 0.5)
+                                              AS BIGINT)) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(round(CAST(sum(y) AS DOUBLE) / count(*) / 1000000.0, 6)
+                AS DOUBLE) AS trimmed_mean
+    FROM q
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    """,
+    survey_ref="beyond-reference: GROUPED_AGG pandas_udf (Arrow-batched "
+    "custom aggregate) — completes the Python API matrix: scalar / "
+    "grouped-agg / grouped-map / mapInPandas / stateful / UDTF",
+)
+def a_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per series via a GROUPED_AGG pandas UDF.
+
+    The kernel receives each group's values as ONE Arrow-backed Series
+    and returns a scalar — Spark's custom-aggregate extension point
+    (usable in agg() and over windows). Robust statistics like trimmed
+    means genuinely need the group's sorted values, which no built-in
+    combination provides; determinism comes from integer quantization
+    (exact sort, exact integer sum — no float accumulation order).
+    Caveat at 100 TB: GROUPED_AGG is not partial-aggregating — each
+    group's values collect to one task, so it suits bounded groups
+    (series, entities), not power-law keys; the exact-SQL twin (the
+    oracle's window spelling) is the escape hatch."""
+    from oroboro_dw_dbt_spark.ml.robust_stats import (
+        trimmed_count,
+        trimmed_mean_micro,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        trimmed_count("value").alias("n_kept"),
+        F.round(trimmed_mean_micro("value"), 6).alias("trimmed_mean"),
+    )
