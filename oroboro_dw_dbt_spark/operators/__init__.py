@@ -10,5 +10,6 @@ from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     relational,
     scalar,
     scale_suite,
+    tpch_suite,
     training_suite,
 )

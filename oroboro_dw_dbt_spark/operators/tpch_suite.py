@@ -1,0 +1,961 @@
+"""TPC-H completion suite: the 16 query shapes the earlier suites don't
+cover, restated onto the trimmed synthetic schema (no partsupp table, no
+commit/receipt dates, no shipmode — each restatement keeps the query's
+DISTINCTIVE PLAN SHAPE and swaps only the predicate columns).
+
+Together with q1/q3/q5/q17/q18/q22 elsewhere in the catalog this covers
+all 22 TPC-H query shapes. Determinism rules are the repo-wide ones
+(operators/relational.py header): DECIMAL sums rounded to scale 2 then
+cast DOUBLE, counts cast BIGINT, every top-k fully tie-broken by a key.
+
+Scale notes inline per query; the recurring ones:
+
+- fact⋈fact joins (lineitem⋈orders) shuffle once on orderkey — every
+  other join side here is dimension-sized and broadcasts under AQE;
+- pre-aggregation runs BELOW joins wherever the grouping key is the
+  join key (Q13/Q15/Q20/Q21 decorrelations), so shuffles carry
+  per-key rows, not facts;
+- correlated subqueries are decorrelated into aggregate-once +
+  join-back (Q2/Q17/Q20/Q21) — the rewrite that turns
+  O(rows × subquery) into two scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oroboro_dw_dbt_spark.operators.catalog import query
+from oroboro_dw_dbt_spark.operators.relational import PRICE_DEC, RATE_DEC
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+
+def _rev():
+    """extendedprice*(1-discount) in exact decimal (repo convention)."""
+    return F.col("l_extendedprice").cast(PRICE_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(RATE_DEC)
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))"
+)
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: correlated MIN subquery, decorrelated to min-per-key join-back.
+# ---------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    # Real Q2 picks the min-supplycost partsupp row per part; without a
+    # partsupp table the (part, supplier) relation is the DISTINCT pairs
+    # observed in lineitem and "cost" is the supplier's acctbal. Ties on
+    # the min keep ALL rows (exactly Q2's semantics), so no tiebreak is
+    # needed beyond the deterministic top-k keys.
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem
+    ),
+    cost AS (
+      SELECT partkey, suppkey, s_name, s_acctbal, s_nationkey
+      FROM ps JOIN supplier ON suppkey = s_suppkey
+    ),
+    mn AS (
+      SELECT partkey, min(s_acctbal) AS min_bal FROM cost GROUP BY partkey
+    )
+    SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+    FROM cost
+    JOIN mn ON cost.partkey = mn.partkey AND cost.s_acctbal = mn.min_bal
+    JOIN part ON p_partkey = cost.partkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size = 25
+    ORDER BY p_partkey, s_name
+    LIMIT 100
+    """,
+    survey_ref="beyond-reference: correlated MIN subquery (TPC-H Q2 shape) "
+    "decorrelated into min-per-key + equality join-back",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per size-25 part.
+
+    The correlated `WHERE cost = (SELECT min(cost) ... same part)` is
+    decorrelated: distinct (part, supplier) pairs from the fact (one
+    dedup shuffle on the pair), min per part (partial agg on the same
+    key — no extra shuffle), join back on equality. Comparing on the
+    stored double (not an arithmetic result) is exact in both engines.
+    At 100 TB the pair-dedup is the only fact-sized shuffle; everything
+    after operates on |parts| rows, and part/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    nation = load_table(spark, sf_dir, "nation")
+    pairs = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    cost = pairs.join(supp, F.col("suppkey") == F.col("s_suppkey"))
+    mn = cost.groupBy(F.col("partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cost.join(
+            mn,
+            (F.col("partkey") == F.col("mk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("partkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: EXISTS → left-semi join, then count per category.
+# ---------------------------------------------------------------------------
+@query(
+    "q4_priority_followup",
+    # "late delivery" (commitdate < receiptdate, columns this schema
+    # lacks) restated as a high-discount line; the EXISTS-per-order
+    # semantics (count the ORDER once however many lines match) is the
+    # shape under test.
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.07)
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="beyond-reference: EXISTS subquery (TPC-H Q4 shape) as a "
+    "left-semi join — order counted once regardless of matching lines",
+)
+def q4_priority_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority having at least one high-discount line.
+
+    EXISTS compiles to a LEFT SEMI join: the probe (orders, quarter-
+    filtered at the scan) is never duplicated by the fan-out on the
+    build side, and the build ships only the filtered lineitem's
+    orderkey column. At 100 TB both filters push to parquet and the
+    semi join shuffles keys, not rows; AQE turns the build side into a
+    bloom-filtered broadcast when the quarter is selective."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1996-10-01 00:00:00"))
+    )
+    hot = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.07)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(hot, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: single-scan filter + aggregate (the pushdown benchmark).
+# ---------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    # Range predicates on a double column: compare against exact
+    # binary-representable bounds so >=/<= decide identically in both
+    # engines (0.0625 and 0.03125 are powers of two; discounts
+    # themselves are arbitrary doubles read from the same parquet).
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.03125 AND l_discount <= 0.0625
+      AND l_quantity < 24
+    """,
+    survey_ref="beyond-reference: pure scan-filter-aggregate (TPC-H Q6 "
+    "shape) — every predicate pushed to the parquet reader",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue increase if mid-band discounts had been waived.
+
+    The whole query is one scan: all four predicates and the 3-column
+    projection reach the parquet reader (PushedFilters + ReadSchema),
+    then a partial+final agg produces one row. At 100 TB this runs at
+    IO speed — row-group min/max statistics skip most of the file for
+    the shipdate range. The benchmark for 'did pushdown happen'."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+        & (F.col("l_discount") >= 0.03125)
+        & (F.col("l_discount") <= 0.0625)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast(PRICE_DEC)
+                * F.col("l_discount").cast(RATE_DEC)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: two-nation volume, OR of nation-pair orientations.
+# ---------------------------------------------------------------------------
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    survey_ref="beyond-reference: bidirectional nation-pair trade volume "
+    "(TPC-H Q7 shape) — disjunctive join residual over two dim aliases",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping volume between two nations, both directions, by year.
+
+    The same dimension (nation) joins twice under different roles —
+    alias discipline, not a self-join shuffle: both alias frames
+    broadcast. The OR-of-pairs residual rides the join; Catalyst also
+    derives `n_name IN (N1, N2)` on EACH broadcast side, so the
+    hash tables are 2 rows and the fact is pre-filtered by the derived
+    IN before the orderkey shuffle. One fact⋈fact shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("volume"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share — conditional share of a grouped aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    # share = NATION_3-supplied volume / all volume, per year, for PROMO
+    # parts sold to EUROPE customers. Both terms are exact scale-2
+    # decimals cast to double; the final division is a single IEEE
+    # double op — bit-identical across engines, no post-rounding.
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                               THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(12,4)) END),
+                      2) AS DOUBLE)
+           / CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n2.n_regionkey
+    WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY year(o_orderdate)
+    """,
+    survey_ref="beyond-reference: conditional share-of-total (TPC-H Q8 "
+    "shape) — CASE-guarded numerator over the same grouped aggregate",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's share of PROMO-part volume into EUROPE, by year.
+
+    Numerator and denominator are computed in the SAME aggregation
+    (one pass, one shuffle on the 2-ish year groups after partial agg)
+    via a CASE-guarded sum — never two scans joined back. The 8-way
+    join is one lineitem⋈orders shuffle plus broadcasts: part is
+    type-filtered before broadcast, nation/region are tiny, and the
+    EUROPE restriction prunes the customer build side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    zero = F.lit(0).cast(PRICE_DEC)
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n2_region"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(
+                            zero
+                        )
+                    ),
+                    2,
+                ).cast("double")
+                / F.round(F.sum(_rev()), 2).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: profit by nation × year over a computed cost.
+# ---------------------------------------------------------------------------
+@query(
+    "q9_product_profit",
+    # supplycost (partsupp, absent) proxied as 60% of p_retailprice.
+    # Revenue and cost are summed as SEPARATE exact decimals, each
+    # rounded to scale 2 and cast to double, and subtracted in double —
+    # avoids cross-engine decimal-subtraction scale rules entirely.
+    oracle=f"""
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE)
+           - CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(12,4))
+                    * CAST(l_quantity AS DECIMAL(12,4))
+                    * CAST(0.6 AS DECIMAL(8,4))), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    survey_ref="beyond-reference: profit rollup by nation×year (TPC-H Q9 "
+    "shape) — computed measure over a part-name LIKE filter",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on '%gear%' parts per supplier nation per year.
+
+    The part-name LIKE filter is applied before the broadcast, so the
+    fact is pre-pruned by the join itself (only gear partkeys probe
+    successfully). One orderkey shuffle; the nation×year grouping is
+    tiny after partial agg. At 100 TB the win is ordering the joins so
+    the most selective broadcast (filtered part) happens FIRST."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cost = (
+        F.col("p_retailprice").cast(PRICE_DEC)
+        * F.col("l_quantity").cast(PRICE_DEC)
+        * F.lit(0.6).cast(RATE_DEC)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            (
+                F.round(F.sum(_rev()), 2).cast("double")
+                - F.round(F.sum(cost), 2).cast("double")
+            ).alias("profit")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: top-k customers by returned-item revenue.
+# ---------------------------------------------------------------------------
+@query(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    survey_ref="beyond-reference: top-k by grouped measure (TPC-H Q10 "
+    "shape) — wide grouping key, TakeOrderedAndProject top-20",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue of returned items in one quarter.
+
+    Grouping carries the descriptive columns (name, nation, acctbal) in
+    the key — free, since they're functionally dependent on custkey and
+    ride the same shuffle. The top-20 compiles to
+    TakeOrderedAndProject: each task keeps 20 rows, the driver merges —
+    never a global sort. Tiebreak on custkey pins equal revenues."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-10-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: HAVING against a global scalar subquery.
+# ---------------------------------------------------------------------------
+@query(
+    "q11_important_parts",
+    # partsupp value proxied by shipped extendedprice per part for one
+    # nation's suppliers. The global total is a 1-row broadcast; the
+    # HAVING threshold compares exact decimals (both sides unrounded
+    # sums of identical inputs), so the cut is bit-identical.
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey,
+           CAST(ROUND(val, 2) AS DOUBLE) AS part_value
+    FROM v, (SELECT SUM(val) AS total FROM v) t
+    WHERE val > total * 0.001
+    """,
+    survey_ref="beyond-reference: HAVING vs global scalar subquery "
+    "(TPC-H Q11 shape) — aggregate reused for rows and for the threshold",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts carrying >0.1% of one nation's shipped value.
+
+    The per-part aggregate is computed once and REUSED for both the
+    output rows and the global threshold (a second aggregation of the
+    tiny per-part frame, cross-joined back as a 1-row broadcast) —
+    never two fact scans. At 100 TB: one shuffle on partkey; the
+    supplier/nation restriction broadcasts and prunes before it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    v = (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(PRICE_DEC)).alias("val"))
+    )
+    total = v.agg(F.sum("val").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("total") * 0.001)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("val"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: two-path conditional counts per category.
+# ---------------------------------------------------------------------------
+@query(
+    "q12_priority_lines",
+    # shipmode (absent) → l_returnflag as the category axis; the
+    # CASE-counted high/low priority split is the shape under test.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    survey_ref="beyond-reference: dual conditional counts (TPC-H Q12 "
+    "shape) — complementary CASE sums in one aggregation pass",
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High- vs low-priority line counts per return flag, one year.
+
+    Both counts come from one pass — complementary CASE sums in the
+    same aggregate, not two filtered scans unioned. The only shuffle is
+    lineitem⋈orders on orderkey (both sides pruned to 2-3 columns);
+    the 3-group final agg is free after map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: left-join count, then a histogram OF the counts.
+# ---------------------------------------------------------------------------
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                       AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    survey_ref="beyond-reference: two-level aggregation (TPC-H Q13 shape) "
+    "— LEFT join with join-condition filter, histogram of group sizes",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-customer order counts (excluding 5-LOW).
+
+    Two aggregation levels: count per customer (shuffle on custkey —
+    at 100 TB, pre-aggregate orders by custkey BELOW the join, as here,
+    so the join carries one row per customer per side), then a
+    histogram over those counts (tiny). The priority filter lives in
+    the JOIN CONDITION, not WHERE — customers with no qualifying
+    orders must survive with count 0; a WHERE would drop them."""
+    cust = load_table(spark, sf_dir, "customer")
+    # Pre-aggregate below the join: orders collapse to (custkey, n) first.
+    per_cust_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_cust = (
+        cust.join(per_cust_orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").cast("bigint").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo-share ratio via CASE numerator.
+# ---------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN {_REV_SQL}
+                               ELSE CAST(0 AS DECIMAL(12,4)) END), 2) AS DOUBLE)
+           * 100.0
+           / CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    survey_ref="beyond-reference: CASE-numerator percentage (TPC-H Q14 "
+    "shape) — one aggregation, broadcast dim decides the branch",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent of one month's revenue from PROMO parts.
+
+    Single pass: the month filter pushes to the scan, part broadcasts
+    (only p_type is read), and both the guarded and total sums share
+    one aggregation. Exact scale-2 decimals → double; the *100/x is
+    two IEEE ops on identical operands in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-03-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    zero = F.lit(0).cast(PRICE_DEC)
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.round(
+                    F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)),
+                    2,
+                ).cast("double")
+                * 100.0
+                / F.round(F.sum(_rev()), 2).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: aggregate → global max → equality join-back.
+# ---------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_REV_SQL}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM revenue
+    JOIN supplier ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    survey_ref="beyond-reference: max-equality join-back (TPC-H Q15 shape) "
+    "— the view-reuse pattern; exact decimal makes = on an aggregate safe",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with the maximum quarterly revenue.
+
+    Q15's CREATE VIEW reuse: the per-supplier aggregate is built once
+    and consumed twice (rows + its own max). Equality on an aggregate
+    is only sound because the sums are EXACT decimals — with float
+    sums, partitioning noise could make `= max` match zero rows.
+    The max is a 1-row broadcast; ties all survive, per the spec."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: NOT IN exclusion + COUNT(DISTINCT) per attribute group.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_supplier_variety",
+    # complaint suppliers (comment LIKE, absent) → negative-balance
+    # suppliers; part attributes come straight from part, the
+    # (part, supplier) relation from distinct lineitem pairs.
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    survey_ref="beyond-reference: NOT-IN exclusion + COUNT DISTINCT "
+    "(TPC-H Q16 shape) — anti-join against a filtered key set",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier counts per (brand, type, size), excluding
+    negative-balance suppliers.
+
+    NOT IN over a column known non-null compiles to a LEFT ANTI join
+    (broadcast — the exclusion list is tiny). COUNT(DISTINCT supplier)
+    per attribute group runs as Spark's two-phase expand/agg; the pair
+    dedup happens FIRST so the expansion sees one row per (part, supp).
+    At 100 TB the dedup shuffle dominates — key it on the pair and
+    reuse the same partitioning for the count."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunction of conjunctive branches (OR-of-ANDs pushdown).
+# ---------------------------------------------------------------------------
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 20
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 30
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    survey_ref="beyond-reference: OR-of-ANDs join residual (TPC-H Q19 "
+    "shape) — common-conjunct extraction keeps pushdown alive",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three (brand, size, quantity) discount branches.
+
+    The classic pushdown stress: naively the OR blocks all pushdown.
+    Catalyst extracts the implied common conjuncts — brand IN (3 brands)
+    onto the part side, quantity ∈ [1,30] onto the fact scan — so both
+    scans still prune before the broadcast join, and only the residual
+    OR is evaluated post-join. Branch bounds are integers: no float
+    boundary ambiguity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#3") & size.between(1, 10) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#12") & size.between(1, 20) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#21") & size.between(1, 30) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested IN-subqueries → chained semi-joins over aggregates.
+# ---------------------------------------------------------------------------
+@query(
+    "q20_excess_shipments",
+    # availqty > ½·shipped (partsupp, absent) restated as: the supplier
+    # shipped >30% of the part's total 1996 volume. Same nesting: an
+    # aggregate threshold inside an IN inside an IN.
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey AS pk, SUM(sq) AS total_q FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped JOIN tot ON pk = l_partkey
+      WHERE sq > total_q * 0.3
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    )
+    ORDER BY s_suppkey
+    """,
+    survey_ref="beyond-reference: nested IN subqueries (TPC-H Q20 shape) "
+    "— two aggregate levels feeding chained left-semi joins",
+)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers dominating (>30%) some 'small%' part's 1996 volume.
+
+    Both nesting levels decorrelate to aggregates on the SAME
+    partitioning: per-(part, supplier) sums, re-aggregated per part —
+    the second agg reuses the first's shuffle output. The part-name IN
+    becomes a broadcast semi-join applied BEFORE the threshold join;
+    the final supplier IN is a semi-join on a deduped key set. Exact
+    decimal quantities make the 30% cut bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    small = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(PRICE_DEC)).alias("sq")
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("sq").alias("total_q")
+    )
+    dominant = (
+        shipped.join(
+            F.broadcast(small), F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+        )
+        .join(tot, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("sq") > F.col("total_q") * 0.3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: EXISTS + NOT EXISTS self-subqueries, decorrelated.
+# ---------------------------------------------------------------------------
+@query(
+    "q21_sole_supplier_delays",
+    # "late" (receipt > commit, absent) → discount > 0.07. The oracle
+    # keeps the textbook EXISTS/NOT-EXISTS form; the Spark build uses
+    # the standard decorrelation (per-order supplier census). Equal by
+    # construction: >1 suppliers on the order ∧ exactly-1 delayed
+    # supplier ∧ it's this one.
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_discount > 0.07
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_discount > 0.07)
+    GROUP BY s_suppkey, s_name
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 25
+    """,
+    survey_ref="beyond-reference: EXISTS + NOT EXISTS self-subqueries "
+    "(TPC-H Q21 shape) decorrelated into a per-order supplier census",
+)
+def q21_sole_supplier_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for delays on multi-supplier orders.
+
+    The two correlated self-subqueries decorrelate into ONE aggregate
+    over the same fact: per order, count distinct suppliers and
+    distinct DELAYED suppliers. The qualifying condition becomes
+    n_supp > 1 ∧ n_delayed = 1 ∧ delayed_supplier = this one — so the
+    delayed supplier can ride the census row (max of the guarded key)
+    and the whole query is two shuffles (census on orderkey, count on
+    suppkey) instead of three correlated fact probes.
+
+    Counting trap: Q21's numwait counts qualifying l1 LINES, and one
+    supplier can have several delayed lines on one order — the census
+    therefore also carries the delayed-line count (all of which belong
+    to the single qualifying supplier when n_delayed = 1), and the
+    final aggregate SUMS it rather than counting census rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    delayed = F.col("l_discount") > 0.07
+    census = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(delayed, F.col("l_suppkey"))).alias("n_delayed"),
+        F.max(F.when(delayed, F.col("l_suppkey"))).alias("delayed_supp"),
+        F.sum(F.when(delayed, 1).otherwise(0)).alias("delayed_lines"),
+    )
+    qualifying = (
+        census.filter((F.col("n_supp") > 1) & (F.col("n_delayed") == 1))
+        .join(orders, F.col("o_orderkey") == F.col("ok"), "left_semi")
+    )
+    return (
+        qualifying.join(supp, F.col("s_suppkey") == F.col("delayed_supp"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum("delayed_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(25)
+    )
