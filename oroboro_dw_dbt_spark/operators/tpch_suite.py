@@ -646,10 +646,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1996-03-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
     )
-    part = load_table(spark, sf_dir, "part")
+    # no broadcast hint: part is unfiltered here and scales with sf —
+    # AQE broadcasts it while it fits and falls back to shuffle beyond.
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     zero = F.lit(0).cast(PRICE_DEC)
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             (
                 F.round(
@@ -798,6 +800,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR is evaluated post-join. Branch bounds are integers: no float
     boundary ambiguity."""
     li = load_table(spark, sf_dir, "lineitem")
+    # no broadcast hint on the unfiltered part scan: Catalyst derives
+    # `p_brand IN (…)` onto it from the OR, and AQE sizes the join on
+    # the REDUCED side — a hint would pin the pre-filter estimate.
     part = load_table(spark, sf_dir, "part")
     qty = F.col("l_quantity")
     size = F.col("p_size")
@@ -807,7 +812,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#21") & size.between(1, 30) & qty.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             F.round(F.sum(_rev()), 2).cast("double").alias("revenue"),

@@ -56,6 +56,10 @@ NESTED_LOOP_OK = {
     # same shape: per-iteration dangling-mass scalar (1-row aggregate)
     # broadcast-crossed onto the |V|-row rank state
     "gr_pagerank",
+    # same shape: the global value total (1-row aggregate of the
+    # per-part frame) broadcast-crossed back for the HAVING threshold
+    # (TPC-H Q11's uncorrelated scalar subquery)
+    "q11_important_parts",
 }
 # streaming entries execute eagerly inside the builder; explain() on the
 # returned batch result reflects the memory sink, not the stream plan
