@@ -34,7 +34,12 @@ from pyspark.sql.window import Window
 
 from oroboro_dw_dbt_spark.operators.catalog import query
 from oroboro_dw_dbt_spark.operators.relational import PRICE_DEC
-from oroboro_dw_dbt_spark.ops.graph import pagerank, pagerank_oracle_sql
+from oroboro_dw_dbt_spark.ops.graph import (
+    label_propagation,
+    label_propagation_oracle_sql,
+    pagerank,
+    pagerank_oracle_sql,
+)
 from oroboro_dw_dbt_spark.sources.testdata import load_table
 
 
@@ -393,6 +398,77 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation over the intra-region trade graph.
+# ---------------------------------------------------------------------------
+_LP_EDGES_SQL = """
+    SELECT s_nationkey AS src, c_nationkey AS dst,
+           CAST(count(*) AS BIGINT) AS w
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE s_nationkey <> c_nationkey
+      AND n1.n_regionkey = n2.n_regionkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
+    GROUP BY s_nationkey, c_nationkey
+"""
+
+
+@query(
+    "gr_label_propagation",
+    oracle=label_propagation_oracle_sql(_LP_EDGES_SQL, iterations=4),
+    survey_ref="beyond-reference: deterministic synchronous label "
+    "propagation (graph family #4) — integer vote sums, total-order "
+    "tie-break, unrolled-CTE oracle twin",
+)
+def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities in one month's intra-region trade graph.
+
+    Edges connect nations that traded within their own region, so the
+    ground-truth community structure is the five region cliques — LPA
+    recovers it without ever being told regions exist. The edge build
+    is fact-sized but collapses to ≤ nation² weighted pairs before any
+    graph work; the 4 synchronous sweeps then run entirely on that
+    tiny frame (see ops/graph.py for the determinism contract: integer
+    vote weights + (wt DESC, label ASC) pick = a trajectory that is a
+    pure function of the edge list, certified against the unrolled SQL
+    twin)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    edges = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(
+            (F.col("s_nationkey") != F.col("c_nationkey"))
+            & (F.col("n1_region") == F.col("n2_region"))
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    return label_propagation(edges, iterations=4)
 
 
 # ---------------------------------------------------------------------------

@@ -218,3 +218,106 @@ def pagerank_oracle_sql(
         f"SELECT node, CAST(round(CAST(r AS DOUBLE) / {s}, {final_round})"
         f" AS DOUBLE) AS pr FROM it{iterations}"
     )
+
+# ---------------------------------------------------------------------------
+# Label propagation: community detection, made deterministic
+# ---------------------------------------------------------------------------
+# Classic LPA is notoriously run-to-run unstable (random update order,
+# random tie-breaks). This is the SYNCHRONOUS variant with a total
+# tie-break order — max neighbor vote-weight, then lexicographically /
+# numerically smallest label — which makes the trajectory a pure
+# function of the edge list: bit-identical across engines,
+# partitionings, and retries, and therefore DuckDB-oracle-checkable
+# (unrolled CTEs, one per sweep, same scheme as pagerank_oracle_sql).
+# Vote weights stay integer counts so sums are exact. Fixed sweep
+# count: synchronous LPA can 2-cycle on bipartite-ish structures, so
+# "iterate to convergence" is ill-defined; fixed-k is well-defined and
+# is how production label propagation is run anyway.
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 4, checkpoint_every: int = 2
+) -> DataFrame:
+    """(node, label) after ``iterations`` synchronous sweeps over an
+    undirected weighted edge list (src, dst, w); labels start as the
+    node's own id.
+
+    Each sweep: votes = edges⋈labels aggregated on (node, candidate
+    label), then a row_number pick per node under the (weight DESC,
+    label ASC) total order. At 100 TB of edges the same discipline as
+    pagerank applies: symmetrize + pre-partition the edge list ONCE and
+    let every sweep's join reuse that partitioning; the vote pick
+    windows over per-node candidate labels (bounded by distinct
+    neighbor labels, shrinking every sweep), and state is |V| rows,
+    never collected."""
+    from pyspark.sql.window import Window
+
+    sym = (
+        edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col("w").cast("bigint").alias("w"),
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    pick = Window.partitionBy("vnode").orderBy(
+        F.col("wt").desc(), F.col("label").asc()
+    )
+    for i in range(iterations):
+        votes = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(F.col("src").alias("vnode"), "label", "w")
+            .groupBy("vnode", "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select(F.col("vnode").alias("node"), "label")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_oracle_sql(edges_cte: str, iterations: int = 4) -> str:
+    """The exact unrolled-SQL twin of :func:`label_propagation` for the
+    DuckDB oracle: same symmetrization, integer vote sums, and
+    (wt DESC, label ASC) pick, one CTE pair per sweep."""
+    parts = [
+        f"WITH raw_edges AS ({edges_cte})",
+        """sym AS (
+  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM raw_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM raw_edges
+  ) GROUP BY src, dst)""",
+        "it0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"it{k - 1}"
+        parts.append(
+            f"""v{k} AS (
+  SELECT e.src AS vnode, l.label, CAST(sum(e.w) AS BIGINT) AS wt
+  FROM sym e JOIN {p} l ON l.node = e.dst
+  GROUP BY e.src, l.label),
+it{k} AS (
+  SELECT vnode AS node, label FROM (
+    SELECT vnode, label,
+           row_number() OVER (PARTITION BY vnode
+                              ORDER BY wt DESC, label ASC) AS rn
+    FROM v{k}) WHERE rn = 1)"""
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT node, label FROM it{iterations}"

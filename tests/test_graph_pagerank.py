@@ -58,3 +58,40 @@ def test_deterministic_across_partitionings(spark):
     r1 = {r["node"]: r["r"] for r in pagerank(df1, 4).collect()}
     r2 = {r["node"]: r["r"] for r in pagerank(df2, 4).collect()}
     assert r1 == r2
+
+
+def test_label_propagation_recovers_regions(spark):
+    """On the intra-region trade graph the ground-truth communities are
+    the region cliques: after convergence every nation in a connected
+    intra-region component shares one label, and labels never cross
+    regions."""
+    from oroboro_dw_dbt_spark.operators.analytics_suite import gr_label_propagation
+    from tests.conftest import SF_SMOKE
+
+    labels = {r["node"]: r["label"] for r in gr_label_propagation(spark, SF_SMOKE).collect()}
+    nation = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/nation.parquet").collect()
+    }
+    assert labels, "graph must be non-empty"
+    # a label is itself a nation id; its region must match the node's
+    for node, label in labels.items():
+        assert nation[node] == nation[label], "label crossed a region boundary"
+
+
+def test_label_propagation_deterministic_rerun(spark):
+    """Two runs over a differently-partitioned copy of the same edges
+    produce identical labels (the determinism contract)."""
+    from pyspark.sql import functions as F
+
+    from oroboro_dw_dbt_spark.ops.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (3, 1, 1), (10, 11, 2), (11, 12, 2)],
+        "src int, dst int, w int",
+    )
+    a = sorted(map(tuple, label_propagation(edges, iterations=4).collect()))
+    b = sorted(
+        map(tuple, label_propagation(edges.repartition(7), iterations=4).collect())
+    )
+    assert a == b
