@@ -161,13 +161,94 @@ class ManifestParquetFormat:
         self, spark: SparkSession, path: Path, version: int | None = None
     ) -> DataFrame:
         """Read the committed snapshot (or a historical ``version`` —
-        time travel). Uncommitted/orphan data dirs are invisible."""
+        time travel). Uncommitted/orphan data dirs are invisible.
+        Snapshots carrying delete vectors apply them merge-on-read:
+        an anti-join of the (immutable) data files against the deleted
+        keys — the Iceberg equality-delete read path."""
         path = Path(path)
         v = version if version is not None else self.current_version(path)
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {path}")
         meta = self._snapshot_meta(path, v)
-        return spark.read.parquet(str(path / meta["data_dir"]))
+        df = spark.read.parquet(str(path / meta["data_dir"]))
+        delete_files = meta.get("delete_files", [])
+        if delete_files:
+            from pyspark.sql import functions as F
+
+            key = meta["delete_key"]
+            dels = spark.read.parquet(
+                *[str(path / f) for f in delete_files]
+            ).select(F.col(key).alias("__del_key")).distinct()
+            # deletes are a small fraction of the table — broadcast the
+            # key set so the anti-join adds no shuffle to the scan
+            df = df.join(
+                F.broadcast(dels), df[key] == dels["__del_key"], "left_anti"
+            )
+        return df
+
+    # -- merge-on-read deletes (Iceberg-style equality deletes) ------------
+
+    def delete_keys(
+        self, spark: SparkSession, path: Path, keys: DataFrame, key_col: str
+    ) -> int:
+        """Commit a MERGE-ON-READ delete: the data files are untouched;
+        a new snapshot references the same immutable data dir plus one
+        more delete-vector file (a parquet of deleted key values).
+        Write amplification is O(deleted keys), not O(table) — the
+        copy-on-write alternative rewrites every affected file, which
+        at 100 TB turns a 1000-row delete into a multi-TB job. Readers
+        of the new version apply the vectors; readers of prior versions
+        (time travel) see the undeleted rows. Returns the new version."""
+        path = Path(path)
+        cur = self.current_version(path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        meta = self._snapshot_meta(path, cur)
+        if meta.get("delete_key") not in (None, key_col):
+            raise ValueError(
+                f"table {path} already has deletes keyed on "
+                f"{meta['delete_key']!r}, not {key_col!r}"
+            )
+        version = cur + 1
+        delete_file = f"deletes-{version:06d}"
+        keys.select(key_col).distinct().write.mode("overwrite").parquet(
+            str(path / delete_file)
+        )
+        (self._manifest_dir(path) / f"snap-{version:06d}.json").write_text(
+            json.dumps(
+                {
+                    "version": version,
+                    "data_dir": meta["data_dir"],
+                    "partition_by": meta.get("partition_by", []),
+                    "delete_key": key_col,
+                    "delete_files": meta.get("delete_files", []) + [delete_file],
+                    "committed_at_unix": time.time(),
+                }
+            )
+        )
+        self._commit(path, version)
+        return version
+
+    def compact_deletes(self, spark: SparkSession, path: Path) -> int:
+        """Fold accumulated delete vectors into a rewritten data dir
+        (the copy-on-write step, run when vectors grow past the point
+        where the read-side anti-join is worth its broadcast): reads
+        the current merge-on-read view, lands it as a fresh snapshot
+        with no delete files. Old versions stay time-travel readable.
+        Returns the new version."""
+        path = Path(path)
+        cur = self.current_version(path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        meta = self._snapshot_meta(path, cur)
+        if not meta.get("delete_files"):
+            return cur
+        self.write(
+            self.read(spark, path),
+            path,
+            partition_by=tuple(meta.get("partition_by", [])),
+        )
+        return self.current_version(path)
 
     def replace(self, staging: Path, final: Path) -> None:
         """Adopt ``staging``'s current snapshot as ``final``'s next
@@ -213,11 +294,13 @@ class ManifestParquetFormat:
             v for v in self.versions(path) if v <= cur
         )
         keep_versions = set(sorted(keep_versions)[-keep_last:]) | {cur}
-        referenced = {
-            self._snapshot_meta(path, v)["data_dir"] for v in keep_versions
-        }
+        referenced: set[str] = set()
+        for v in keep_versions:
+            meta = self._snapshot_meta(path, v)
+            referenced.add(meta["data_dir"])
+            referenced.update(meta.get("delete_files", []))
         deleted: list[str] = []
-        for d in sorted(path.glob("data-*")):
+        for d in sorted([*path.glob("data-*"), *path.glob("deletes-*")]):
             if d.name not in referenced:
                 shutil.rmtree(d)
                 deleted.append(d.name)

@@ -695,6 +695,84 @@ def eng_acid_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eng_delete_vectors",
+    # merge-on-read delete contract as data, each phase recomputed by
+    # the oracle from the source table:
+    #   v1          — full table committed
+    #   mor_delete  — equality-delete of negative balances: readers see
+    #                 the filtered table though no data file changed
+    #                 (file-immutability asserted in pytest)
+    #   timetravel  — version 1 still shows the deleted rows
+    #   compacted   — copy-on-write fold of the vectors: same result,
+    #                 now with zero delete files on the read path
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_acctbal FROM customer),
+    full_t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4))), 2) AS DOUBLE)
+               AS bal_sum
+      FROM c
+    ),
+    kept AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4))), 2) AS DOUBLE)
+               AS bal_sum
+      FROM c WHERE c_acctbal >= 0
+    )
+    SELECT 'v1' AS phase, n, bal_sum FROM full_t
+    UNION ALL SELECT 'mor_delete', n, bal_sum FROM kept
+    UNION ALL SELECT 'timetravel_v1', n, bal_sum FROM full_t
+    UNION ALL SELECT 'compacted', n, bal_sum FROM kept
+    """,
+    survey_ref="engine storage: merge-on-read equality deletes "
+    "(Iceberg-style delete vectors) — O(deleted keys) write "
+    "amplification, anti-join read path, copy-on-write compaction "
+    "(engine/table_format.py delete_keys/compact_deletes)",
+)
+def eng_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive merge-on-read deletes through commit → delete → time
+    travel → compaction, aggregating what a reader sees at each phase.
+
+    The scale story IS the phase list: the delete writes only the key
+    set (a 1000-row delete on a 100 TB table stays a KB-scale commit),
+    readers apply vectors as a broadcast anti-join on the immutable
+    data files, history stays byte-identical for time travel, and
+    compaction is the explicitly-scheduled copy-on-write fold — never
+    an implicit one hiding in a delete call."""
+    import tempfile
+    from pathlib import Path
+
+    from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+
+    table = Path(tempfile.mkdtemp(prefix="mor_wh_")) / "customer_mor"
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+
+    fmt = ManifestParquetFormat()
+    fmt.write(cust, table)  # v1
+    bal = F.col("c_acctbal").cast("decimal(12,4)")
+
+    def agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum(bal), 2).cast("double").alias("bal_sum"),
+        ).select("phase", "n", "bal_sum")
+
+    phases = [agg(fmt.read(spark, table), "v1")]
+    fmt.delete_keys(
+        spark, table, cust.filter(F.col("c_acctbal") < 0), "c_custkey"
+    )
+    phases.append(agg(fmt.read(spark, table), "mor_delete"))
+    phases.append(agg(fmt.read(spark, table, version=1), "timetravel_v1"))
+    fmt.compact_deletes(spark, table)
+    phases.append(agg(fmt.read(spark, table), "compacted"))
+    out = phases[0]
+    for p in phases[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "eng_manifest",
     # the reference DAG's documented shape, as data: dbt docs-generate
     # parity certified through the driver (3 nodes, their materialized

@@ -120,3 +120,73 @@ class TestAcidCommit:
         }
         # both merge generations remain as committed versions
         assert len(fmt.versions(tmp_path / "inc")) == 2
+
+class TestMergeOnReadDeletes:
+    """delete_keys/compact_deletes: the Iceberg-equality-delete contract —
+    deletes never touch data files, readers apply vectors, compaction
+    folds them, vacuum reclaims superseded vectors."""
+
+    def _file_set(self, data_dir):
+        return sorted(p.name for p in data_dir.glob("*.parquet"))
+
+    def test_delete_is_merge_on_read(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "t"
+        fmt.write(spark.range(10).select(F.col("id").alias("x")), table)
+        data_dir = table / fmt._snapshot_meta(table, 1)["data_dir"]
+        files_before = self._file_set(data_dir)
+        mtimes_before = {p.name: p.stat().st_mtime_ns for p in data_dir.glob("*.parquet")}
+
+        fmt.delete_keys(
+            spark, table, spark.range(3).select(F.col("id").alias("x")), "x"
+        )
+        assert _ids(spark, fmt, table) == [3, 4, 5, 6, 7, 8, 9]
+        # data files byte-untouched: same names, same mtimes
+        assert self._file_set(data_dir) == files_before
+        assert {
+            p.name: p.stat().st_mtime_ns for p in data_dir.glob("*.parquet")
+        } == mtimes_before
+        # history: v1 still shows everything
+        assert _ids(spark, fmt, table, version=1) == list(range(10))
+
+    def test_deletes_accumulate_and_compact(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "t"
+        fmt.write(spark.range(10).select(F.col("id").alias("x")), table)
+        fmt.delete_keys(spark, table, spark.range(2).select(F.col("id").alias("x")), "x")
+        fmt.delete_keys(
+            spark, table, spark.range(8, 10).select(F.col("id").alias("x")), "x"
+        )
+        assert _ids(spark, fmt, table) == [2, 3, 4, 5, 6, 7]
+        assert len(fmt._snapshot_meta(table, 3)["delete_files"]) == 2
+
+        v = fmt.compact_deletes(spark, table)
+        meta = fmt._snapshot_meta(table, v)
+        assert meta.get("delete_files", []) == []  # vectors folded in
+        assert _ids(spark, fmt, table) == [2, 3, 4, 5, 6, 7]
+        # compacting again is a no-op
+        assert fmt.compact_deletes(spark, table) == v
+
+    def test_vacuum_reclaims_superseded_vectors(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "t"
+        fmt.write(spark.range(6).select(F.col("id").alias("x")), table)
+        fmt.delete_keys(spark, table, spark.range(2).select(F.col("id").alias("x")), "x")
+        fmt.compact_deletes(spark, table)
+        deleted = fmt.vacuum(table, keep_last=1)
+        assert any(d.startswith("deletes-") for d in deleted)
+        assert any(d.startswith("data-") for d in deleted)
+        assert _ids(spark, fmt, table) == [2, 3, 4, 5]
+
+    def test_mixed_delete_key_rejected(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "t"
+        fmt.write(
+            spark.range(4).select(F.col("id").alias("x"), (F.col("id") * 2).alias("y")),
+            table,
+        )
+        fmt.delete_keys(spark, table, spark.range(1).select(F.col("id").alias("x")), "x")
+        with pytest.raises(ValueError):
+            fmt.delete_keys(
+                spark, table, spark.range(1).select(F.col("id").alias("y")), "y"
+            )
