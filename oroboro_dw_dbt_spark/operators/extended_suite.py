@@ -694,6 +694,80 @@ def eng_acid_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _zorder_entry_oracle() -> str:
+    from oroboro_dw_dbt_spark.engine.layout import zorder_oracle_expr
+
+    # bands are computed ONCE as BIGINTs in a CTE: DuckDB's `//` on a
+    # DOUBLE (epoch() returns fractional seconds) is plain division,
+    # not floor division — the interleave arithmetic needs integers
+    z = zorder_oracle_expr("xb", "yb")
+    return f"""
+    WITH banded AS (
+      SELECT event_type, value,
+             user_id % 256 AS xb,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 256 AS yb
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE)
+             AS value_sum,
+           min({z}) AS min_z, max({z}) AS max_z
+    FROM banded
+    WHERE xb >= 64 AND xb < 96 AND yb >= 32 AND yb < 64
+    GROUP BY event_type
+    """
+
+
+@query(
+    "eng_zorder_layout",
+    # the same box query + Morton arithmetic restated over the RAW
+    # source: parity certifies both the z-value math (min/max z per
+    # group) and that the z-ordered rewrite lost/changed no rows
+    oracle=_zorder_entry_oracle(),
+    survey_ref="engine storage: Z-order (Morton) file layout — "
+    "multi-dimensional data skipping beyond 1-D Hive partitioning "
+    "(engine/layout.py; rectangle property footer-asserted in pytest)",
+)
+def eng_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order events by (user band, hour band), then answer a 2-D box
+    query from the rewritten files.
+
+    The write is one range-partition shuffle + local sort on the
+    interleaved key; each output file then covers a small rectangle of
+    the (user, hour) plane, so the box predicate prunes most files via
+    parquet footer min/max — the two-filter-column case that defeats
+    single-dimension Hive partitioning. Here the certified surface is
+    value identity (rewrite lost nothing) and exact z arithmetic; the
+    pruning claim itself is asserted on real file footers in
+    tests/test_zorder_layout.py rather than trusted."""
+    import tempfile
+
+    from oroboro_dw_dbt_spark.engine.layout import zorder_value, zorder_write
+
+    ev = load_table(spark, sf_dir, "events")
+    xband = F.col("user_id") % 256
+    yband = F.expr("unix_timestamp(ts) div 3600") % 256
+    zdir = tempfile.mkdtemp(prefix="zorder_wh_") + "/events_z"
+    zorder_write(ev, zdir, xband, yband, bits=8, n_files=16)
+
+    back = spark.read.parquet(zdir)
+    bx = F.col("user_id") % 256
+    by = F.expr("unix_timestamp(ts) div 3600") % 256
+    return (
+        back.filter(bx.between(64, 95) & by.between(32, 63))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,4)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+            F.min(zorder_value(bx, by)).alias("min_z"),
+            F.max(zorder_value(bx, by)).alias("max_z"),
+        )
+    )
+
+
 @query(
     "eng_delete_vectors",
     # merge-on-read delete contract as data, each phase recomputed by
