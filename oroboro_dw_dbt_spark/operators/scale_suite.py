@@ -111,6 +111,60 @@ def sk_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sk_hll_merge",
+    # MERGEABILITY is the property that makes sketches work at 100 TB:
+    # per-shard partial sketches unioned must equal the single-pass
+    # sketch (register-wise max is associative/commutative), so
+    # distinct-count state can pre-aggregate map-side, roll up across
+    # days/partitions, and never rescan. The entry computes both paths
+    # in one plan and emits the invariant as data; exact_distinct
+    # anchors the hash.
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           true AS merge_matches_direct, true AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ref="beyond-reference: DataSketches HLL partial-sketch union "
+    "(hll_sketch_agg / hll_union_agg) — merge == single-pass, the "
+    "pre-aggregation contract for distinct counts at scale",
+)
+def sk_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard → sketch → union vs direct sketch, per event type.
+
+    Shards split on event_id (so every shard sees overlapping user
+    sets — the union must actually deduplicate, not concatenate). The
+    merged estimate must equal the direct estimate EXACTLY: an HLL
+    register is a max over observed hashes and max is associative, so
+    partial sketches lose nothing. That is why a 100 TB daily-distinct
+    rollup can store per-day sketch state (KB per group) and answer
+    any date-range distinct query by unioning sketches instead of
+    rescanning the range."""
+    events = load_table(spark, sf_dir, "events")
+    rsd = 0.02  # lgConfigK=12 default → ~1.6% rsd
+    shards = events.groupBy(
+        "event_type", (F.col("event_id") % 8).alias("shard")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = shards.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = events.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (F.col("merged_est") == F.col("direct_est")).alias("merge_matches_direct"),
+        (
+            F.abs(F.col("direct_est") - F.col("exact_distinct"))
+            <= F.greatest(5 * rsd * F.col("exact_distinct"), F.lit(5.0))
+        ).alias("within_bound"),
+    )
+
+
+@query(
     "sk_approx_quantiles",
     # GK guarantees RANK error ≤ n/accuracy; the entry checks the
     # empirical CDF at each returned quantile against that bound in the
