@@ -855,6 +855,72 @@ def sp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sp_time_folds",
+    # calendar-fixed weekly boundaries (no quantiles — zero cross-engine
+    # interpolation risk); the no_leak flag recomputes the temporal
+    # invariant IN the result so the gate certifies it as data
+    oracle="""
+    WITH b AS (
+      SELECT * FROM (VALUES
+        (1, TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
+        (2, TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-22 00:00:00'),
+        (3, TIMESTAMP '2024-01-22 00:00:00', TIMESTAMP '2024-01-29 00:00:00')
+      ) AS t(fold, v_start, v_end)
+    )
+    SELECT fold,
+           CAST(count(*) FILTER (WHERE ts < v_start) AS BIGINT) AS train_n,
+           CAST(count(*) FILTER (WHERE ts >= v_start AND ts < v_end) AS BIGINT)
+             AS valid_n,
+           max(CASE WHEN ts < v_start THEN ts END)
+             < min(CASE WHEN ts >= v_start AND ts < v_end THEN ts END)
+             AS no_leak
+    FROM events CROSS JOIN b
+    GROUP BY fold
+    """,
+    survey_ref="beyond-reference: expanding-window time-series "
+    "cross-validation folds — train strictly precedes validation, "
+    "leakage invariant certified as data",
+)
+def sp_time_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window CV fold assignment over event time.
+
+    Each fold trains on ALL history before its validation week — the
+    only split shape that never leaks the future into training for
+    time-dependent data (random K-fold does). One pass: the tiny fold
+    table broadcasts onto the fact, and each (fold, role) lands via
+    conditional aggregation — the fact is scanned once for all folds,
+    not once per fold. Boundaries are fixed calendar instants, so fold
+    membership is reproducible across engines, retries, and reruns."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = spark.createDataFrame(
+        [
+            (1, "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+            (2, "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+            (3, "2024-01-22 00:00:00", "2024-01-29 00:00:00"),
+        ],
+        "fold int, v_start string, v_end string",
+    ).select(
+        "fold",
+        F.col("v_start").cast("timestamp").alias("v_start"),
+        F.col("v_end").cast("timestamp").alias("v_end"),
+    )
+    ts = F.col("ts")
+    in_train = ts < F.col("v_start")
+    in_valid = (ts >= F.col("v_start")) & (ts < F.col("v_end"))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("fold")
+        .agg(
+            F.count(F.when(in_train, 1)).cast("bigint").alias("train_n"),
+            F.count(F.when(in_valid, 1)).cast("bigint").alias("valid_n"),
+            (
+                F.max(F.when(in_train, ts)) < F.min(F.when(in_valid, ts))
+            ).alias("no_leak"),
+        )
+    )
+
+
+@query(
     "sp_ring_negatives",
     # band = first hex byte of md5 mod 16 (both engines parse the hex
     # pair to the same integer); ring position arithmetic is pure

@@ -60,6 +60,9 @@ NESTED_LOOP_OK = {
     # per-part frame) broadcast-crossed back for the HAVING threshold
     # (TPC-H Q11's uncorrelated scalar subquery)
     "q11_important_parts",
+    # 3-row fold-boundary table broadcast-crossed onto the fact (one
+    # scan answers every fold via conditional aggregation)
+    "sp_time_folds",
 }
 # streaming entries execute eagerly inside the builder; explain() on the
 # returned batch result reflects the memory sink, not the stream plan
