@@ -68,6 +68,10 @@ HEADLINE = [
     "pivot_wide",
     # iterative graph algorithm (round 5)
     "gr_pagerank",
+    # TPC-H completion suite stress shapes (round 5): two-level count
+    # histogram and the double-self-subquery census decorrelation
+    "q13_order_count_distribution",
+    "q21_sole_supplier_delays",
 ]
 
 

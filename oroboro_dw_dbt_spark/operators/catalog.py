@@ -55,6 +55,14 @@ def _driver_covered(root=None, specs: dict[str, QuerySpec] | None = None) -> set
     oracle keeps front-rotating until a round certifies it (round 4: four
     entries were stuck never-green because appearance alone counted).
     """
+    covered, _appeared = _driver_history(root, specs)
+    return covered
+
+
+def _driver_history(
+    root=None, specs: dict[str, QuerySpec] | None = None
+) -> tuple[set[str], set[str]]:
+    """(green, appeared) entry-name sets across all prior driver rounds."""
     import json
     from pathlib import Path
 
@@ -63,6 +71,7 @@ def _driver_covered(root=None, specs: dict[str, QuerySpec] | None = None) -> set
     if specs is None:
         specs = QUERIES
     covered: set[str] = set()
+    appeared: set[str] = set()
     for f in sorted(Path(root).glob("CORRECTNESS_r*.json")):
         try:
             records = json.loads(f.read_text())
@@ -71,6 +80,7 @@ def _driver_covered(root=None, specs: dict[str, QuerySpec] | None = None) -> set
         for name, rec in records.items():
             if not isinstance(rec, dict):
                 continue
+            appeared.add(name)
             spec = specs.get(name)
             has_oracle = spec is not None and spec.oracle is not None
             if has_oracle:
@@ -80,14 +90,25 @@ def _driver_covered(root=None, specs: dict[str, QuerySpec] | None = None) -> set
                 green = rec.get("err") in (None, "no_oracle") and rec.get("spark_rows") is not None
             if green:
                 covered.add(name)
-    return covered
+    return covered, appeared
 
 
 def catalog_order() -> list[str]:
-    """Catalog names, never-driver-covered entries first (stable otherwise)."""
-    covered = _driver_covered()
+    """Catalog names ordered for the driver's bounded per-round window:
+
+    1. appeared in a past window but never green (longest-waiting —
+       these lose another full round if they miss the window, so they
+       outrank brand-new entries when the uncovered backlog exceeds
+       the window size);
+    2. never appeared at all (new entries, insertion order);
+    3. already green (their record stands).
+    """
+    covered, appeared = _driver_history()
     names = list(QUERIES)
-    return [n for n in names if n not in covered] + [n for n in names if n in covered]
+    stuck = [n for n in names if n in appeared and n not in covered]
+    fresh = [n for n in names if n not in appeared and n not in covered]
+    done = [n for n in names if n in covered]
+    return stuck + fresh + done
 
 
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -98,3 +98,34 @@ class TestWindowRotation:
         covered = cat._driver_covered()
         front = [n for n in order if n not in covered]
         assert order[: len(front)] == front
+
+    def test_stuck_entries_outrank_fresh(self, tmp_path):
+        """When the uncovered backlog exceeds the driver's window, entries
+        that already burned a window appearance without going green must
+        lead — a brand-new entry can wait a round; they cannot."""
+        rec = {
+            "stuck": {"rows_match": None, "schema_match": None,
+                      "hash_match": None, "spark_rows": None,
+                      "oracle_rows": None, "err": "crash"},
+        }
+        (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rec))
+        specs = {
+            "fresh_a": cat.QuerySpec("fresh_a", lambda s, d: None, "SELECT 1"),
+            "stuck": cat.QuerySpec("stuck", lambda s, d: None, "SELECT 1"),
+            "fresh_b": cat.QuerySpec("fresh_b", lambda s, d: None, "SELECT 1"),
+        }
+        covered, appeared = cat._driver_history(tmp_path, specs)
+        assert covered == set() and appeared == {"stuck"}
+        # mirror catalog_order's tiering on the fake specs
+        names = list(specs)
+        stuck = [n for n in names if n in appeared and n not in covered]
+        fresh = [n for n in names if n not in appeared and n not in covered]
+        assert stuck + fresh == ["stuck", "fresh_a", "fresh_b"]
+
+    def test_live_catalog_stuck_four_lead(self):
+        """The four entries stuck since r01/r04 must occupy the first
+        window slots ahead of this round's ~50 new entries."""
+        order = cat.catalog_order()
+        covered, appeared = cat._driver_history()
+        stuck = [n for n in cat.QUERIES if n in appeared and n not in covered]
+        assert order[: len(stuck)] == stuck
