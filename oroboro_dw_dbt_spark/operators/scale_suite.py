@@ -113,12 +113,15 @@ def sk_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sk_hll_merge",
     # MERGEABILITY is the property that makes sketches work at 100 TB:
-    # per-shard partial sketches unioned must equal the single-pass
-    # sketch (register-wise max is associative/commutative), so
-    # distinct-count state can pre-aggregate map-side, roll up across
-    # days/partitions, and never rescan. The entry computes both paths
-    # in one plan and emits the invariant as data; exact_distinct
-    # anchors the hash.
+    # per-shard partial sketches unioned must estimate the same set as
+    # the single-pass sketch, so distinct-count state can pre-aggregate
+    # map-side, roll up across days/partitions, and never rescan. The
+    # two paths are bit-equal in sparse mode but may differ by a hair
+    # in dense mode (the union runs HLL_8 internally while a direct
+    # sketch may stay HLL_4 — observed at sf0.1: 1500 vs 1501), so the
+    # flag is a tight relative bound, not equality: a union that
+    # CONCATENATED instead of deduplicating would inflate the estimate
+    # ~8× here and trip it instantly. exact_distinct anchors the hash.
     oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
@@ -134,10 +137,11 @@ def sk_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard → sketch → union vs direct sketch, per event type.
 
     Shards split on event_id (so every shard sees overlapping user
-    sets — the union must actually deduplicate, not concatenate). The
-    merged estimate must equal the direct estimate EXACTLY: an HLL
-    register is a max over observed hashes and max is associative, so
-    partial sketches lose nothing. That is why a 100 TB daily-distinct
+    sets — the union must actually deduplicate, not concatenate). An
+    HLL register is a max over observed hashes and max is associative,
+    so partial sketches lose nothing; the estimates agree to well
+    under the sketch's own error (equal in sparse mode, ±1 count in
+    dense — see the oracle note). That is why a 100 TB daily-distinct
     rollup can store per-day sketch state (KB per group) and answer
     any date-range distinct query by unioning sketches instead of
     rescanning the range."""
@@ -156,7 +160,10 @@ def sk_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(direct, "event_type").select(
         "event_type",
         "exact_distinct",
-        (F.col("merged_est") == F.col("direct_est")).alias("merge_matches_direct"),
+        (
+            F.abs(F.col("merged_est") - F.col("direct_est"))
+            <= F.greatest(rsd / 2 * F.col("direct_est"), F.lit(2.0))
+        ).alias("merge_matches_direct"),
         (
             F.abs(F.col("direct_est") - F.col("exact_distinct"))
             <= F.greatest(5 * rsd * F.col("exact_distinct"), F.lit(5.0))
