@@ -131,3 +131,53 @@ class TestPlanShapes:
         assert first_join >= 0 and agg >= 0
         # children print after parents: the only aggregate is a join child
         assert agg > first_join, plan
+
+
+class TestTpchSuitePlanShapes:
+    """The TPC-H completion suite's load-bearing physical properties."""
+
+    def test_q4_exists_compiles_to_semi_join(self, spark):
+        plan = _plan(spark, "q4_priority_followup")
+        assert "LeftSemi" in plan, plan
+        assert "CartesianProduct" not in plan
+
+    def test_q16_not_in_compiles_to_anti_join(self, spark):
+        plan = _plan(spark, "q16_supplier_variety")
+        assert "LeftAnti" in plan, plan
+
+    def test_q6_predicates_reach_the_scan(self, spark):
+        plan = _plan(spark, "q6_forecast_revenue")
+        assert re.search(r"PushedFilters:.*l_shipdate", plan), plan
+        assert re.search(r"PushedFilters:.*l_discount", plan), plan
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert "l_orderkey" not in m.group(1)  # pruned: q6 needs 4 cols
+
+    def test_q19_or_still_prunes_both_scans(self, spark):
+        """The OR-of-ANDs must not kill pushdown: Catalyst extracts the
+        implied brand IN-list onto part and the quantity envelope onto
+        lineitem."""
+        plan = _plan(spark, "q19_disjunctive_revenue")
+        assert re.search(r"PushedFilters:.*l_quantity", plan), plan
+        assert re.search(r"PushedFilters:.*p_brand", plan), plan
+
+    def test_q13_aggregates_below_the_join(self, spark):
+        """Orders collapse to (custkey, n) BEFORE joining customers —
+        the join must carry per-key rows, not raw orders."""
+        df = QUERIES["q13_order_count_distribution"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        first_join = min(
+            i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+            if i >= 0
+        )
+        # children print after parents: an aggregate below the join
+        assert plan.find("HashAggregate", first_join) > first_join, plan
+
+    def test_q21_census_is_two_aggregations_no_self_joins(self, spark):
+        """The EXISTS/NOT-EXISTS decorrelation must not reintroduce
+        correlated fact self-joins: exactly one aggregation over
+        lineitem (the census) + no nested-loop artifacts."""
+        plan = _plan(spark, "q21_sole_supplier_delays")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # lineitem is scanned once: one scan node referencing l_discount
+        assert plan.count("/lineitem.parquet") <= 2, plan
