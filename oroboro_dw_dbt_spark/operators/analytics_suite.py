@@ -1059,6 +1059,113 @@ def st_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Watermark late-data semantics, certified against a planned feed.
+# ---------------------------------------------------------------------------
+def _late_drop_oracle() -> str:
+    from oroboro_dw_dbt_spark.sources.pydatasource import (
+        LATE_DROPPED_IDS,
+        LATE_PLAN,
+        LATE_UNFLUSHED_IDS,
+    )
+
+    rows = ", ".join(
+        f"({i}, {ep})" for batch in LATE_PLAN for i, ep in batch
+    )
+    excluded = ", ".join(
+        str(i) for i in sorted(LATE_DROPPED_IDS | LATE_UNFLUSHED_IDS)
+    )
+    return f"""
+    WITH raw(id, ep) AS (VALUES {rows}),
+    kept AS (SELECT id, ep FROM raw WHERE id NOT IN ({excluded})),
+    w AS (SELECT id, CAST((ep // 600) * 600 AS BIGINT) AS ws FROM kept)
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+           make_timestamp((ws + 600) * 1000000) AS window_end,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT) AS id_sum
+    FROM w GROUP BY ws
+    """
+
+
+@query(
+    "st_late_data_drop",
+    # the oracle EXCLUDES exactly the rows the planned watermark
+    # trajectory says Spark must drop (window end <= watermark at
+    # arrival) and the sentinel whose window the final watermark never
+    # passes — so a hash match certifies the drop rule, the
+    # accept-late-within-delay rule, AND append-mode emission
+    # completeness, all three directions at once
+    oracle=_late_drop_oracle(),
+    survey_ref="streaming semantics: watermark late-data contract over "
+    "a planned micro-batch feed — too-late rows dropped, within-delay "
+    "rows accepted, unflushed windows withheld (sources/pydatasource.py "
+    "LATE_PLAN)",
+)
+def st_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming aggregation over a feed with PLANNED late
+    arrivals, append mode, 10-minute windows and watermark delay.
+
+    Because the Python stream source replays fixed micro-batches, the
+    watermark trajectory is decidable on paper: batch 2 carries two
+    late-but-acceptable rows (their windows are still live) and two
+    hopelessly late rows (their windows' state was already evicted —
+    Spark must drop them, and the oracle drops them by id). A final
+    sentinel batch advances the watermark so every certified window
+    flushes to the append sink; the sentinel's own window must NOT
+    appear. This is the negative-space twin of the other seven
+    streaming entries: they certify what arrives, this certifies what
+    is (and is not) allowed to."""
+    import time
+    import uuid
+
+    from oroboro_dw_dbt_spark.sources.pydatasource import (
+        LATE_DROPPED_IDS,
+        LATE_PLAN,
+        LATE_UNFLUSHED_IDS,
+        register_latefeed,
+    )
+
+    register_latefeed(spark)
+    excluded = LATE_DROPPED_IDS | LATE_UNFLUSHED_IDS
+    expected_windows = len(
+        {ep // 600 for b in LATE_PLAN for i, ep in b if i not in excluded}
+    )
+    name = f"latefeed_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.format("latefeed").load()
+    agg = (
+        stream.select("id", F.timestamp_seconds("ep").alias("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("id").cast("bigint").alias("id_sum"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= expected_windows:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("late-feed stream did not flush within 120 s")
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+        "id_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
 # GROUPED_AGG pandas UDF: the last cell of the Python API matrix.
 # ---------------------------------------------------------------------------
 @query(

@@ -122,3 +122,84 @@ class DetStreamDataSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(DetStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Planned late-data feed: watermark semantics made deterministic
+# ---------------------------------------------------------------------------
+# Each inner list is ONE micro-batch of (id, epoch-seconds) rows. The
+# plan is engineered so the watermark trajectory — and therefore
+# exactly which rows Spark's streaming aggregation must DROP and which
+# windows it must EMIT in append mode — is decidable on paper, with no
+# borderline equality cases AND no dependence on exactly when the
+# engine makes a new watermark effective. Measured on this engine, the
+# watermark computed from batch k's data governs batch k+2 (one batch
+# later than the textbook "next batch"), so every batch transition that
+# matters is guarded by a SPACER batch that leaves the max event time
+# unchanged — the effective watermark at the decision batch is then
+# identical whether the engine lags one batch or two:
+#
+#   batch 0: 12 on-time rows, 10:00..10:55 (5-min stride) -> wm 10:45
+#   batch 1: SPACER id 50 @10:55 (max unchanged -> wm still 10:45)
+#   batch 2: decision batch, effective wm = 10:45 under either lag:
+#            6 on-time rows 11:00..11:10;
+#            id 200 @10:50, id 201 @10:47 — LATE but their 10-min
+#              windows end 11:00 / 10:50 > 10:45: must be ACCEPTED;
+#            id 300 @10:05, id 301 @10:33 — their windows end
+#              10:10 / 10:40 <= 10:45: state evicted, must be DROPPED
+#   batch 3: sentinel id 400 @12:00 — pushes the final watermark to
+#            11:50 so every certified window flushes
+#   batch 4: SPACER sentinel id 401 @12:00 — guarantees 11:50 is
+#            effective under either lag; both sentinels' own window
+#            (12:00-12:10) is never passed and must never be emitted.
+_B = 1704103200  # 2024-01-01 10:00:00 UTC in epoch seconds
+
+LATE_PLAN: list[list[tuple[int, int]]] = [
+    [(i, _B + i * 300) for i in range(12)],
+    [(50, _B + 3300)],
+    [(100 + j, _B + 3600 + j * 120) for j in range(6)]
+    + [(200, _B + 3000), (201, _B + 2820), (300, _B + 300), (301, _B + 1980)],
+    [(400, _B + 7200)],
+    [(401, _B + 7200)],
+]
+LATE_DROPPED_IDS = {300, 301}  # window end <= watermark at arrival
+LATE_UNFLUSHED_IDS = {400, 401}  # final watermark never passes their window
+
+
+class LateFeedReader(SimpleDataSourceStreamReader):
+    """Replays LATE_PLAN one batch per micro-batch, offset = batch
+    index — so watermark advancement between batches is exactly the
+    planned trajectory, run after run."""
+
+    def initialOffset(self):
+        return {"b": 0}
+
+    def read(self, start):
+        b = start["b"]
+        if b >= len(LATE_PLAN):
+            return iter([]), {"b": b}
+        return iter(LATE_PLAN[b]), {"b": b + 1}
+
+    def readBetweenOffsets(self, start, end):
+        rows: list[tuple[int, int]] = []
+        for b in range(start["b"], end["b"]):
+            rows.extend(LATE_PLAN[b])
+        return iter(rows)
+
+
+class LateFeedDataSource(DataSource):
+    """``spark.readStream.format("latefeed")`` — the planned feed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "latefeed"
+
+    def schema(self) -> str:
+        return "id bigint, ep bigint"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return LateFeedReader()
+
+
+def register_latefeed(spark) -> None:
+    spark.dataSource.register(LateFeedDataSource)

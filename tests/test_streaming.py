@@ -299,3 +299,52 @@ def test_stream_upsert_multi_batch_equals_batch_argmax(spark):
     )
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+def test_late_feed_drop_metrics(spark):
+    """The planned feed's two hopeless-late rows must be dropped BY THE
+    WATERMARK OPERATOR (not merely absent): the state operator's
+    numRowsDroppedByWatermark says so explicitly, batch by batch."""
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from oroboro_dw_dbt_spark.sources.pydatasource import (
+        LATE_DROPPED_IDS,
+        register_latefeed,
+    )
+
+    register_latefeed(spark)
+    name = f"latemetrics_{uuid.uuid4().hex[:8]}"
+    agg = (
+        spark.readStream.format("latefeed")
+        .load()
+        .select("id", F.timestamp_seconds("ep").alias("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= 8:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("late feed did not flush")
+    finally:
+        q.stop()
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == len(LATE_DROPPED_IDS), dropped
