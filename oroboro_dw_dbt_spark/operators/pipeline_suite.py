@@ -508,3 +508,72 @@ def udtf_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(CharChunks(col("text").outer(), lit(100))).select(
         "doc_id", "chunk_id", "start_pos", "chunk_chars"
     )
+
+
+@query(
+    "udtf_polymorphic_tokens",
+    # the oracle fixes n=3 (the same literal the entry passes) and
+    # restates the token slots; the empty-text guard mirrors Python's
+    # ''.split() returning [] where a regex split would return ['']
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 1 THEN toks[1] END AS g1,
+           CASE WHEN len(toks) >= 2 THEN toks[2] END AS g2,
+           CASE WHEN len(toks) >= 3 THEN toks[3] END AS g3,
+           CAST(len(toks) AS INT) AS n_tokens
+    FROM t
+    """,
+    survey_ref="beyond-reference API surface: POLYMORPHIC Python UDTF — "
+    "analyze() computes the output schema from a literal argument at "
+    "plan time (PySpark 4's dynamic-schema table function)",
+)
+def udtf_polymorphic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A UDTF whose OUTPUT SCHEMA is computed, not declared: analyze()
+    receives the literal n at plan time and emits n token columns plus
+    a count — the PySpark 4 polymorphic table-function contract
+    (static UDTFs are certified by udtf_char_chunks; this is the
+    schema-from-arguments half of the API). Arrow-batched like its
+    static sibling; the fan-out is 1→1, so the cost is one projection
+    pass."""
+    import re
+
+    from pyspark.sql.functions import col, lit, udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            # runs in a sessionless analyze worker: build the schema
+            # programmatically (fromDDL would need a live SparkSession)
+            k = int(n.value)  # literal-foldable at plan time
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"g{i + 1}", StringType()) for i in range(k)]
+                    + [StructField("n_tokens", IntegerType())]
+                )
+            )
+
+        def __init__(self):
+            self._k = None
+
+        def eval(self, text: str, n: int):
+            t = (text or "").strip()
+            toks = re.split(r"\s+", t) if t else []
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(n)
+            ) + (len(toks),)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.lateralJoin(FirstTokens(col("text").outer(), lit(3))).select(
+        "doc_id", "g1", "g2", "g3", "n_tokens"
+    )
