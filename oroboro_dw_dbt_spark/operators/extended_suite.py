@@ -64,6 +64,73 @@ def tj_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tj_asof_nearest",
+    # the third as-of direction: temporally NEAREST match either way,
+    # ties broken toward the earlier (backward) match. Composed from
+    # the two one-sided as-ofs; distances compare in exact integer
+    # microseconds (epoch doubles lose ulps at 2024-scale epochs)
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    b AS (SELECT p.event_id, p.user_id, p.ts, c.ts AS prev_ts
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND c.ts <= p.ts),
+    f AS (SELECT p.event_id, c.ts AS next_ts
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND c.ts >= p.ts)
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE
+             WHEN prev_ts IS NULL THEN next_ts
+             WHEN next_ts IS NULL THEN prev_ts
+             WHEN epoch_us(b.ts) - epoch_us(prev_ts)
+                  <= epoch_us(next_ts) - epoch_us(b.ts) THEN prev_ts
+             ELSE next_ts
+           END AS nearest_ts
+    FROM b JOIN f USING (event_id)
+    """,
+    survey_ref="beyond-reference: nearest as-of join (closest match in "
+    "either direction, tie toward backward) — composition of the two "
+    "one-sided as-ofs, still no join node on the fact",
+)
+def tj_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest click to each purchase, either direction.
+
+    Composed from the backward and forward as-ofs (each a union +
+    running last/first over one user_id shuffle — ops/asof.py), then a
+    per-event pick on exact microsecond distances. The compose join is
+    on event_id between two frames that are already purchase-sized —
+    at 100 TB both inherit the same user_id partitioning, and AQE
+    plans the event_id join after both sides shrank to the probe
+    table's cardinality. Tie-break toward the earlier match is pinned
+    (SURVEY §2.5 W4's nondeterminism lesson applies to time distance
+    ties too: |prev−ts| == |next−ts| happens in real clickstreams)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    back = asof_join(purchases, clicks, key="user_id").withColumnRenamed(
+        "asof_ts", "prev_ts"
+    )
+    fwd = asof_join(
+        purchases, clicks, key="user_id", direction="forward", prefix="next_"
+    ).select("event_id", "next_ts")
+    d_prev = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    d_next = F.unix_micros("next_ts") - F.unix_micros("ts")
+    return back.join(fwd, "event_id").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(d_prev <= d_next, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+        .alias("nearest_ts"),
+    )
+
+
+@query(
     "tj_range_join",
     oracle="""
     SELECT e.event_type,
