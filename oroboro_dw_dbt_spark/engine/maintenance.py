@@ -75,3 +75,35 @@ def compact_table(
     fmt.write(df, staging, partition_by)
     fmt.replace(staging, path)
     return fmt.read(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: merge additive state, never rescan
+# ---------------------------------------------------------------------------
+def merge_additive_state(
+    state,  # DataFrame | None — the existing aggregate table
+    delta,  # DataFrame — the new batch, PRE-AGGREGATED to the same grain
+    keys: list[str],
+    sum_cols: list[str],
+):
+    """One maintenance step of an incrementally-maintained aggregate:
+    union the old per-key state with the delta's partial aggregate and
+    re-aggregate. Correct exactly when every measure is ADDITIVE
+    (counts, integer/decimal sums — the delta-merge is then associative
+    and equals a full recompute bit-for-bit); non-additive measures
+    need mergeable sketch state instead (see sk_hll_merge for distinct
+    counts).
+
+    Scale: the step's cost is O(|state keys| + |delta|) — a 100 TB
+    event history updates its aggregate mart from each day's delta
+    without ever rescanning the history. The one shuffle is on the
+    grain keys; partial aggregation combines map-side first."""
+    from pyspark.sql import functions as F
+
+    if state is None:
+        merged = delta
+    else:
+        merged = state.unionByName(delta)
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

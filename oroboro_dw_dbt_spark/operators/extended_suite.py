@@ -914,6 +914,75 @@ def eng_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eng_incremental_agg",
+    # the oracle is the FULL RECOMPUTE the incremental path must equal
+    # bit-for-bit: additive integer state (micro-quantized values) makes
+    # delta-merge associative, so three ingest steps == one big scan
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                      / 1000000.0, 6) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ref="engine lifecycle: incremental aggregate maintenance — "
+    "per-batch delta merge through the ACID table format equals full "
+    "recompute exactly (engine/maintenance.py merge_additive_state)",
+)
+def eng_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain an aggregate mart across three ingest batches without
+    rescanning history, then prove it equals the full recompute.
+
+    Each step pre-aggregates ONLY the new batch to the mart's grain and
+    merges it with the stored per-key state (union + re-aggregate, one
+    grain-key shuffle over state+delta rows); state persists through
+    the manifest format, so every step is an atomic snapshot commit.
+    Exactness hinges on the measures being additive over integers —
+    value is micro-quantized, so three-step merge == one-scan oracle
+    bit-for-bit (a float sum would drift with accumulation order).
+    At 100 TB: the history is never re-read; each day costs the day."""
+    import tempfile
+    from pathlib import Path
+
+    from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+    from oroboro_dw_dbt_spark.engine.maintenance import merge_additive_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth("ts").alias("day"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("micro"),
+    )
+    batches = [
+        ev.filter(F.col("day") <= 10),
+        ev.filter((F.col("day") > 10) & (F.col("day") <= 20)),
+        ev.filter(F.col("day") > 20),
+    ]
+    fmt = ManifestParquetFormat()
+    table = Path(tempfile.mkdtemp(prefix="incr_agg_wh_")) / "state"
+    state = None
+    for batch in batches:
+        delta = batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("micro").cast("bigint").alias("micro_sum"),
+        )
+        state = merge_additive_state(
+            state, delta, keys=["event_type"], sum_cols=["n", "micro_sum"]
+        )
+        fmt.write(state, table)  # atomic snapshot per ingest step
+        state = fmt.read(spark, table)
+    return state.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("micro_sum") / 1_000_000.0, 6)
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
+@query(
     "eng_manifest",
     # the reference DAG's documented shape, as data: dbt docs-generate
     # parity certified through the driver (3 nodes, their materialized
