@@ -63,6 +63,9 @@ NESTED_LOOP_OK = {
     # 3-row fold-boundary table broadcast-crossed onto the fact (one
     # scan answers every fold via conditional aggregation)
     "sp_time_folds",
+    # 1-row vocabulary-size scalar (count distinct tokens) broadcast-
+    # crossed onto the bigram stream for Laplace smoothing
+    "t_bigram_novelty",
 }
 # streaming entries execute eagerly inside the builder; explain() on the
 # returned batch result reflects the memory sink, not the stream plan
