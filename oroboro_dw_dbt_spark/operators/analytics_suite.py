@@ -401,6 +401,76 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hierarchy closure by pointer doubling (the recursive-CTE rewrite).
+# ---------------------------------------------------------------------------
+@query(
+    "gr_hierarchy_closure",
+    # Spark has no WITH RECURSIVE; DuckDB does — so the oracle IS the
+    # textbook recursive walk, and the entry certifies that the
+    # pointer-doubling rewrite computes the identical closure
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+      UNION ALL
+      SELECT node, cur // 10, depth + 1 FROM r WHERE cur >= 10
+    )
+    SELECT node, CAST(cur AS BIGINT) AS root, CAST(depth AS INT) AS depth
+    FROM r WHERE cur < 10
+    """,
+    survey_ref="beyond-reference: transitive ancestor closure (recursive "
+    "CTE semantics) via pointer doubling — O(log depth) self-joins "
+    "instead of O(depth) dependent scans",
+)
+def gr_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root ancestor + depth for every node of a parent hierarchy.
+
+    The hierarchy is synthetic but structurally real (parent(v) =
+    v div 10; nodes < 10 are roots — a 5-level tree over the customer
+    keys). Spark lacks WITH RECURSIVE, and the naive loop joins once
+    PER LEVEL; pointer doubling instead squares the reach each round —
+    (v→a, d) ⨝ (a→a', d') ⇒ (v→a', d+d') — so depth-D closure costs
+    ⌈log₂ D⌉ self-joins. Roots self-loop with d'=0, making the frame a
+    fixpoint once every chain is absorbed. At 100 TB of edges each
+    round is one equi-join shuffle on the ancestor key, and the row
+    count never exceeds |V|: this is the scalable form of every
+    org-chart / BOM / category-tree rollup. Depth arithmetic is exact
+    integers; the recursive-CTE oracle walks the same chains one level
+    at a time."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    state = cust.select(
+        "node",
+        F.when(F.col("node") >= 10, (F.col("node") / 10).cast("bigint"))
+        .otherwise(F.col("node"))
+        .alias("anc"),
+        F.when(F.col("node") >= 10, F.lit(1)).otherwise(F.lit(0)).alias("d"),
+    )
+    # 3 doublings reach depth 8; the key space (≤ 10^6 at bench sf)
+    # is ≤ 7 levels deep. Each round: state ⨝ state on anc = node.
+    for _ in range(3):
+        hop = state.select(
+            F.col("node").alias("h_node"),
+            F.col("anc").alias("h_anc"),
+            F.col("d").alias("h_d"),
+        )
+        state = (
+            state.join(hop, state["anc"] == hop["h_node"])
+            .select(
+                "node",
+                F.col("h_anc").alias("anc"),
+                (F.col("d") + F.col("h_d")).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "node",
+        F.col("anc").cast("bigint").alias("root"),
+        F.col("d").cast("int").alias("depth"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Label propagation over the intra-region trade graph.
 # ---------------------------------------------------------------------------
 _LP_EDGES_SQL = """
