@@ -95,14 +95,19 @@ def main() -> None:
         assert df.count() >= 0
         return round(time.monotonic() - t0, 3)
 
+    # two full passes, min per query: this box shows intermittent CPU
+    # steal (BASELINE.md: identical code 6 s vs 367 s), and a steal
+    # window rarely spans both passes of the same query — min-of-2 is
+    # the steady-state cost. A third attempt covers >20 s outliers.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        t = run_once(name)
-        if t > RETRY_ABOVE_SEC:
-            t = min(t, run_once(name))
-        timings[name] = t
+    for _pass in range(2):
+        for name in HEADLINE:
+            if name not in QUERIES:
+                continue
+            t = run_once(name)
+            if t > RETRY_ABOVE_SEC:
+                t = min(t, run_once(name))
+            timings[name] = min(t, timings.get(name, t))
 
     load_after = _host_load()
     steal_delta = (
@@ -114,6 +119,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "passes": 2,  # min-of-2 since round 5: steady-state, not steal spikes
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load": {
