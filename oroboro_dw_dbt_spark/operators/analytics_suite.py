@@ -435,7 +435,13 @@ def gr_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     count never exceeds |V|: this is the scalable form of every
     org-chart / BOM / category-tree rollup. Depth arithmetic is exact
     integers; the recursive-CTE oracle walks the same chains one level
-    at a time."""
+    at a time.
+
+    Precondition (property-tested): the frame must contain every
+    ancestor of every node, or the inner hop join drops chains.
+    Automatically true for an edge-relation hierarchy (every non-root
+    appears as a child row) and for the contiguous customer keys here;
+    a sparse keyed subset must be closed under parent() first."""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("node")
     )

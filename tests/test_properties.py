@@ -138,3 +138,90 @@ def test_prefix_filter_lossless_for_any_corpus(spark, docs, t):
             if j >= t:
                 naive[(a, b)] = j
     assert got == naive
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=3),
+)
+@settings(**SETTINGS)
+def test_additive_state_merge_equals_full_recompute(spark, rows, cuts):
+    """For ANY split of the rows into ingest batches, folding the
+    batches through merge_additive_state equals one aggregation over
+    everything — the associativity that makes incremental aggregate
+    maintenance sound."""
+    from oroboro_dw_dbt_spark.engine.maintenance import merge_additive_state
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k string, v long, i long"
+    )
+    bounds = sorted({0, *[c % (len(rows) + 1) for c in cuts], len(rows)})
+    state = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        delta = (
+            df.filter((F.col("i") >= lo) & (F.col("i") < hi))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        )
+        state = merge_additive_state(state, delta, keys=["k"], sum_cols=["n", "s"])
+    got = {r["k"]: (r["n"], r["s"]) for r in state.collect()}
+    expected = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == expected
+
+
+@given(nodes=st.lists(st.integers(0, 99_999), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_pointer_doubling_matches_naive_walk(spark, nodes):
+    """Pointer doubling over parent(v) = v div 10 equals the one-level-
+    at-a-time walk for every node — same root, same depth.
+
+    Precondition (as for the catalog entry): the frame must contain
+    every ancestor of every node — automatically true when the
+    hierarchy comes from an edge relation (each non-root appears as a
+    child row) or from contiguous keys; a SPARSE node set whose
+    ancestors are absent has no joinable hop and drops rows (caught by
+    an earlier version of this test). Inputs are therefore closed
+    under parent() before testing."""
+
+    def ancestors(v):
+        while v >= 10:
+            v //= 10
+            yield v
+
+    uniq = sorted(set(nodes) | {a for n in set(nodes) for a in ancestors(n)})
+    df = spark.createDataFrame([(n,) for n in uniq], "node long")
+
+    def walk(v):
+        d = 0
+        while v >= 10:
+            v //= 10
+            d += 1
+        return v, d
+
+    state = df.select(
+        "node",
+        F.when(F.col("node") >= 10, (F.col("node") / 10).cast("bigint"))
+        .otherwise(F.col("node"))
+        .alias("anc"),
+        F.when(F.col("node") >= 10, F.lit(1)).otherwise(F.lit(0)).alias("d"),
+    )
+    for _ in range(3):
+        hop = state.select(
+            F.col("node").alias("h_node"),
+            F.col("anc").alias("h_anc"),
+            F.col("d").alias("h_d"),
+        )
+        state = state.join(hop, state["anc"] == hop["h_node"]).select(
+            "node", F.col("h_anc").alias("anc"), (F.col("d") + F.col("h_d")).alias("d")
+        )
+    got = {r["node"]: (r["anc"], r["d"]) for r in state.collect()}
+    assert got == {n: walk(n) for n in uniq}
