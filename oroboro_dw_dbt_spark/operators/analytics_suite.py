@@ -401,6 +401,57 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trailing-window COUNT DISTINCT (the window-function gap, rewritten).
+# ---------------------------------------------------------------------------
+@query(
+    "w_trailing_distinct",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM pairs)
+    SELECT days.d AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users_7d
+    FROM days JOIN pairs ON pairs.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+    survey_ref="beyond-reference: COUNT(DISTINCT) over a trailing RANGE "
+    "window — inexpressible as a Spark window function; rewritten as "
+    "dedup → bounded explode → distinct aggregation",
+)
+def w_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day.
+
+    `count(DISTINCT x) OVER (RANGE 6 PRECEDING)` is rejected by Spark
+    (and most engines) because distinct state can't slide. The scalable
+    rewrite: dedup to (day, user) pairs FIRST (the only fact-sized
+    shuffle — at 100 TB this collapses billions of events to
+    |days|×|actives| rows), then each pair fans out to the ≤7 target
+    days it contributes to via an explode of a literal-bounded
+    sequence, and a distinct aggregation per target day finishes. The
+    fan-out factor equals the window length — cost is explicit and
+    linear, vs the quadratic self-join a naive rewrite produces.
+    Sketch alternative for approximate counts: per-day HLL state
+    unioned over the window (sk_hll_merge's contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = pairs.select("d").distinct()
+    contributions = pairs.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+        "user_id",
+    )
+    return (
+        contributions.join(
+            F.broadcast(days), contributions["day"] == days["d"], "left_semi"
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hierarchy closure by pointer doubling (the recursive-CTE rewrite).
 # ---------------------------------------------------------------------------
 @query(
