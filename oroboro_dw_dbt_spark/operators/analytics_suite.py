@@ -401,6 +401,96 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer et al. 2003 — MOSS).
+# ---------------------------------------------------------------------------
+@query(
+    "t_winnowing_fingerprints",
+    # positional 3-token shingles (NOT the deduped shingles() helper —
+    # winnowing needs positions), md5-prefix hashes so both engines
+    # order identically, rightmost-minimum tie rule as max(pos) over
+    # the rows attaining the window minimum. Docs with <6 tokens are
+    # excluded on both sides (guarantees every doc has >= 1 full
+    # window of w=4 shingles — no short-doc edge semantics to pin).
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    d AS (SELECT doc_id, toks, len(toks) - 2 AS n_sh
+          FROM t WHERE len(toks) >= 6),
+    sh AS (SELECT doc_id, n_sh, CAST(i AS INT) AS pos,
+                  substr(md5(array_to_string(toks[i + 1:i + 3], ' ')), 1, 8) AS h
+           FROM d, unnest(range(0, n_sh)) AS r(i)),
+    contrib AS (SELECT doc_id, pos, h, pos - off AS ws
+                FROM sh, unnest([0, 1, 2, 3]) AS o(off)
+                WHERE pos - off >= 0 AND pos - off <= n_sh - 4),
+    mins AS (SELECT doc_id, ws, min(h) AS mh FROM contrib GROUP BY 1, 2),
+    sel AS (SELECT c.doc_id, c.ws, m.mh, max(c.pos) AS sel_pos
+            FROM contrib c
+            JOIN mins m ON c.doc_id = m.doc_id AND c.ws = m.ws AND c.h = m.mh
+            GROUP BY 1, 2, 3)
+    SELECT DISTINCT doc_id, CAST(sel_pos AS INT) AS pos, mh AS fp FROM sel
+    """,
+    survey_ref="beyond-reference: winnowing fingerprints (Schleimer et "
+    "al. 2003, the MOSS local document fingerprinting scheme) — "
+    "guaranteed-density dedup/plagiarism signatures, pure Column plan",
+)
+def t_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed (position, hash) fingerprints per document: in every
+    window of w=4 consecutive shingle hashes, select the rightmost
+    minimum; the distinct selections are the fingerprint set.
+
+    Why this beats min-hashing for LOCAL similarity: winnowing
+    guarantees any shared substring of length >= w+n-1 tokens yields a
+    shared fingerprint (detection is position-dense, not just
+    set-statistical), with expected density 2/(w+1). The plan is
+    joins/aggregations only: positional shingles (one posexplode),
+    each contributing to <= w window starts via a literal 4-element
+    explode, a per-window min, and a rightmost-tie resolve — shuffle
+    keys are (doc, window), so at 100 TB it partitions by document
+    like every other text kernel. The property test asserts the
+    paper's density guarantee (gap between consecutive selections
+    <= w) on arbitrary corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 6)
+    sh = d.select(
+        "doc_id",
+        (F.size("toks") - 2).alias("n_sh"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+            )
+        ).alias("pos", "s"),
+    ).select(
+        "doc_id", "n_sh", "pos", F.substring(F.md5("s"), 1, 8).alias("h")
+    )
+    contrib = (
+        sh.select(
+            "doc_id",
+            "n_sh",
+            "pos",
+            "h",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3))).alias("off"),
+        )
+        .withColumn("ws", F.col("pos") - F.col("off"))
+        .filter((F.col("ws") >= 0) & (F.col("ws") <= F.col("n_sh") - 4))
+        .select("doc_id", "pos", "h", "ws")
+    )
+    mins = contrib.groupBy("doc_id", "ws").agg(F.min("h").alias("mh"))
+    sel = (
+        contrib.join(mins, ["doc_id", "ws"])
+        .filter(F.col("h") == F.col("mh"))
+        .groupBy("doc_id", "ws", "mh")
+        .agg(F.max("pos").alias("sel_pos"))
+    )
+    return sel.select(
+        "doc_id", F.col("sel_pos").cast("int").alias("pos"), F.col("mh").alias("fp")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
 # Trailing-window COUNT DISTINCT (the window-function gap, rewritten).
 # ---------------------------------------------------------------------------
 @query(

@@ -225,3 +225,37 @@ def test_pointer_doubling_matches_naive_walk(spark, nodes):
         )
     got = {r["node"]: (r["anc"], r["d"]) for r in state.collect()}
     assert got == {n: walk(n) for n in uniq}
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_winnowing_density_guarantee(spark, docs):
+    """Schleimer et al.'s winnowing guarantee: consecutive selected
+    positions within a document are at most w apart, and every doc
+    with >= w full windows selects at least one fingerprint."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from oroboro_dw_dbt_spark.operators.analytics_suite import (
+        t_winnowing_fingerprints,
+    )
+
+    w = 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("_winnow_docs")
+    # reuse the entry's logic on this corpus by monkey-loading the frame
+    import oroboro_dw_dbt_spark.operators.analytics_suite as mod
+    from unittest import mock
+
+    with mock.patch.object(mod, "load_table", lambda s, d, n: df):
+        fps = t_winnowing_fingerprints(spark, "ignored").collect()
+    eligible = {i for i, t in enumerate(docs) if len(t.split()) >= 6}
+    by_doc: dict[int, list[int]] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], []).append(r["pos"])
+    assert set(by_doc) == eligible  # every eligible doc fingerprints
+    for positions in by_doc.values():
+        ps = sorted(positions)
+        assert all(b - a <= w for a, b in zip(ps, ps[1:])), ps
