@@ -491,6 +491,68 @@ def t_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing composed into near-dup pairs (the MOSS match step).
+# ---------------------------------------------------------------------------
+_WINNOW_CTES = """
+    t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    d AS (SELECT doc_id, toks, len(toks) - 2 AS n_sh
+          FROM t WHERE len(toks) >= 6),
+    sh AS (SELECT doc_id, n_sh, CAST(i AS INT) AS pos,
+                  substr(md5(array_to_string(toks[i + 1:i + 3], ' ')), 1, 8) AS h
+           FROM d, unnest(range(0, n_sh)) AS r(i)),
+    contrib AS (SELECT doc_id, pos, h, pos - off AS ws
+                FROM sh, unnest([0, 1, 2, 3]) AS o(off)
+                WHERE pos - off >= 0 AND pos - off <= n_sh - 4),
+    mins AS (SELECT doc_id, ws, min(h) AS mh FROM contrib GROUP BY 1, 2),
+    fp AS (SELECT DISTINCT c.doc_id AS doc_id, m.mh AS fp
+           FROM contrib c
+           JOIN mins m ON c.doc_id = m.doc_id AND c.ws = m.ws AND c.h = m.mh)
+"""
+
+
+@query(
+    "dd_winnow_overlap",
+    # the MOSS match step: candidate pairs = docs sharing fingerprints,
+    # ranked by how many — an equi-join on the fingerprint hash, so
+    # candidates cost O(collisions), never all-pairs
+    oracle=f"""
+    WITH {_WINNOW_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    survey_ref="beyond-reference: winnowing-based near-dup candidates "
+    "(MOSS match step) — shared-fingerprint equi-join, O(collisions)",
+)
+def dd_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 2 winnowed fingerprints.
+
+    The dedup-family sibling of MinHash-LSH with a different contract:
+    LSH approximates SET similarity; winnowing overlap counts SHARED
+    LOCAL PASSAGES (any common run of >= w+n-1 tokens is guaranteed to
+    surface). The join key is the fingerprint hash — candidates are
+    bucket collisions, never an all-pairs product, and the per-hash
+    bucket size is bounded by how many documents actually share that
+    passage. Composes with dd_dup_groups (connected components) for
+    cluster formation, like the LSH path."""
+    fps = t_winnowing_fingerprints(spark, sf_dir).select("doc_id", "fp").distinct()
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Trailing-window COUNT DISTINCT (the window-function gap, rewritten).
 # ---------------------------------------------------------------------------
 @query(
