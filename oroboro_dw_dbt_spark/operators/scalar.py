@@ -173,3 +173,66 @@ def c_case_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment_or_default"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cast-semantics compatibility matrix: the conversions engines disagree on.
+# ---------------------------------------------------------------------------
+@query(
+    "m_cast_matrix",
+    # each row pins SPARK's (ANSI mode + try_cast) semantics; where
+    # DuckDB natively diverges the oracle RESTATES the Spark result and
+    # the divergence is documented inline — these are exactly the
+    # conversions that silently corrupt a migration:
+    #   int_decimal_string: Spark try_cast('3.9'->int) = NULL;
+    #     DuckDB TRY_CAST would ROUND to 4
+    #   int_from_double:    Spark cast(double->int) TRUNCATES toward 0;
+    #     DuckDB CAST rounds half away (2.7 -> 3)
+    #   int_hex_string:     Spark NULL; DuckDB parses '0x1A' as 26
+    oracle="""
+    SELECT * FROM (VALUES
+      ('int_ws',             CAST(TRY_CAST(' 42 ' AS INTEGER) AS VARCHAR)),
+      ('int_garbage',        CAST(TRY_CAST('42abc' AS INTEGER) AS VARCHAR)),
+      ('int_overflow',       CAST(TRY_CAST('9999999999' AS INTEGER) AS VARCHAR)),
+      ('int_decimal_string', CAST(NULL AS VARCHAR)),
+      ('int_from_double',    CAST(CAST(trunc(2.7) AS INTEGER) AS VARCHAR)),
+      ('int_from_double_neg', CAST(CAST(trunc(-2.7) AS INTEGER) AS VARCHAR)),
+      ('double_sci',         CAST(TRY_CAST('1e3' AS DOUBLE) AS VARCHAR)),
+      ('double_nan',         'NaN'),
+      ('double_inf',         'Infinity'),
+      ('int_hex_string',     CAST(NULL AS VARCHAR)),
+      ('bool_to_int',        CAST(CAST(true AS INTEGER) AS VARCHAR))
+    ) AS t("case", val)
+    """,
+    survey_ref="beyond-reference semantics pins (the D2/D3 ANSI-trap "
+    "family): cast compatibility matrix — decimal-string, double "
+    "truncation, hex-string, overflow, NaN/Infinity spellings",
+)
+def m_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 (ANSI) cast semantics as data, one row per trap.
+
+    SURVEY §7 ranks silent dialect mismatches as hazard #1; dates are
+    pinned by d_date_suite and SAFE.* by m_safe_math — this pins the
+    numeric casts. The three rows where DuckDB natively disagrees
+    (decimal strings round vs NULL, double→int rounds vs truncates,
+    hex strings parse vs NULL) are restated on the oracle side and
+    documented, so a migrating user hits the matrix, not production."""
+    # results ride as STRINGS: NaN/Infinity doubles crash hash
+    # canonicalizers (pandas/driver), and the NaN-vs-nan / Infinity-vs-
+    # inf SPELLINGS are themselves a pinned divergence
+    rows = spark.sql(
+        """SELECT * FROM VALUES
+      ('int_ws',             CAST(try_cast(' 42 ' AS INT) AS STRING)),
+      ('int_garbage',        CAST(try_cast('42abc' AS INT) AS STRING)),
+      ('int_overflow',       CAST(try_cast('9999999999' AS INT) AS STRING)),
+      ('int_decimal_string', CAST(try_cast('3.9' AS INT) AS STRING)),
+      ('int_from_double',    CAST(CAST(2.7d AS INT) AS STRING)),
+      ('int_from_double_neg', CAST(CAST(-2.7d AS INT) AS STRING)),
+      ('double_sci',         CAST(try_cast('1e3' AS DOUBLE) AS STRING)),
+      ('double_nan',         CAST(try_cast('NaN' AS DOUBLE) AS STRING)),
+      ('double_inf',         CAST(try_cast('Infinity' AS DOUBLE) AS STRING)),
+      ('int_hex_string',     CAST(try_cast('0x1A' AS INT) AS STRING)),
+      ('bool_to_int',        CAST(CAST(true AS INT) AS STRING))
+      AS t(`case`, val)"""
+    )
+    return rows
