@@ -236,3 +236,81 @@ def m_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       AS t(`case`, val)"""
     )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Raw SQL surface: the modern-dialect features, certified end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "sql_dialect_surface",
+    # the SAME modern-SQL text shape on both engines: CTE reuse,
+    # lateral column aliases (micro -> bucket), FILTER'd aggregates,
+    # GROUP BY ALL, a named WINDOW clause with a pinned total order
+    oracle="""
+    WITH enriched AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micro,
+             micro % 1000 AS bucket
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE bucket < 500) AS BIGINT) AS n_low,
+             CAST(sum(micro) AS BIGINT) AS micro_sum
+      FROM enriched
+      GROUP BY ALL
+    ),
+    ranked AS (
+      SELECT event_type, event_id, micro,
+             row_number() OVER w AS rn
+      FROM enriched
+      WINDOW w AS (PARTITION BY event_type ORDER BY micro DESC, event_id)
+    )
+    SELECT r.event_type, CAST(r.rn AS INT) AS rn, r.event_id, r.micro,
+           s.n, s.n_low, s.micro_sum
+    FROM ranked r JOIN stats s USING (event_type)
+    WHERE r.rn <= 3
+    """,
+    survey_ref="API surface: raw spark.sql() dialect breadth — CTE "
+    "reuse, lateral column aliases, FILTER'd aggregates, GROUP BY ALL, "
+    "named WINDOW clause (a user's plain-SQL workload runs unchanged)",
+)
+def sql_dialect_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw-SQL door: one query through spark.sql using the
+    modern dialect features a migrating analyst actually writes. Every
+    other catalog entry certifies the DataFrame spelling; this one
+    certifies that the SQL TEXT path (temp view → spark.sql) produces
+    the same certified answers — CTEs are reused not re-expanded,
+    lateral aliases resolve left-to-right, FILTER'd aggregates share
+    one pass, GROUP BY ALL infers the keys, and the named window
+    carries a pinned total order (micro DESC, event_id)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_sql")
+    return spark.sql(
+        """
+    WITH enriched AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micro,
+             micro % 1000 AS bucket
+      FROM events_sql
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE bucket < 500) AS BIGINT) AS n_low,
+             CAST(sum(micro) AS BIGINT) AS micro_sum
+      FROM enriched
+      GROUP BY ALL
+    ),
+    ranked AS (
+      SELECT event_type, event_id, micro,
+             row_number() OVER w AS rn
+      FROM enriched
+      WINDOW w AS (PARTITION BY event_type ORDER BY micro DESC, event_id)
+    )
+    SELECT r.event_type, CAST(r.rn AS INT) AS rn, r.event_id, r.micro,
+           s.n, s.n_low, s.micro_sum
+    FROM ranked r JOIN stats s USING (event_type)
+    WHERE r.rn <= 3
+    """
+    )
