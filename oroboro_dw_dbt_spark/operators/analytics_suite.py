@@ -491,6 +491,177 @@ def t_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Markov transition-matrix estimation from session streams.
+# ---------------------------------------------------------------------------
+@query(
+    "ev_markov_transitions",
+    # row-normalized transition probabilities: integer counts divided
+    # once at the end (scale-2-rounded decimal / count pattern is not
+    # needed — both numerator and denominator are exact BIGINTs, and
+    # the single double division is IEEE-identical cross-engine)
+    oracle="""
+    WITH e AS (
+      SELECT prev AS src, event_type AS dst
+      FROM (SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events)
+      WHERE prev IS NOT NULL
+    ),
+    c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY src, dst),
+    t AS (SELECT src, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY src)
+    SELECT c.src, c.dst, c.n,
+           round(CAST(c.n AS DOUBLE) / t.total, 6) AS p
+    FROM c JOIN t USING (src)
+    """,
+    survey_ref="beyond-reference: Markov transition-matrix estimation "
+    "(the model PageRank walks on) — per-user lag window + two "
+    "aggregations sharing the src partitioning",
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized event-type transition probabilities.
+
+    The estimation companion of gr_pagerank: the same lag-window edge
+    build, then counts and row totals — the second aggregation reuses
+    the first's src partitioning, so normalization adds no exchange.
+    At 100 TB the per-user window is the dominant cost (one shuffle on
+    user_id, state bounded per user) and the transition matrix itself
+    is |types|² rows — the model ships as a broadcast. Counts stay
+    exact integers; the one division happens after all aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("dst"),
+            F.lag("event_type").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = edges.groupBy(F.col("src").alias("s2")).agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    return (
+        edges.join(totals, F.col("src") == F.col("s2"))
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS distances over the trade graph.
+# ---------------------------------------------------------------------------
+@query(
+    "gr_bfs_distances",
+    # oracle: depth-capped recursive traversal, then min per node — the
+    # cap (8) exceeds any possible diameter of a 25-node graph reached
+    # from the seeds, making bounded recursion exact BFS. Unreached
+    # nodes surface with distance -1 on both sides.
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT least(s_nationkey, c_nationkey) AS a,
+                      greatest(s_nationkey, c_nationkey) AS b
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      WHERE s_nationkey <> c_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs),
+    seeds AS (SELECT n_nationkey AS node FROM nation WHERE n_regionkey = 0),
+    walk AS (
+      SELECT node, 0 AS d FROM seeds
+      UNION
+      SELECT sym.dst AS node, walk.d + 1 AS d
+      FROM walk JOIN sym ON sym.src = walk.node
+      WHERE walk.d < 8
+    ),
+    reached AS (SELECT node, CAST(min(d) AS INT) AS dist
+                FROM walk GROUP BY node)
+    SELECT n.node, COALESCE(r.dist, -1) AS dist
+    FROM (SELECT DISTINCT src AS node FROM sym) n
+    LEFT JOIN reached r USING (node)
+    """,
+    survey_ref="beyond-reference: multi-source BFS (graph family #6) — "
+    "iterative min-distance relaxation, one edge⋈frontier shuffle per "
+    "hop, vs the oracle's depth-capped recursive CTE",
+)
+def gr_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop count from any region-0 nation, per nation, in one
+    month's trade graph (-1 where unreachable).
+
+    The iterative form is Bellman-Ford specialised to unit weights:
+    dist' = min(dist, 1 + min over neighbours' dist), driver loop,
+    one edges⋈state shuffle per hop, state always |V| rows. On a
+    100 TB edge list the same discipline as PageRank applies
+    (symmetrize + pre-partition edges once); hop count is bounded by
+    the diameter, and for the small-world graphs BFS is run on in
+    practice that is single digits. Integer distances ⇒ deterministic
+    under any partitioning; the recursive-CTE oracle enumerates
+    depth-capped walks and takes the same min."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pairs = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    sym = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = nation.filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("node")
+    )
+    state = (
+        sym.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"))
+        .join(seeds.withColumn("d0", F.lit(0)), "node", "left")
+        .select("node", F.coalesce("d0", F.lit(None).cast("int")).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(8):
+        nbr = (
+            sym.join(state, sym["src"] == state["node"])
+            .filter(F.col("dist").isNotNull())
+            .groupBy(F.col("dst").alias("n2"))
+            .agg((F.min("dist") + 1).alias("via"))
+        )
+        state = (
+            state.join(nbr, state["node"] == F.col("n2"), "left")
+            .select("node", F.least("dist", "via").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "node", F.coalesce(F.col("dist").cast("int"), F.lit(-1)).alias("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowing composed into near-dup pairs (the MOSS match step).
 # ---------------------------------------------------------------------------
 _WINNOW_CTES = """
