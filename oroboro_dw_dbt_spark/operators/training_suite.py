@@ -328,6 +328,38 @@ def ss_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ss_mips_topk",
+    # INDEPENDENT check of the norm-augmentation reduction: the entry
+    # ranks through augmented COSINE; the oracle ranks by the raw inner
+    # product directly. Agreement certifies the Bachrach et al. (2014)
+    # identity ip(q,x) = cos(q',x')·|q'|·M end-to-end, not just a
+    # mirrored computation.
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             list_dot_product(q.v, c.v) AS raw_ip
+      FROM v q JOIN v c ON q.vec_id != c.vec_id
+      WHERE q.vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
+    )
+    SELECT query_id, vec_id, round(raw_ip, 6) AS ip, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY raw_ip DESC, vec_id) AS rank
+      FROM pairs
+    ) t WHERE rank <= 5
+    """,
+    survey_ref="beyond-reference: maximum-inner-product search via the "
+    "norm-augmentation reduction — MIPS rides the whole cosine-ANN "
+    "ladder (LSH/IVF/PQ) unchanged once vectors are augmented",
+)
+def ss_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.similarity.search import mips_topk
+
+    return mips_topk(load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5)
+
+
+@query(
     "ss_matmul_topk",
     # exact algorithm ⇒ exact oracle: the SAME SQL as ss_bruteforce_topk.
     # What this entry certifies is that the Arrow/BLAS batch path emits

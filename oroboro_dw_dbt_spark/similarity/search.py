@@ -441,3 +441,60 @@ def ivf_topk(
         )
     )
     return _topk(pairs, k)
+
+
+def mips_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Maximum-inner-product top-k via the norm-augmentation reduction
+    (Bachrach et al. 2014): append sqrt(M² − |x|²) to every corpus
+    vector (M = max corpus norm) and 0 to every query — augmented
+    cosine is then ip(q,x)/(|q|·M), MONOTONE in the raw inner product,
+    so cosine machinery (here: the same broadcast + fold plan as
+    brute_force_topk; at scale: the LSH/IVF/PQ ladder unchanged)
+    answers MIPS exactly. Returned ip is the raw inner product; the
+    RANKING is computed through the augmented route — callers checking
+    against a direct-IP ranking are certifying the reduction identity.
+    """
+    v = emb.select("vec_id", _as_double("embedding").alias("v"))
+    # M² as a 1-row broadcast (exact same fold on every row's norm²)
+    msq = v.agg(
+        F.max(F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)).alias("msq")
+    )
+    aug = v.crossJoin(F.broadcast(msq)).select(
+        "vec_id",
+        F.concat(
+            "v",
+            F.array(
+                F.sqrt(
+                    F.greatest(
+                        F.col("msq")
+                        - F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x),
+                        F.lit(0.0),
+                    )
+                )
+            ),
+        ).alias("va"),
+        "v",
+    )
+    q = aug.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.concat("v", F.array(F.lit(0.0))).alias("qa"),
+        F.col("v").alias("qv"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(aug, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qv"), F.col("v")), 6).alias("ip"),
+            cosine_similarity(F.col("qa"), F.col("va")).alias("_aug_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_aug_cos").desc(), F.col("vec_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "ip", F.col("rank").cast("int").alias("rank"))
+    )

@@ -44,6 +44,9 @@ from oroboro_dw_dbt_spark.session import get_spark  # noqa: E402
 # the same bounded |queries|×corpus pass as ss_bruteforce_topk)
 NESTED_LOOP_OK = {
     "ss_bruteforce_topk",
+    # same bounded |queries|×corpus baseline pass, through the MIPS
+    # norm-augmentation (plus the 1-row max-norm broadcast)
+    "ss_mips_topk",
     "g2_haversine_pairs",
     "g3_geodesic_pairs",  # same 25-point nation pair grid as g2
     "dd_ngram_jaccard",
