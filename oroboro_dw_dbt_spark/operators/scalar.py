@@ -314,3 +314,100 @@ def sql_dialect_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.rn <= 3
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling: the ANALYZE/docs statistics surface, as data.
+# ---------------------------------------------------------------------------
+@query(
+    "eng_profile_stats",
+    # one UNPIVOT-style pass per column family; stats values ride as
+    # strings so one schema carries numeric and text columns alike
+    oracle="""
+    SELECT 'c_custkey' AS col, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(c_custkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(c_custkey) AS VARCHAR) AS min_val,
+           CAST(max(c_custkey) AS VARCHAR) AS max_val
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(c_acctbal) AS BIGINT),
+           CAST(count(DISTINCT c_acctbal) AS BIGINT),
+           CAST(round(min(CAST(c_acctbal AS DECIMAL(12,4))), 2) AS VARCHAR),
+           CAST(round(max(CAST(c_acctbal AS DECIMAL(12,4))), 2) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(c_mktsegment) AS BIGINT),
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+           min(c_mktsegment), max(c_mktsegment)
+    FROM customer
+    """,
+    survey_ref="engine lifecycle: column profiling statistics (the "
+    "ANALYZE TABLE / dbt docs surface) — n/nulls/distinct/min/max per "
+    "column in ONE scan via a multi-aggregate",
+)
+def eng_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the customer table: counts, null counts,
+    distinct cardinalities, min/max — the statistics an optimizer's
+    ANALYZE collects and a docs page displays.
+
+    One scan computes EVERY column's aggregates in a single
+    multi-aggregate (Catalyst plans the distinct counts via one
+    expand), then the wide row unpivots to the (col, stat...) long
+    form. At 100 TB this is the profiling pattern: never one scan per
+    column, and distinct counts switch to HLL sketches
+    (sk_approx_distinct / sk_hll_merge) when exactness isn't needed —
+    the exact form here is itself the oracle check."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,4)")
+    wide = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        # c_custkey
+        (F.count(F.lit(1)) - F.count("c_custkey")).alias("k_null"),
+        F.countDistinct("c_custkey").alias("k_dist"),
+        F.min("c_custkey").cast("string").alias("k_min"),
+        F.max("c_custkey").cast("string").alias("k_max"),
+        # c_acctbal
+        (F.count(F.lit(1)) - F.count("c_acctbal")).alias("b_null"),
+        F.countDistinct("c_acctbal").alias("b_dist"),
+        F.round(F.min(bal), 2).cast("string").alias("b_min"),
+        F.round(F.max(bal), 2).cast("string").alias("b_max"),
+        # c_mktsegment
+        (F.count(F.lit(1)) - F.count("c_mktsegment")).alias("s_null"),
+        F.countDistinct("c_mktsegment").alias("s_dist"),
+        F.min("c_mktsegment").alias("s_min"),
+        F.max("c_mktsegment").alias("s_max"),
+    )
+    long = wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("c_custkey").alias("col"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("k_null").cast("bigint").alias("n_null"),
+                    F.col("k_dist").cast("bigint").alias("n_distinct"),
+                    F.col("k_min").alias("min_val"),
+                    F.col("k_max").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("c_acctbal").alias("col"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("b_null").cast("bigint").alias("n_null"),
+                    F.col("b_dist").cast("bigint").alias("n_distinct"),
+                    F.col("b_min").alias("min_val"),
+                    F.col("b_max").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("c_mktsegment").alias("col"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("s_null").cast("bigint").alias("n_null"),
+                    F.col("s_dist").cast("bigint").alias("n_distinct"),
+                    F.col("s_min").alias("min_val"),
+                    F.col("s_max").alias("max_val"),
+                ),
+            )
+        ).alias("r")
+    )
+    return long.select("r.col", "r.n", "r.n_null", "r.n_distinct", "r.min_val", "r.max_val")
