@@ -867,6 +867,94 @@ def dd_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_keep_best",
+    # the terminal dedup operator: the KEPT CORPUS. Per near-dup
+    # cluster keep the longest document (n_chars, tie -> lowest id);
+    # singletons (docs in no cluster) are all kept. Oracle reuses the
+    # dd_dup_groups transitive closure and picks per-component best.
+    oracle="""
+    WITH RECURSIVE {},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sh sa ON cand.doc_a = sa.doc_id
+      JOIN sh sb ON cand.doc_b = sb.doc_id
+      WHERE round(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) * 1.0
+                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= 0.5
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION
+      SELECT doc_b, doc_a FROM verified
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a
+    ),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp, d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    best AS (
+      SELECT comp, doc_id,
+             row_number() OVER (PARTITION BY comp
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM labeled
+    )
+    SELECT doc_id, CAST(comp AS BIGINT) AS cluster FROM best WHERE rn = 1
+    """.format(_minhash_cte()),
+    survey_ref="beyond-reference: dedup KEEP policy — the kept corpus "
+    "(best doc per near-dup cluster, singletons kept), composing "
+    "LSH pairs -> connected components -> per-cluster argmax",
+)
+def dd_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus that survives dedup: one document per near-dup
+    cluster (longest wins, id tiebreak), all singletons.
+
+    This is the operator the whole dedup family terminates in — pairs
+    and clusters are diagnostics; training reads the KEPT set. Compose:
+    LSH candidate pairs (bucketed, O(collisions)) → connected
+    components (iterative min-label) → left-join labels onto the
+    corpus (unlabeled docs are their own singleton cluster) → one
+    row_number per cluster under a pinned total order. At 100 TB every
+    step is an equi-join or per-cluster window; nothing rescans pairs.
+    The keep policy is an argument in production (quality score, date,
+    source priority) — length is used here because it is oracle-exact."""
+    from oroboro_dw_dbt_spark.ops import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("cluster"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cluster").cast("bigint").alias("cluster"))
+    )
+
+
+@query(
     "sp_hash_split",
     # threshold 0x1999 = ⌊0.1·65536⌋; fixed-width hex compares as the
     # number, so both engines draw the same boundary
