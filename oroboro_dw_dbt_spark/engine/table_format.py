@@ -266,16 +266,24 @@ class ManifestParquetFormat:
         mdir.mkdir(parents=True, exist_ok=True)
         data_dir = final / f"data-{version:06d}"
         os.replace(staging / smeta["data_dir"], data_dir)
-        (mdir / f"snap-{version:06d}.json").write_text(
-            json.dumps(
-                {
-                    "version": version,
-                    "data_dir": data_dir.name,
-                    "partition_by": smeta.get("partition_by", []),
-                    "committed_at_unix": time.time(),
-                }
-            )
-        )
+        # merge-on-read delete vectors travel WITH the snapshot: dropping
+        # them here would silently resurrect every deleted row (and the
+        # trailing staging cleanup would destroy the vectors for good)
+        moved_deletes: list[str] = []
+        for i, df_name in enumerate(smeta.get("delete_files", [])):
+            dest = final / f"deletes-{version:06d}-{i:03d}"
+            os.replace(staging / df_name, dest)
+            moved_deletes.append(dest.name)
+        meta: dict = {
+            "version": version,
+            "data_dir": data_dir.name,
+            "partition_by": smeta.get("partition_by", []),
+            "committed_at_unix": time.time(),
+        }
+        if moved_deletes:
+            meta["delete_key"] = smeta["delete_key"]
+            meta["delete_files"] = moved_deletes
+        (mdir / f"snap-{version:06d}.json").write_text(json.dumps(meta))
         self._commit(final, version)
         shutil.rmtree(staging, ignore_errors=True)
 

@@ -316,13 +316,14 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Triangle counting on the nation trade graph.
-# ---------------------------------------------------------------------------
-@query(
-    "gr_triangle_count",
-    oracle="""
-    WITH pairs AS (
+
+# One month's undirected nation trade graph — the shared edge relation
+# of the graph family (triangles, BFS; label propagation adds a
+# same-region restriction and weights on top of the same join chain).
+# ONE definition on each side: the Spark builder below, this CTE for
+# the oracles — so the entries certify the same graph by construction.
+_TRADE_PAIRS_SQL = """\
+pairs AS (
       SELECT DISTINCT least(s_nationkey, c_nationkey) AS a,
                       greatest(s_nationkey, c_nationkey) AS b
       FROM lineitem
@@ -332,7 +333,38 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE s_nationkey <> c_nationkey
         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
-    ),
+    )"""
+
+
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected (a < b) nation pairs that traded in 1996-01."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the nation trade graph.
+# ---------------------------------------------------------------------------
+@query(
+    "gr_triangle_count",
+    oracle=f"""
+    WITH {_TRADE_PAIRS_SQL},
     tri AS (
       SELECT e1.a AS x, e1.b AS y, e2.b AS z
       FROM pairs e1
@@ -367,24 +399,7 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation nodes the id orientation is already exact and tiny. The
     per-node rollup is an explode of the triple — 3 rows per
     triangle — followed by one hash aggregation."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
-    )
-    supp = load_table(spark, sf_dir, "supplier")
-    cust = load_table(spark, sf_dir, "customer")
-    pairs = (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .select(
-            F.least("s_nationkey", "c_nationkey").alias("a"),
-            F.greatest("s_nationkey", "c_nationkey").alias("b"),
-        )
-        .distinct()
-    )
+    pairs = _trade_pairs(spark, sf_dir)
     e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = pairs.select(F.col("a").alias("y2"), F.col("b").alias("z"))
     e3 = pairs.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
@@ -400,19 +415,11 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Winnowing document fingerprints (Schleimer et al. 2003 — MOSS).
-# ---------------------------------------------------------------------------
-@query(
-    "t_winnowing_fingerprints",
-    # positional 3-token shingles (NOT the deduped shingles() helper —
-    # winnowing needs positions), md5-prefix hashes so both engines
-    # order identically, rightmost-minimum tie rule as max(pos) over
-    # the rows attaining the window minimum. Docs with <6 tokens are
-    # excluded on both sides (guarantees every doc has >= 1 full
-    # window of w=4 shingles — no short-doc edge semantics to pin).
-    oracle="""
-    WITH t AS (
+# Shared winnowing pipeline CTEs (positional shingles -> per-window
+# minima) — ONE definition interpolated into both winnowing oracles so
+# the two entries certify the same fingerprint function by construction.
+_WINNOW_BASE_CTES = """\
+t AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
       FROM documents
     ),
@@ -424,7 +431,22 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib AS (SELECT doc_id, pos, h, pos - off AS ws
                 FROM sh, unnest([0, 1, 2, 3]) AS o(off)
                 WHERE pos - off >= 0 AND pos - off <= n_sh - 4),
-    mins AS (SELECT doc_id, ws, min(h) AS mh FROM contrib GROUP BY 1, 2),
+    mins AS (SELECT doc_id, ws, min(h) AS mh FROM contrib GROUP BY 1, 2)"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer et al. 2003 — MOSS).
+# ---------------------------------------------------------------------------
+@query(
+    "t_winnowing_fingerprints",
+    # positional 3-token shingles (NOT the deduped shingles() helper —
+    # winnowing needs positions), md5-prefix hashes so both engines
+    # order identically, rightmost-minimum tie rule as max(pos) over
+    # the rows attaining the window minimum. Docs with <6 tokens are
+    # excluded on both sides (guarantees every doc has >= 1 full
+    # window of w=4 shingles — no short-doc edge semantics to pin).
+    oracle=f"""
+    WITH {_WINNOW_BASE_CTES},
     sel AS (SELECT c.doc_id, c.ws, m.mh, max(c.pos) AS sel_pos
             FROM contrib c
             JOIN mins m ON c.doc_id = m.doc_id AND c.ws = m.ws AND c.h = m.mh
@@ -563,18 +585,8 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap (8) exceeds any possible diameter of a 25-node graph reached
     # from the seeds, making bounded recursion exact BFS. Unreached
     # nodes surface with distance -1 on both sides.
-    oracle="""
-    WITH RECURSIVE pairs AS (
-      SELECT DISTINCT least(s_nationkey, c_nationkey) AS a,
-                      greatest(s_nationkey, c_nationkey) AS b
-      FROM lineitem
-      JOIN orders   ON o_orderkey = l_orderkey
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN customer ON c_custkey = o_custkey
-      WHERE s_nationkey <> c_nationkey
-        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
-    ),
+    oracle=f"""
+    WITH RECURSIVE {_TRADE_PAIRS_SQL},
     sym AS (SELECT a AS src, b AS dst FROM pairs
             UNION SELECT b, a FROM pairs),
     seeds AS (SELECT n_nationkey AS node FROM nation WHERE n_regionkey = 0),
@@ -608,25 +620,8 @@ def gr_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     practice that is single digits. Integer distances ⇒ deterministic
     under any partitioning; the recursive-CTE oracle enumerates
     depth-capped walks and takes the same min."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
-    )
-    supp = load_table(spark, sf_dir, "supplier")
-    cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    pairs = (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .select(
-            F.least("s_nationkey", "c_nationkey").alias("a"),
-            F.greatest("s_nationkey", "c_nationkey").alias("b"),
-        )
-        .distinct()
-    )
+    pairs = _trade_pairs(spark, sf_dir)
     sym = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -664,24 +659,13 @@ def gr_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Winnowing composed into near-dup pairs (the MOSS match step).
 # ---------------------------------------------------------------------------
-_WINNOW_CTES = """
-    t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-      FROM documents
-    ),
-    d AS (SELECT doc_id, toks, len(toks) - 2 AS n_sh
-          FROM t WHERE len(toks) >= 6),
-    sh AS (SELECT doc_id, n_sh, CAST(i AS INT) AS pos,
-                  substr(md5(array_to_string(toks[i + 1:i + 3], ' ')), 1, 8) AS h
-           FROM d, unnest(range(0, n_sh)) AS r(i)),
-    contrib AS (SELECT doc_id, pos, h, pos - off AS ws
-                FROM sh, unnest([0, 1, 2, 3]) AS o(off)
-                WHERE pos - off >= 0 AND pos - off <= n_sh - 4),
-    mins AS (SELECT doc_id, ws, min(h) AS mh FROM contrib GROUP BY 1, 2),
+_WINNOW_CTES = (
+    _WINNOW_BASE_CTES
+    + """,
     fp AS (SELECT DISTINCT c.doc_id AS doc_id, m.mh AS fp
            FROM contrib c
-           JOIN mins m ON c.doc_id = m.doc_id AND c.ws = m.ws AND c.h = m.mh)
-"""
+           JOIN mins m ON c.doc_id = m.doc_id AND c.ws = m.ws AND c.h = m.mh)"""
+)
 
 
 @query(

@@ -563,9 +563,6 @@ def udtf_polymorphic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
 
-        def __init__(self):
-            self._k = None
-
         def eval(self, text: str, n: int):
             t = (text or "").strip()
             toks = re.split(r"\s+", t) if t else []

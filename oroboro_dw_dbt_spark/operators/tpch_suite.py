@@ -489,7 +489,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS partkey,
            CAST(ROUND(val, 2) AS DOUBLE) AS part_value
     FROM v, (SELECT SUM(val) AS total FROM v) t
-    WHERE val > total * 0.001
+    WHERE val * 1000 > total
     """,
     survey_ref="beyond-reference: HAVING vs global scalar subquery "
     "(TPC-H Q11 shape) — aggregate reused for rows and for the threshold",
@@ -516,7 +516,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = v.agg(F.sum("val").alias("total"))
     return (
         v.crossJoin(F.broadcast(total))
-        .filter(F.col("val") > F.col("total") * 0.001)
+        # exact-decimal spelling (val*1000 > total) — a 0.001 double
+        # literal would coerce the comparison to IEEE doubles
+        .filter(F.col("val") * 1000 > F.col("total"))
         .select(
             F.col("l_partkey").alias("partkey"),
             F.round(F.col("val"), 2).cast("double").alias("part_value"),
@@ -845,7 +847,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier
     WHERE s_suppkey IN (
       SELECT l_suppkey FROM shipped JOIN tot ON pk = l_partkey
-      WHERE sq > total_q * 0.3
+      WHERE sq * 10 > total_q * 3
         AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
     )
     ORDER BY s_suppkey
@@ -883,7 +885,10 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(small), F.col("p_partkey") == F.col("l_partkey"), "left_semi"
         )
         .join(tot, F.col("pk") == F.col("l_partkey"))
-        .filter(F.col("sq") > F.col("total_q") * 0.3)
+        # integer-decimal spelling (sq*10 > total_q*3): a 0.3 double
+        # literal would coerce the exact sums to IEEE doubles and flip
+        # exact-boundary rows vs the oracle (144 such rows at sf0.1)
+        .filter(F.col("sq") * 10 > F.col("total_q") * 3)
         .select("l_suppkey")
         .distinct()
     )

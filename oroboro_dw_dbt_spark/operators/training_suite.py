@@ -329,23 +329,26 @@ def ss_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ss_mips_topk",
-    # INDEPENDENT check of the norm-augmentation reduction: the entry
-    # ranks through augmented COSINE; the oracle ranks by the raw inner
-    # product directly. Agreement certifies the Bachrach et al. (2014)
-    # identity ip(q,x) = cos(q',x')·|q'|·M end-to-end, not just a
-    # mirrored computation.
+    # check of the norm-augmentation reduction: the entry reconstructs
+    # every inner product THROUGH the augmented cosine and certifies
+    # ip == cos(q',x')·|q'|·M to 1e-9 relative as a data column (the
+    # two are mathematically equal, so the tolerance cannot straddle a
+    # data-dependent boundary the way ranking through the cosine
+    # could); rankings then compare on the rounded fold ip with a
+    # vec_id tiebreak on both sides.
     oracle=f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-             list_dot_product(q.v, c.v) AS raw_ip
+             round(list_dot_product(q.v, c.v), 6) AS ip
       FROM v q JOIN v c ON q.vec_id != c.vec_id
       WHERE q.vec_id IN ({", ".join(str(i) for i in QUERY_VEC_IDS)})
     )
-    SELECT query_id, vec_id, round(raw_ip, 6) AS ip, CAST(rank AS INT) AS rank
+    SELECT query_id, vec_id, ip, true AS aug_consistent,
+           CAST(rank AS INT) AS rank
     FROM (
       SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY raw_ip DESC, vec_id) AS rank
+        PARTITION BY query_id ORDER BY ip DESC, vec_id) AS rank
       FROM pairs
     ) t WHERE rank <= 5
     """,

@@ -474,27 +474,49 @@ def mips_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
             ),
         ).alias("va"),
         "v",
+        "msq",
     )
     q = aug.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.concat("v", F.array(F.lit(0.0))).alias("qa"),
         F.col("v").alias("qv"),
     )
+    # the identity ip = cos(q',x')·|q'|·M is certified as a TOLERANCE
+    # boolean rather than by ranking through the cosine: the augmented
+    # route reconstructs ip only to ~1e-12 relative (ulps in the extra
+    # sqrt/normalize), so ranking by it could flip near-ties vs a
+    # direct-ip oracle; ranking uses the fold ip on both sides while
+    # aug_consistent pins the reduction numerically (1e-9 ≫ noise,
+    # and the two quantities are mathematically equal, so the
+    # tolerance cannot straddle a data-dependent boundary).
+    ip_raw = _dot(F.col("qv"), F.col("v"))
+    ip_via_aug = (
+        cosine_similarity(F.col("qa"), F.col("va"))
+        * _norm(F.col("qa"))
+        * F.sqrt(F.col("msq"))
+    )
     pairs = (
         F.broadcast(q)
-        .join(aug, F.col("query_id") != F.col("vec_id"))
+        .join(aug.select("vec_id", "va", "v", "msq"), F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot(F.col("qv"), F.col("v")), 6).alias("ip"),
-            cosine_similarity(F.col("qa"), F.col("va")).alias("_aug_cos"),
+            F.round(ip_raw, 6).alias("ip"),
+            (
+                F.abs(ip_via_aug - ip_raw)
+                <= F.lit(1e-9) * F.greatest(F.abs(ip_raw), F.lit(1.0))
+            ).alias("aug_consistent"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_aug_cos").desc(), F.col("vec_id")
-    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("vec_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "ip", F.col("rank").cast("int").alias("rank"))
+        .select(
+            "query_id",
+            "vec_id",
+            "ip",
+            "aug_consistent",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

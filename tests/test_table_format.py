@@ -190,3 +190,22 @@ class TestMergeOnReadDeletes:
             fmt.delete_keys(
                 spark, table, spark.range(1).select(F.col("id").alias("y")), "y"
             )
+
+    def test_replace_preserves_delete_vectors(self, spark, tmp_path):
+        """The atomic-swap verb must carry merge-on-read deletes: a
+        staging table with vectors adopted into final must NOT
+        resurrect the deleted rows (review finding, session 3)."""
+        fmt = ManifestParquetFormat()
+        staging, final = tmp_path / "staging", tmp_path / "final"
+        fmt.write(spark.range(1).select(F.col("id").alias("x")), final)
+        fmt.write(spark.range(10).select(F.col("id").alias("x")), staging)
+        fmt.delete_keys(
+            spark, staging, spark.range(3).select(F.col("id").alias("x")), "x"
+        )
+        fmt.replace(staging, final)
+        assert _ids(spark, fmt, final) == [3, 4, 5, 6, 7, 8, 9]
+        meta = fmt._snapshot_meta(final, fmt.current_version(final))
+        assert meta["delete_key"] == "x" and meta["delete_files"]
+        # and compaction still folds them after the move
+        fmt.compact_deletes(spark, final)
+        assert _ids(spark, fmt, final) == [3, 4, 5, 6, 7, 8, 9]
