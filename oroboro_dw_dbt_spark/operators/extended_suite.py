@@ -161,6 +161,81 @@ def tj_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tj_point_in_time",
+    # the feature-store lookup: each fact row joins the dimension
+    # VERSION that was valid at the fact's event time. The versioned
+    # dimension is derived deterministically (3 era intervals per
+    # customer, feature = acctbal scaled per era) so the oracle can
+    # rebuild it; every order falls in exactly one era by construction.
+    oracle="""
+    WITH eras AS (
+      SELECT * FROM (VALUES
+        (1, TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1997-01-01 00:00:00'),
+        (2, TIMESTAMP '1997-01-01 00:00:00', TIMESTAMP '1999-01-01 00:00:00'),
+        (3, TIMESTAMP '1999-01-01 00:00:00', TIMESTAMP '2002-01-01 00:00:00')
+      ) AS t(version, valid_from, valid_to)
+    ),
+    dim AS (
+      SELECT c_custkey, version, valid_from, valid_to,
+             CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,4)) * version, 2)
+                  AS DOUBLE) AS feature
+      FROM customer CROSS JOIN eras
+    )
+    SELECT o_orderkey, o_custkey, version, feature
+    FROM orders
+    JOIN dim ON c_custkey = o_custkey
+            AND o_orderdate >= valid_from AND o_orderdate < valid_to
+    """,
+    survey_ref="beyond-reference: point-in-time (feature-store) join — "
+    "fact rows join the dimension version valid at event time; the op "
+    "that prevents training-serving skew in feature pipelines",
+)
+def tj_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order joined to the customer-feature VERSION valid at its
+    order date — the point-in-time-correct lookup every feature
+    pipeline needs (joining today's feature values onto historical
+    facts leaks the future into training).
+
+    Plan shape: equi-join on the entity key carries the interval
+    containment as a residual — no range bucketing needed because
+    versions-per-key is small (the SCD2 situation; an unkeyed interval
+    join is tj_range_join's bucketed territory). At 100 TB the shuffle
+    is the fact⋈dim key join; AQE broadcasts the dimension while its
+    version count × entities fits. Exactly-one-match is structural
+    here (eras partition the span); production guards it with the
+    h_scd2_snapshot interval invariants this repo pytest-certifies."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    eras = spark.createDataFrame(
+        [
+            (1, "1995-01-01 00:00:00", "1997-01-01 00:00:00"),
+            (2, "1997-01-01 00:00:00", "1999-01-01 00:00:00"),
+            (3, "1999-01-01 00:00:00", "2002-01-01 00:00:00"),
+        ],
+        "version int, valid_from string, valid_to string",
+    ).select(
+        "version",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    dim = cust.crossJoin(F.broadcast(eras)).select(
+        "c_custkey",
+        "version",
+        "valid_from",
+        "valid_to",
+        F.round(F.col("c_acctbal").cast("decimal(12,4)") * F.col("version"), 2)
+        .cast("double")
+        .alias("feature"),
+    )
+    return orders.join(
+        dim,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    ).select("o_orderkey", "o_custkey", "version", "feature")
+
+
+@query(
     "w_lead_lag_frames",
     oracle="""
     SELECT event_id,

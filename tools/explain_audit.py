@@ -66,6 +66,10 @@ NESTED_LOOP_OK = {
     # 3-row fold-boundary table broadcast-crossed onto the fact (one
     # scan answers every fold via conditional aggregation)
     "sp_time_folds",
+    # 3-row era table broadcast-crossed onto customer to DERIVE the
+    # versioned dimension fixture; the certified op (fact ⋈ dim on
+    # key + interval residual) is a hash join
+    "tj_point_in_time",
     # 1-row vocabulary-size scalar (count distinct tokens) broadcast-
     # crossed onto the bigram stream for Laplace smoothing
     "t_bigram_novelty",
