@@ -411,3 +411,99 @@ def eng_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return long.select("r.col", "r.n", "r.n_null", "r.n_distinct", "r.min_val", "r.max_val")
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraints, surfaced as a violations report.
+# ---------------------------------------------------------------------------
+@query(
+    "eng_constraint_report",
+    # the dbt-test layer (engine/tests.py) queried as data: one row per
+    # declared constraint with its violation count. Constraints chosen
+    # so SOME fail by construction (accepted_values excluding two
+    # segments; a deliberately-thinned FK reference) — a report whose
+    # rows are all zero certifies nothing.
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS constraint_name, 'orders' AS tbl,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)', 'orders',
+           CAST(COALESCE(sum(n) FILTER (WHERE n > 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'accepted_values(c_mktsegment)', 'customer',
+           CAST(count(*) FILTER (WHERE c_mktsegment NOT IN
+                ('BUILDING', 'AUTOMOBILE', 'MACHINERY')) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'relationship(o_custkey -> customer)', 'orders',
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_custkey % 10 != 0)
+    """,
+    survey_ref="engine lifecycle: declarative data tests "
+    "(not_null/unique/accepted_values/relationship, engine/tests.py — "
+    "the dbt-test layer, marts_schema.yml:6-15) queried as a report",
+)
+def eng_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per declared constraint with its violation count — the
+    data-quality dashboard the engine's test layer feeds.
+
+    Each count comes from the SAME violations() DataFrames `run()`
+    uses (anti-join for FKs, grouped HAVING for uniqueness, row-local
+    predicates otherwise), so the report certifies the test layer's
+    semantics, not a parallel reimplementation. Two constraints fail by
+    construction — accepted_values lists only 3 of the 5 segments, and
+    the FK reference is thinned to every custkey not divisible by 10 —
+    because an all-zeros report would certify nothing. At 100 TB each
+    constraint is one scan or one anti-join; dbt's pattern of running
+    them per-model after materialization holds unchanged."""
+    from oroboro_dw_dbt_spark.engine.tests import (
+        accepted_values,
+        not_null,
+        relationship,
+        unique_combination_of_columns,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    thinned = cust.filter(F.col("c_custkey") % 10 != 0)
+
+    def count_row(name: str, tbl: str, violations_df: DataFrame) -> DataFrame:
+        return violations_df.agg(
+            F.lit(name).alias("constraint_name"),
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+        ).select("constraint_name", "tbl", "n_violations")
+
+    uniq = unique_combination_of_columns("o_orderkey").violations(orders)
+    rows = [
+        count_row(
+            "not_null(o_custkey)", "orders", not_null("o_custkey").violations(orders)
+        ),
+        # uniqueness reports VIOLATING ROWS (sum of oversized groups)
+        uniq.agg(
+            F.lit("unique(o_orderkey)").alias("constraint_name"),
+            F.lit("orders").alias("tbl"),
+            F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_violations"),
+        ).select("constraint_name", "tbl", "n_violations"),
+        count_row(
+            "accepted_values(c_mktsegment)",
+            "customer",
+            accepted_values(
+                "c_mktsegment", ("BUILDING", "AUTOMOBILE", "MACHINERY")
+            ).violations(cust),
+        ),
+        count_row(
+            "relationship(o_custkey -> customer)",
+            "orders",
+            relationship("o_custkey", thinned, "c_custkey").violations(orders),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
