@@ -93,6 +93,39 @@ def _driver_history(
     return covered, appeared
 
 
+# When more new entries exist than one driver window certifies, these
+# families go first (order within the list is the order used): the
+# headline claims of the round — the TPC-H completion, the storage/ACID
+# family, the graph suite, and the semantics certifications whose value
+# IS the driver record. Everything else certifies next round; all
+# entries pass the local mirror either way.
+FRESH_PRIORITY: tuple[str, ...] = (
+    # TPC-H completion (the 22/22 claim)
+    "q2_min_cost_supplier", "q4_priority_followup", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q10_returned_revenue", "q11_important_parts", "q12_priority_lines",
+    "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_variety", "q19_disjunctive_revenue", "q20_excess_shipments",
+    "q21_sole_supplier_delays", "q17_small_qty_revenue",
+    "q22_idle_customer_balance",
+    # storage / table format
+    "eng_acid_commit", "eng_delete_vectors", "eng_zorder_layout",
+    "eng_incremental_agg", "eng_bucketed_join", "eng_partitioned_prune",
+    # graph family
+    "gr_pagerank", "gr_triangle_count", "gr_label_propagation",
+    "gr_bfs_distances", "gr_hierarchy_closure",
+    # streaming / semantics certifications
+    "st_late_data_drop", "st_python_stream_source", "m_cast_matrix",
+    "sql_dialect_surface", "w_rank_twophase",
+    # ANN / dedup terminals
+    "ss_mips_topk", "ss_pq_adc_topk", "ss_ivfpq_topk", "dd_keep_best",
+    "t_winnowing_fingerprints", "dd_winnow_overlap",
+    # engine surfaces
+    "eng_python_datasource", "eng_constraint_report", "eng_profile_stats",
+    "mm_decode_meta", "tj_point_in_time", "w_trailing_distinct",
+)
+
+
 def catalog_order() -> list[str]:
     """Catalog names ordered for the driver's bounded per-round window:
 
@@ -100,15 +133,18 @@ def catalog_order() -> list[str]:
        these lose another full round if they miss the window, so they
        outrank brand-new entries when the uncovered backlog exceeds
        the window size);
-    2. never appeared at all (new entries, insertion order);
+    2. never appeared at all (new entries): FRESH_PRIORITY members in
+       list order first, then the rest in insertion order;
     3. already green (their record stands).
     """
     covered, appeared = _driver_history()
     names = list(QUERIES)
     stuck = [n for n in names if n in appeared and n not in covered]
     fresh = [n for n in names if n not in appeared and n not in covered]
+    prio = [n for n in FRESH_PRIORITY if n in fresh]
+    rest = [n for n in fresh if n not in FRESH_PRIORITY]
     done = [n for n in names if n in covered]
-    return stuck + fresh + done
+    return stuck + prio + rest + done
 
 
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
