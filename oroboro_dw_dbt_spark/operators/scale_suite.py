@@ -172,6 +172,103 @@ def sk_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sk_countmin_merge",
+    # count-min merge is EXACT (integer counter adds are associative),
+    # unlike HLL's dense-mode drift — so here merge-equals-direct is
+    # certified as strict equality, and estimates from merged state
+    # match the direct sketch value-for-value; the oracle recomputes
+    # the direct estimates from scratch
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    counters AS (
+      SELECT r.i,
+             CAST('0x' || substr(md5('cm|' || r.i || '|' || token), 1, 8) AS BIGINT)
+               % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM toks CROSS JOIN (VALUES (0), (1), (2)) AS r(i)
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS true_n
+      FROM toks GROUP BY token
+      ORDER BY true_n DESC, token LIMIT 20
+    ),
+    est AS (
+      SELECT t.token, min(c.n) AS cm_estimate
+      FROM truth t
+      CROSS JOIN (VALUES (0), (1), (2)) AS r(i)
+      JOIN counters c
+        ON c.i = r.i
+       AND c.bucket = CAST('0x' || substr(md5('cm|' || r.i || '|' || t.token), 1, 8)
+                           AS BIGINT) % 512
+      GROUP BY t.token
+    )
+    SELECT t.token, CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+           true AS merge_equals_direct
+    FROM truth t JOIN est e ON t.token = e.token
+    """,
+    survey_ref="beyond-reference: count-min sketch MERGE — per-shard "
+    "counter tables summed per (row, bucket) equal the single-pass "
+    "sketch exactly (integer adds), certified value-for-value",
+)
+def sk_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard -> counters -> sum vs direct counters, estimates compared
+    value-for-value for the exact top-20 tokens.
+
+    Four shard counter tables (doc_id % 4 — every shard sees every hot
+    token, so the merge must ADD, not pick) summed per (row, bucket)
+    must equal the whole-corpus sketch bit-for-bit: the merge IS plain
+    integer addition, which is why count-min state pre-aggregates
+    map-side, rolls up across days, and serves range queries without
+    rescans — with exact equality where HLL (sk_hll_merge) settles for
+    a bound."""
+    from oroboro_dw_dbt_spark.ops.sketches import countmin_counters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    direct = countmin_counters(toks, "token")
+    merged = None
+    for shard in range(4):
+        c = countmin_counters(toks.filter(F.col("doc_id") % 4 == shard), "token")
+        merged = c if merged is None else merged.unionByName(c)
+    merged = merged.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+    # strict state equality: anti-joins empty in BOTH directions
+    diff = direct.join(merged, ["row", "bucket", "n"], "left_anti").unionByName(
+        merged.join(direct, ["row", "bucket", "n"], "left_anti")
+    )
+    states_equal = F.lit(diff.limit(1).count() == 0)
+
+    truth = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "token")
+        .limit(20)
+    )
+    from oroboro_dw_dbt_spark.ops.sketches import _cm_bucket
+
+    est = None
+    for i in range(3):
+        e = (
+            truth.withColumn("row", F.lit(i))
+            .withColumn("bucket", _cm_bucket("token", i, 512, "cm"))
+            .join(merged, ["row", "bucket"])
+            .select("token", F.col("n").alias("est"))
+        )
+        est = e if est is None else est.unionByName(e)
+    return (
+        est.groupBy("token")
+        .agg(F.min("est").cast("bigint").alias("cm_estimate"))
+        .withColumn("merge_equals_direct", states_equal)
+    )
+
+
+@query(
     "sk_approx_quantiles",
     # GK guarantees RANK error ≤ n/accuracy; the entry checks the
     # empirical CDF at each returned quantile against that bound in the

@@ -47,6 +47,44 @@ def approx_quantiles_by(
     return out.select(*cols)
 
 
+def _cm_bucket(col: str, i: int, width: int, salt: str):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.lit(i), F.col(col))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def countmin_counters(
+    df: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 512,
+    salt: str = "cm",
+) -> DataFrame:
+    """The count-min sketch STATE: (row, bucket, n) counters. Exposed
+    separately from the estimator because the state is the mergeable
+    unit — per-shard counter tables sum per (row, bucket) into exactly
+    the whole-data table (integer adds are associative), which is what
+    lets sketch state pre-aggregate map-side and roll up across
+    days/partitions (certified by sk_countmin_merge)."""
+    counters = None
+    src = df.select(col)
+    for i in range(depth):
+        c = (
+            src.groupBy(_cm_bucket(col, i, width, salt).alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .withColumn("row", F.lit(i))
+        )
+        counters = c if counters is None else counters.unionByName(c)
+    return counters
+
+
 def countmin_estimates(
     df: DataFrame,
     col: str,
@@ -68,19 +106,9 @@ def countmin_estimates(
     estimating joins each distinct value to its d counters and takes
     the min. At 100 TB the counter table is KBs — THE point: frequency
     estimates whose state does not grow with vocabulary."""
+    counters = countmin_counters(df, col, depth=depth, width=width, salt=salt)
     rows = list(range(depth))
-    bucket = lambda i: (  # noqa: E731
-        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.lit(i), F.col(col))), 1, 8), 16, 10)
-        .cast("long")
-        % width
-    )
-    counters = None
-    src = df.select(col)
-    for i in rows:
-        c = src.groupBy(bucket(i).alias("bucket")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n")
-        ).withColumn("row", F.lit(i))
-        counters = c if counters is None else counters.unionByName(c)
+    bucket = lambda i: _cm_bucket(col, i, width, salt)  # noqa: E731
     distinct = df.select(col).distinct()
     est = None
     for i in rows:
