@@ -99,14 +99,23 @@ def main() -> None:
     # steal (BASELINE.md: identical code 6 s vs 367 s), and a steal
     # window rarely spans both passes of the same query — min-of-2 is
     # the steady-state cost. A third attempt covers >20 s outliers.
+    # NOTE (metric discontinuity): min-of-2 started in round 5; BENCH_r01–r04
+    # are single-pass and systematically higher for reasons unrelated to
+    # code performance. Per-pass raw times are recorded in "passes_raw" so
+    # cross-round analysis can tell steal spikes from real drift without
+    # re-running.
     timings: dict[str, float] = {}
+    passes_raw: dict[str, list[float]] = {}
     for _pass in range(2):
         for name in HEADLINE:
             if name not in QUERIES:
                 continue
             t = run_once(name)
+            passes_raw.setdefault(name, []).append(t)
             if t > RETRY_ABOVE_SEC:
-                t = min(t, run_once(name))
+                t2 = run_once(name)
+                passes_raw[name].append(t2)
+                t = min(t, t2)
             timings[name] = min(t, timings.get(name, t))
 
     load_after = _host_load()
@@ -120,7 +129,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "passes": 2,  # min-of-2 since round 5: steady-state, not steal spikes
+        # metric changed r04→r05 (single pass → min-of-2); compare raw
+        # passes, not headline minima, across that boundary
+        "metric_note": "min-of-2 since r05; r01-r04 artifacts are single-pass",
         "queries": timings,
+        "passes_raw": passes_raw,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load": {
             "before": load_before,

@@ -211,9 +211,20 @@ class ManifestParquetFormat:
             )
         version = cur + 1
         delete_file = f"deletes-{version:06d}"
-        keys.select(key_col).distinct().write.mode("overwrite").parquet(
-            str(path / delete_file)
-        )
+        # The read path applies vectors with a plain-equality anti-join
+        # (NULL == NULL is never true), so a NULL key could never delete
+        # anything — reject it loudly instead of silently no-opping.
+        from pyspark.sql import functions as F
+
+        key_set = keys.select(key_col).distinct()
+        if key_set.filter(F.col(key_col).isNull()).limit(1).count() > 0:
+            raise ValueError(
+                f"delete_keys: NULL in delete key column {key_col!r}; "
+                "equality deletes cannot target NULL-keyed rows "
+                "(read path uses non-null-safe equality) — filter NULLs "
+                "out or delete by a non-nullable key"
+            )
+        key_set.write.mode("overwrite").parquet(str(path / delete_file))
         (self._manifest_dir(path) / f"snap-{version:06d}.json").write_text(
             json.dumps(
                 {

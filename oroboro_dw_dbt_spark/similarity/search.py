@@ -450,9 +450,11 @@ def mips_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     cosine is then ip(q,x)/(|q|·M), MONOTONE in the raw inner product,
     so cosine machinery (here: the same broadcast + fold plan as
     brute_force_topk; at scale: the LSH/IVF/PQ ladder unchanged)
-    answers MIPS exactly. Returned ip is the raw inner product; the
-    RANKING is computed through the augmented route — callers checking
-    against a direct-IP ranking are certifying the reduction identity.
+    answers MIPS exactly. Returned ip is the raw inner product and the
+    RANKING uses that raw fold ip on both sides (floating-point ulps in
+    the augmented route's extra sqrt/normalize could flip near-ties);
+    the reduction identity ip = cos(q',x')·|q'|·M is certified per pair
+    as the ``aug_consistent`` tolerance boolean instead.
     """
     v = emb.select("vec_id", _as_double("embedding").alias("v"))
     # M² as a 1-row broadcast (exact same fold on every row's norm²)

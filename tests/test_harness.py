@@ -129,3 +129,15 @@ class TestWindowRotation:
         covered, appeared = cat._driver_history()
         stuck = [n for n in cat.QUERIES if n in appeared and n not in covered]
         assert order[: len(stuck)] == stuck
+
+
+class TestFreshPriorityDrift:
+    def test_every_fresh_priority_name_is_a_catalog_entry(self):
+        """FRESH_PRIORITY is hand-maintained; a renamed/mistyped entry
+        would silently lose its certification-window priority because
+        catalog_order filters unknown names out. Fail loudly instead."""
+        unknown = [n for n in cat.FRESH_PRIORITY if n not in QUERIES]
+        assert not unknown, f"FRESH_PRIORITY names not in catalog: {unknown}"
+
+    def test_fresh_priority_has_no_duplicates(self):
+        assert len(set(cat.FRESH_PRIORITY)) == len(cat.FRESH_PRIORITY)
