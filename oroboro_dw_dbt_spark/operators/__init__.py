@@ -16,4 +16,5 @@ from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     scalar,
     scale_suite,
     training_suite,
+    lifecycle_suite,
 )
