@@ -78,6 +78,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # scale-probe hooks (tools/gen_scale.py + SCALE.md "Measured sf1"):
+    # subset the headline list / pass count without touching the
+    # driver-facing defaults
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = [q for q in HEADLINE if q in only.split(",")] if only else HEADLINE
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     load_before = _host_load()
     spark = get_spark("bench")
 
@@ -106,8 +112,8 @@ def main() -> None:
     # re-running.
     timings: dict[str, float] = {}
     passes_raw: dict[str, list[float]] = {}
-    for _pass in range(2):
-        for name in HEADLINE:
+    for _pass in range(n_passes):
+        for name in headline:
             if name not in QUERIES:
                 continue
             t = run_once(name)
@@ -128,7 +134,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "passes": 2,  # min-of-2 since round 5: steady-state, not steal spikes
+        "passes": n_passes,  # min-of-2 since round 5: steady-state, not steal spikes
         # metric changed r04→r05 (single pass → min-of-2); compare raw
         # passes, not headline minima, across that boundary
         "metric_note": "min-of-2 since r05; r01-r04 artifacts are single-pass",

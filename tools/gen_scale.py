@@ -1,0 +1,150 @@
+"""Deterministic scale-up of the driver testdata for empirical scale probes.
+
+Builds an sfN directory by replicating sf0.1 K times with disjoint key
+spaces (every FK chain is shifted by the same per-replica stride, so join
+fan-out, group cardinality growth, and selectivity all scale the way a
+genuinely bigger TPC-H would: facts ×K, matched dims ×K, fixed dims
+constant).
+
+Shape-preserving perturbations keep the non-relational operators honest:
+
+- ``documents.text``: replicas > 0 get every 3rd token suffixed with the
+  replica id — token count unchanged, but w-shingles break, so MinHash/LSH
+  sees each replica as a DISTINCT document (the within-replica near-dup
+  rate — the statistic dedup cost depends on — is preserved; a verbatim
+  copy would instead manufacture K-fold duplicate clusters and overstate
+  LSH bucket load).
+- ``embeddings.embedding``: circular shift by the replica index — norm
+  preserved, replicas decorrelated, so ANN top-k at sfN isn't K copies at
+  distance zero.
+- ``region``/``nation`` stay fixed (TPC-H semantics: constant dims).
+
+Usage:
+    python tools/gen_scale.py [out_dir] [replicas] [src_dir]
+Defaults: out_dir=/tmp/spark_graft_sf1, replicas=10, src=/root/testdata/sf0.1
+(10 × sf0.1 ≈ sf1: 6M lineitem rows).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# per-table (shift_cols → stride source table). Strides are max(key)+1 of
+# the SOURCE table so replica key ranges are disjoint; every FK uses the
+# stride of the table it references, keeping referential integrity exact.
+COPY_AS_IS = ("region", "nation")
+
+
+def _stride(spark: SparkSession, src: str, table: str, key: str) -> int:
+    df = spark.read.parquet(f"{src}/{table}.parquet")
+    return int(df.agg(F.max(key)).collect()[0][0]) + 1
+
+
+def _replicate(
+    df: DataFrame, replicas: int, shifts: dict[str, int],
+    perturb=None,
+) -> DataFrame:
+    parts = []
+    for r in range(replicas):
+        p = df
+        for col, stride in shifts.items():
+            p = p.withColumn(col, (F.col(col) + F.lit(r * stride)).cast("bigint"))
+        if perturb is not None:
+            p = perturb(p, r)
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def generate(spark: SparkSession, src: str, out: str, replicas: int) -> None:
+    outp = Path(out)
+    outp.mkdir(parents=True, exist_ok=True)
+
+    cust = _stride(spark, src, "customer", "c_custkey")
+    supp = _stride(spark, src, "supplier", "s_suppkey")
+    part = _stride(spark, src, "part", "p_partkey")
+    orders = _stride(spark, src, "orders", "o_orderkey")
+    events = _stride(spark, src, "events", "event_id")
+    docs = _stride(spark, src, "documents", "doc_id")
+    vecs = _stride(spark, src, "embeddings", "vec_id")
+
+    def perturb_doc(df: DataFrame, r: int) -> DataFrame:
+        if r == 0:
+            return df
+        # suffix every 3rd token: length-preserving shingle breaker
+        return df.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t, i: F.when(
+                        i % 3 == 0, F.concat(t, F.lit(f"~{r}"))
+                    ).otherwise(t),
+                ),
+                " ",
+            ),
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+
+    def perturb_vec(df: DataFrame, r: int) -> DataFrame:
+        if r == 0:
+            return df
+        n = F.size("embedding")
+        return df.withColumn(
+            "embedding",
+            F.concat(
+                F.slice("embedding", F.lit(r + 1), n - F.lit(r)),
+                F.slice("embedding", 1, r),
+            ),
+        )
+
+    plans: dict[str, DataFrame] = {}
+    read = lambda t: spark.read.parquet(f"{src}/{t}.parquet")  # noqa: E731
+    for t in COPY_AS_IS:
+        plans[t] = read(t)
+    plans["customer"] = _replicate(read("customer"), replicas, {"c_custkey": cust})
+    plans["supplier"] = _replicate(read("supplier"), replicas, {"s_suppkey": supp})
+    plans["part"] = _replicate(read("part"), replicas, {"p_partkey": part})
+    plans["orders"] = _replicate(
+        read("orders"), replicas, {"o_orderkey": orders, "o_custkey": cust}
+    )
+    plans["lineitem"] = _replicate(
+        read("lineitem"), replicas,
+        {"l_orderkey": orders, "l_partkey": part, "l_suppkey": supp},
+    )
+    plans["events"] = _replicate(
+        read("events"), replicas, {"event_id": events, "user_id": cust}
+    )
+    plans["documents"] = _replicate(
+        read("documents"), replicas, {"doc_id": docs}, perturb=perturb_doc
+    )
+    plans["embeddings"] = _replicate(
+        read("embeddings"), replicas, {"vec_id": vecs}, perturb=perturb_vec
+    )
+
+    for t, df in plans.items():
+        # single file per table to match the driver testdata layout
+        # (bench splits via spark.sql.files.maxPartitionBytes anyway)
+        n_files = 1 if t in COPY_AS_IS else 8
+        df.coalesce(n_files).write.mode("overwrite").parquet(str(outp / f"{t}.parquet"))
+        print(f"wrote {t}", flush=True)
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    from oroboro_dw_dbt_spark.session import get_spark
+
+    spark = get_spark("gen_scale")
+    generate(spark, src, out, replicas)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    main()
