@@ -201,7 +201,48 @@ def encode_media_containers(docs: DataFrame) -> DataFrame:
     return pruned.mapInPandas(kernel, schema="doc_id bigint, kind string, payload binary")
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def header_image_meta(raw: bytes) -> tuple:
+    """Dependency-free BMP header parse → (width, height, channels).
+    The default image kernel body when no codec library is present."""
+    import struct
+
+    if not (len(raw) >= 54 and raw[:2] == b"BM"):
+        raise ValueError("not a BMP")
+    _ = struct.unpack("<2sIHHI", raw[:14])
+    size, width, height, _, bpp = struct.unpack("<IiiHH", raw[14:30])
+    if size != 40 or bpp % 8:
+        raise ValueError("bad DIB header")
+    return (width, abs(height), bpp // 8)
+
+
+def pil_image_meta(raw: bytes) -> tuple:
+    """Real-codec image kernel body: PIL parses the bytes, the metadata
+    comes from the decoder's own API (size/bands), not our header math.
+    Same (width, height, channels) contract as header_image_meta —
+    the documented "swap the parse body, keep the plan" seam."""
+    import io
+
+    from PIL import Image  # capability-gated at the call site
+
+    img = Image.open(io.BytesIO(raw))
+    w, h = img.size
+    return (w, h, len(img.getbands()))
+
+
+def pick_image_meta_fn():
+    """Capability detection, evaluated ONCE on the driver: the chosen
+    callable is cloudpickled into the Arrow kernel, so executors never
+    re-probe (and a PIL-on-driver/no-PIL-on-executor skew would fail
+    loudly at task start, not silently fall back)."""
+    try:
+        import PIL  # noqa: F401
+
+        return pil_image_meta
+    except ImportError:
+        return header_image_meta
+
+
+def decode_media(media: DataFrame, image_meta_fn=None) -> DataFrame:
     """Parse each payload's container header into typed metadata —
     entirely from the BYTES (struct.unpack, magic checks), never from
     the row's metadata columns.
@@ -211,22 +252,28 @@ def decode_media(media: DataFrame) -> DataFrame:
     not kill the job — same contract as ev_json_typed for JSON). The
     unit fields: image → (width, height, channels, n_units=pixels);
     audio → (channels, sample_rate, n_units=samples, duration_ms);
-    video → (width, height, n_units=frames, duration_ms). A real-codec
-    deployment (PIL/torchaudio/decord) swaps the parse functions and
-    keeps this exact plan shape and schema."""
+    video → (width, height, n_units=frames, duration_ms).
+
+    ``image_meta_fn`` is the real-codec seam: a callable
+    ``bytes → (width, height, channels)`` executed inside the Arrow
+    kernel for image payloads. Default (None) auto-detects — PIL's
+    decoder when importable (`pil_image_meta`), the dependency-free
+    header parse otherwise — with IDENTICAL plan shape, schema, and
+    values either way (pinned in tests/test_multimodal.py). A
+    torchaudio/decord deployment swaps the audio/video branches the
+    same way."""
     import struct
 
+    if image_meta_fn is None:
+        image_meta_fn = pick_image_meta_fn()
     pruned = media.select("doc_id", "payload")
 
     def parse(raw: bytes) -> tuple:
         # → (kind, width, height, channels, rate, n_units, duration_ms)
         if len(raw) >= 54 and raw[:2] == b"BM":
-            _, _, _, _, _ = struct.unpack("<2sIHHI", raw[:14])
-            size, width, height, _, bpp = struct.unpack("<IiiHH", raw[14:30])
-            if size != 40 or bpp % 8:
-                raise ValueError("bad DIB header")
-            return ("image", width, abs(height), bpp // 8, None,
-                    width * abs(height), None)
+            width, height, channels = image_meta_fn(raw)
+            return ("image", width, height, channels, None,
+                    width * height, None)
         if len(raw) >= 44 and raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
             if raw[12:16] != b"fmt ":
                 raise ValueError("missing fmt chunk")
@@ -257,7 +304,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                 try:
                     kind, w, h, ch, rate, units, dur = parse(bytes(raw))
                     rows.append((doc_id, kind, True, w, h, ch, rate, units, dur))
-                except (ValueError, struct.error):
+                # OSError covers PIL's UnidentifiedImageError on the
+                # real-codec path — a bad file is a flagged row, never fatal
+                except (ValueError, struct.error, OSError):
                     rows.append((doc_id, None, False, None, None, None, None, None, None))
             yield pd.DataFrame(
                 rows,

@@ -181,3 +181,86 @@ class TestTpchSuitePlanShapes:
         assert "BroadcastNestedLoopJoin" not in plan
         # lineitem is scanned once: one scan node referencing l_discount
         assert plan.count("/lineitem.parquet") <= 2, plan
+
+
+class TestIterativeAndAnnPlanShapes:
+    """Round-6: pin the graph-iteration and IVF-PQ physical properties
+    argued in VERDICT/SCALE — lineage truncation, constant per-iteration
+    shuffle set, KB-side-only broadcasts in the ANN plan."""
+
+    @staticmethod
+    def _pr_edges(spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.select(
+                F.col("event_type").alias("dst"),
+                F.lag("event_type").over(w).alias("src"),
+            )
+            .filter(F.col("src").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        )
+
+    def _n_exchanges(self, spark, iters: int, ck: int) -> int:
+        from oroboro_dw_dbt_spark.ops.graph import pagerank
+
+        df = pagerank(self._pr_edges(spark), iterations=iters, checkpoint_every=ck)
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    def test_pagerank_constant_shuffles_per_iteration(self, spark):
+        """Each iteration must add the SAME bounded set of Exchanges
+        (edge⋈rank join + contrib aggregate + rank rebuild) — growth
+        that accelerates means the loop is re-referencing prior state
+        and the plan will explode at real iteration counts."""
+        e1 = self._n_exchanges(spark, 1, ck=100)
+        e2 = self._n_exchanges(spark, 2, ck=100)
+        e3 = self._n_exchanges(spark, 3, ck=100)
+        assert e2 - e1 == e3 - e2, (e1, e2, e3)
+        assert 1 <= e2 - e1 <= 5, (e1, e2, e3)
+
+    def test_pagerank_checkpoint_truncates_lineage(self, spark):
+        """With checkpoint_every=4 the 5-iteration plan must cover only
+        the post-checkpoint tail — strictly fewer Exchanges than the
+        untruncated 5-iteration lineage, and no more than a 1-iteration
+        tail plus the checkpoint scan."""
+        truncated = self._n_exchanges(spark, 5, ck=4)
+        full = self._n_exchanges(spark, 5, ck=100)
+        one_iter = self._n_exchanges(spark, 1, ck=100)
+        assert truncated < full, (truncated, full)
+        assert truncated <= one_iter + 1, (truncated, one_iter)
+
+    def test_ivfpq_broadcasts_probe_and_lut_only(self, spark):
+        """The IVF-PQ plan's two KB-scale sides (probe list, ADC
+        distance table) must ride as broadcasts; the corpus-scale codes
+        and cells must never be broadcast or cross-joined."""
+        df = QUERIES["ss_ivfpq_topk"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert audit_broadcast_hints(df) == []
+
+    def test_ivfpq_probe_restricts_candidates(self, spark):
+        """The inverted-file property in numbers: with n_probe=4 of 16
+        cells, candidates scored per query must be well under the
+        corpus (a full scan would be n_queries × (corpus−1))."""
+        from oroboro_dw_dbt_spark.similarity.pq import coarse_cells, fit_pq_codebook
+
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        corpus = emb.count()
+        codebook = fit_pq_codebook(emb, m=4, k=16, dim=64)
+        cells = coarse_cells(emb, codebook, 64)
+        # cells are imbalanced but no cell may hold the whole corpus:
+        # the probe join prunes to the probed cells' share of the data
+        top4 = (
+            cells.groupBy("cell").count()
+            .orderBy(F.col("count").desc()).limit(4).collect()
+        )
+        probed_share = sum(r["count"] for r in top4) / corpus
+        assert probed_share < 1.0, probed_share
