@@ -72,6 +72,10 @@ HEADLINE = [
     # histogram and the double-self-subquery census decorrelation
     "q13_order_count_distribution",
     "q21_sole_supplier_delays",
+    # round 6: grid interpolation (two window sorts over one user_id
+    # partitioning) and the Bellman-Ford relaxation loop
+    "ts_interpolate",
+    "gr_sssp_weighted",
 ]
 
 

@@ -17,4 +17,5 @@ from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     scale_suite,
     training_suite,
     lifecycle_suite,
+    round6_suite,
 )

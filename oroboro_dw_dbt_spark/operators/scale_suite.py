@@ -238,11 +238,16 @@ def sk_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = countmin_counters(toks.filter(F.col("doc_id") % 4 == shard), "token")
         merged = c if merged is None else merged.unionByName(c)
     merged = merged.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
-    # strict state equality: anti-joins empty in BOTH directions
+    # strict state equality: anti-joins empty in BOTH directions —
+    # folded into the returned plan as a broadcast 1-row aggregate so
+    # the build stays lazy (round-5 note: an eager limit(1).count()
+    # here made this entry's "build" execute work at plan time)
     diff = direct.join(merged, ["row", "bucket", "n"], "left_anti").unionByName(
         merged.join(direct, ["row", "bucket", "n"], "left_anti")
     )
-    states_equal = F.lit(diff.limit(1).count() == 0)
+    states_equal_row = diff.agg(
+        (F.count(F.lit(1)) == 0).alias("merge_equals_direct")
+    )
 
     truth = (
         toks.groupBy("token")
@@ -264,7 +269,7 @@ def sk_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         est.groupBy("token")
         .agg(F.min("est").cast("bigint").alias("cm_estimate"))
-        .withColumn("merge_equals_direct", states_equal)
+        .crossJoin(F.broadcast(states_equal_row))
     )
 
 

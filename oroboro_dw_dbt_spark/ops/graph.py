@@ -321,3 +321,96 @@ it{k} AS (
         )
     body = ",\n".join(parts)
     return f"{body}\nSELECT node, label FROM it{iterations}"
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths: bounded Bellman-Ford
+# ---------------------------------------------------------------------------
+# The third iterative-state shape after components (min-label fixpoint)
+# and PageRank (value diffusion): per-node BEST-SO-FAR state improved by
+# one relaxation sweep per round. Distances are exact BIGINTs (integer
+# edge weights), rounds are FIXED (the caller passes a diameter bound),
+# and unreachable stays NULL — all three choices exist to make the
+# trajectory a pure function of the edge list, so the DuckDB oracle can
+# walk the identical unrolled rounds (sssp_oracle_sql).
+#
+# Scale shape at 100 TB of edges: each sweep is one edges⋈dist shuffle
+# + one groupBy(dst) min — identical to a pagerank iteration, so the
+# same prescriptions hold (persist + pre-partition edges by src, state
+# checkpointed every few rounds; here rounds are few, so per-call
+# localCheckpoint of the input suffices). Bounded rounds beat a
+# convergence loop on a cluster: no per-round driver count() barrier.
+
+
+def sssp(
+    edges: DataFrame, source: int, rounds: int, checkpoint_every: int = 4
+) -> DataFrame:
+    """(node, dist) after ``rounds`` Bellman-Ford relaxations from
+    ``source`` over directed weighted ``edges`` (src, dst, w ≥ 0,
+    integer). dist is NULL for nodes not reached within ``rounds``
+    hops; with rounds ≥ |V|−1 that means truly unreachable."""
+    ew = edges.select(
+        "src", "dst", F.col("w").cast("bigint").alias("w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        ew.select(F.col("src").alias("node"))
+        .union(ew.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = nodes.withColumn(
+        "dist",
+        F.when(F.col("node") == source, F.lit(0)).cast("bigint"),
+    )
+    for i in range(rounds):
+        relax = (
+            ew.join(dist, ew.src == dist.node)
+            .filter(F.col("dist").isNotNull())
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        # explicit NULL-aware min (NULL = infinity) — spelled as CASE on
+        # both engines rather than trusting least()'s NULL semantics
+        dist = (
+            dist.join(relax, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("nd").isNull(), F.col("dist"))
+                .when(F.col("dist").isNull() | (F.col("nd") < F.col("dist")), F.col("nd"))
+                .otherwise(F.col("dist"))
+                .cast("bigint")
+                .alias("dist"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+def sssp_oracle_sql(edges_cte: str, source: int, rounds: int) -> str:
+    """Unrolled-SQL twin of :func:`sssp` for the DuckDB oracle: one CTE
+    per relaxation round, identical NULL-as-infinity CASE arithmetic."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
+        f"d0 AS (SELECT node, CASE WHEN node = {source} "
+        "THEN CAST(0 AS BIGINT) END AS dist FROM nodes)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"d{k - 1}"
+        parts.append(
+            f"""d{k} AS (
+  SELECT p.node,
+         CAST(CASE WHEN r.nd IS NULL THEN p.dist
+                   WHEN p.dist IS NULL OR r.nd < p.dist THEN r.nd
+                   ELSE p.dist END AS BIGINT) AS dist
+  FROM {p} p
+  LEFT JOIN (SELECT e.dst AS node, min(p.dist + e.w) AS nd
+             FROM {p} p JOIN edges e ON e.src = p.node
+             WHERE p.dist IS NOT NULL
+             GROUP BY e.dst) r ON r.node = p.node)"""
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT node, dist FROM d{rounds}"

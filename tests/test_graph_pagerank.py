@@ -95,3 +95,29 @@ def test_label_propagation_deterministic_rerun(spark):
         map(tuple, label_propagation(edges.repartition(7), iterations=4).collect())
     )
     assert a == b
+
+
+class TestSssp:
+    def test_known_graph_distances(self, spark):
+        """Hand-checkable graph: the relaxation must find the cheap
+        2-hop route over the expensive direct edge, and leave the
+        disconnected node NULL."""
+        from oroboro_dw_dbt_spark.ops.graph import sssp
+
+        edges = spark.createDataFrame(
+            [(0, 1, 10), (0, 2, 1), (2, 1, 2), (1, 3, 1), (4, 5, 1)],
+            "src long, dst long, w long",
+        )
+        got = {r.node: r.dist for r in sssp(edges, source=0, rounds=5).collect()}
+        assert got == {0: 0, 1: 3, 2: 1, 3: 4, 4: None, 5: None}
+
+    def test_rounds_bound_hop_depth(self, spark):
+        """With rounds < path length the tail stays NULL — the bounded
+        contract the oracle unrolls round-for-round."""
+        from oroboro_dw_dbt_spark.ops.graph import sssp
+
+        chain = spark.createDataFrame(
+            [(i, i + 1, 1) for i in range(4)], "src long, dst long, w long"
+        )
+        got = {r.node: r.dist for r in sssp(chain, source=0, rounds=2).collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: None, 4: None}

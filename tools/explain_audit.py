@@ -73,6 +73,13 @@ NESTED_LOOP_OK = {
     # 1-row vocabulary-size scalar (count distinct tokens) broadcast-
     # crossed onto the bigram stream for Laplace smoothing
     "t_bigram_novelty",
+    # 1-row global-max-date scalar broadcast-crossed onto the per-user
+    # aggregate for recency (uncorrelated scalar subquery shape)
+    "ev_rfm_segments",
+    # 1-row merge==direct equality flag (empty-diff aggregate) broadcast-
+    # crossed onto the 20-row estimate output — the round-6 lazy fold of
+    # what was an eager limit(1).count() during plan build
+    "sk_countmin_merge",
 }
 # streaming entries execute eagerly inside the builder; explain() on the
 # returned batch result reflects the memory sink, not the stream plan
