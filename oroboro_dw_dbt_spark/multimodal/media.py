@@ -401,3 +401,45 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= k)
         .dropDuplicates()
     )
+
+
+RESIZE_BLOCKS = 16
+RESIZE_SCHEMA = "doc_id bigint, n_bytes bigint, resized_hex string"
+
+
+def resize_blocks(media: DataFrame, n_blocks: int = RESIZE_BLOCKS) -> DataFrame:
+    """Average-pooling resize over the binary payload: the byte stream
+    is split into ``n_blocks`` equal spans (floor boundaries k·n//B) and
+    each span reduced to its integer mean — the 1-D analogue of the
+    block-average image downsample a real pipeline runs per channel.
+    Emits the resized signal as a fixed-length hex string (one 02x pair
+    per block) so the schema stays scalar for the driver's hasher.
+
+    The kernel is fully vectorized (numpy cumsum + reduce-at-boundaries,
+    no per-byte Python); a PIL deployment swaps it for
+    Image.resize(..., BOX) through the same mapInPandas plumbing — the
+    same seam as decode_media's image_meta_fn. Row-local: zero shuffle
+    at any scale."""
+    import numpy as np
+
+    pruned = media.select("doc_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                bounds = (np.arange(n_blocks + 1) * n) // n_blocks
+                csum = np.concatenate(([0], np.cumsum(a)))
+                sums = csum[bounds[1:]] - csum[bounds[:-1]]
+                lens = np.maximum(bounds[1:] - bounds[:-1], 1)
+                means = sums // lens
+                out.append(
+                    (doc_id, n, "".join(f"{int(v):02x}" for v in means))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_bytes", "resized_hex"]
+            )
+
+    return pruned.mapInPandas(kernel, schema=RESIZE_SCHEMA)

@@ -361,3 +361,36 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize: block-average downsample of the binary payload.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_resize_blocks",
+    # ASCII corpus ⇒ byte arithmetic over the payload equals char-code
+    # arithmetic over text, so the oracle restates the exact floor
+    # boundaries and integer means (all operands non-negative, so
+    # DuckDB's floor-div // and numpy's // agree)
+    oracle="""
+    WITH b AS (SELECT doc_id, length(text) AS n, text FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           array_to_string(list_transform(range(0, 16), k ->
+             printf('%02x', CAST(
+               list_sum(list_transform(
+                 range((k * n) // 16 + 1, ((k + 1) * n) // 16 + 1),
+                 i -> ascii(substr(text, CAST(i AS INT), 1))))
+               // greatest(((k + 1) * n) // 16 - (k * n) // 16, 1)
+             AS BIGINT))), '') AS resized_hex
+    FROM b
+    """,
+    survey_ref="beyond-reference: multimodal resize (block-average "
+    "downsample over binary payloads; vectorized numpy kernel through "
+    "the decode_media mapInPandas seam — PIL's BOX resize drop-in)",
+)
+def mm_resize_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.multimodal import media_from_documents
+    from oroboro_dw_dbt_spark.multimodal.media import resize_blocks
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return resize_blocks(media)

@@ -167,3 +167,30 @@ class TestImageKernelSeam:
         )
         out = {r.doc_id: r for r in decode_media(bad).collect()}
         assert out[0].ok is False and out[0].kind is None
+
+
+class TestResizeBlocks:
+    def test_short_payload_pads_with_zero_blocks(self, spark):
+        """Payload shorter than n_blocks: empty spans (equal floor
+        boundaries) must emit 0, not crash — the guard the ≥48-byte
+        catalog corpus never exercises."""
+        from oroboro_dw_dbt_spark.multimodal.media import resize_blocks
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"\x10\x20\x30"))], "doc_id long, payload binary"
+        )
+        row = resize_blocks(media, n_blocks=16).collect()[0]
+        assert row.n_bytes == 3
+        assert len(row.resized_hex) == 32
+        blocks = [int(row.resized_hex[i : i + 2], 16) for i in range(0, 32, 2)]
+        assert set(blocks) >= {0}  # empty spans are zero
+        assert {0x10, 0x20, 0x30} <= set(blocks)  # data spans survive
+
+    def test_constant_payload_resizes_to_constant(self, spark):
+        from oroboro_dw_dbt_spark.multimodal.media import resize_blocks
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"\x42" * 160))], "doc_id long, payload binary"
+        )
+        row = resize_blocks(media).collect()[0]
+        assert row.resized_hex == "42" * 16
