@@ -390,18 +390,23 @@ def sssp(
 
 def sssp_oracle_sql(edges_cte: str, source: int, rounds: int) -> str:
     """Unrolled-SQL twin of :func:`sssp` for the DuckDB oracle: one CTE
-    per relaxation round, identical NULL-as-infinity CASE arithmetic."""
+    per relaxation round, identical NULL-as-infinity CASE arithmetic.
+
+    Every CTE is MATERIALIZED: each round references its predecessor
+    TWICE (state + relax subquery), so inlining doubles the expansion
+    per round — 2^rounds copies of the edge-build join OOMed DuckDB at
+    sf0.1 before the hint. Materialized, each round is a 25-row scan."""
     parts = [
-        f"WITH edges AS ({edges_cte})",
-        "nodes AS (SELECT DISTINCT node FROM "
+        f"WITH edges AS MATERIALIZED ({edges_cte})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
         "(SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
-        f"d0 AS (SELECT node, CASE WHEN node = {source} "
+        f"d0 AS MATERIALIZED (SELECT node, CASE WHEN node = {source} "
         "THEN CAST(0 AS BIGINT) END AS dist FROM nodes)",
     ]
     for k in range(1, rounds + 1):
         p = f"d{k - 1}"
         parts.append(
-            f"""d{k} AS (
+            f"""d{k} AS MATERIALIZED (
   SELECT p.node,
          CAST(CASE WHEN r.nd IS NULL THEN p.dist
                    WHEN p.dist IS NULL OR r.nd < p.dist THEN r.nd
