@@ -298,8 +298,12 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The packed-BIGINT argmax (hour*1e5 + cents) keeps the neighbor
     search one running max/min per direction — no IGNORE NULLS, no
-    self-join — and the whole operator is two sorts over ONE user_id
-    partitioning (grid build reuses the hourly aggregate's shuffle).
+    self-join. Physical shape (asserted from the executed plan): one
+    (user_id, hour) shuffle for the hourly aggregate, one grid⋈hourly
+    join (broadcast under AQE at test scale; co-partitioned SMJ on the
+    same keys at 100 TB), and one user_id shuffle feeding a SINGLE
+    shared sort — both window directions (running max backward, running
+    min forward) order by hour, so Spark computes them in one Sort.
     All quantities that feed the division are exact integers in
     doubles, so both engines produce bit-identical results with no
     tolerance or rounding anywhere. NULL beyond the first/last

@@ -264,3 +264,13 @@ class TestIterativeAndAnnPlanShapes:
         )
         probed_share = sum(r["count"] for r in top4) / corpus
         assert probed_share < 1.0, probed_share
+
+    def test_interpolate_single_shared_sort(self, spark):
+        """Both neighbor-search windows order by hour under the same
+        user_id partitioning — Spark must compute them through ONE Sort
+        and one user_id Exchange (plus the agg shuffle and the grid
+        join); a refactor that splits the windows doubles the sort."""
+        df = QUERIES["ts_interpolate"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Sort ") == 1, plan.count("Sort ")
+        assert plan.count("Exchange") <= 3, plan.count("Exchange")
