@@ -50,11 +50,7 @@ class TestGenScale:
             ("customer", "c_nationkey", "nation", "n_nationkey"),
         ]
         for fact, fk, dim, pk in checks:
-            dim_glob = (
-                f"'{scaled}/{dim}.parquet/*.parquet'"
-                if dim not in ("region", "nation")
-                else f"'{scaled}/{dim}.parquet/*.parquet'"
-            )
+            dim_glob = f"'{scaled}/{dim}.parquet/*.parquet'"
             orphans = con.execute(
                 f"SELECT count(*) FROM '{scaled}/{fact}.parquet/*.parquet' f "
                 f"LEFT JOIN {dim_glob} d ON f.{fk} = d.{pk} "
