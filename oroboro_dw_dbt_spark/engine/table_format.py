@@ -132,10 +132,21 @@ class ManifestParquetFormat:
     # -- TableFormat interface --------------------------------------------
 
     def write(
-        self, df: DataFrame, path: Path, partition_by: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        path: Path,
+        partition_by: tuple[str, ...] = (),
+        stats_cols: tuple[str, ...] = (),
     ) -> None:
         """Land a NEW snapshot and atomically point the table at it.
-        The previous snapshot stays on disk, readable via ``version=``."""
+        The previous snapshot stays on disk, readable via ``version=``.
+
+        ``stats_cols`` records per-FILE min/max for those columns in the
+        snapshot metadata (read from the parquet footers pyarrow already
+        wrote — no data re-scan). These are the zone maps behind
+        :meth:`read_pruned`: the Iceberg manifest-stats / Delta
+        dataSkippingNumIndexedCols idea, collected at write time where
+        it costs one footer read per file."""
         path = Path(path)
         mdir = self._manifest_dir(path)
         mdir.mkdir(parents=True, exist_ok=True)
@@ -145,17 +156,99 @@ class ManifestParquetFormat:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(str(data_dir))
-        (mdir / f"snap-{version:06d}.json").write_text(
-            json.dumps(
-                {
-                    "version": version,
-                    "data_dir": data_dir.name,
-                    "partition_by": list(partition_by),
-                    "committed_at_unix": time.time(),
-                }
-            )
-        )
+        meta = {
+            "version": version,
+            "data_dir": data_dir.name,
+            "partition_by": list(partition_by),
+            "committed_at_unix": time.time(),
+        }
+        if stats_cols:
+            meta["file_stats"] = self._collect_file_stats(data_dir, stats_cols)
+        (mdir / f"snap-{version:06d}.json").write_text(json.dumps(meta))
         self._commit(path, version)
+
+    @staticmethod
+    def _collect_file_stats(
+        data_dir: Path, stats_cols: tuple[str, ...]
+    ) -> dict[str, dict[str, list]]:
+        """{relative file: {col: [min, max]}} from parquet footers only."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for f in sorted(data_dir.rglob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+            per_col: dict[str, list] = {}
+            for col in stats_cols:
+                idx = names.get(col)
+                if idx is None:
+                    continue
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        los = []  # any stats-less row group poisons the file:
+                        break  # without bounds the file can never be skipped
+                    los.append(st.min)
+                    his.append(st.max)
+                if los:
+                    per_col[col] = [min(los), max(his)]
+            out[str(f.relative_to(data_dir))] = per_col
+        return out
+
+    def prune_files(
+        self, path: Path, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[Path], int]:
+        """(files whose [min,max] overlaps [lo, hi], total file count).
+
+        Files without recorded bounds for ``col`` are conservatively
+        KEPT — pruning must only ever drop files proven irrelevant."""
+        path = Path(path)
+        v = version if version is not None else self.current_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        meta = self._snapshot_meta(path, v)
+        stats = meta.get("file_stats", {})
+        data_dir = path / meta["data_dir"]
+        if not stats:
+            files = sorted(data_dir.rglob("*.parquet"))
+            return files, len(files)
+        keep = [
+            data_dir / f
+            for f, per_col in sorted(stats.items())
+            if col not in per_col
+            or (per_col[col][0] <= hi and per_col[col][1] >= lo)
+        ]
+        return keep, len(stats)
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        path: Path,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Scan only the files that can contain ``col IN [lo, hi]``.
+
+        Returns a SUPERSET of the matching rows (file granularity) with
+        the residual filter applied, so the result equals
+        ``read().filter(col between lo and hi)`` — the zone-map contract.
+        At 100 TB this is the difference between opening every file's
+        footer and opening the manifest once: planning is O(files) driver
+        metadata, the scan is O(matching files)."""
+        from pyspark.sql import functions as F
+
+        v = version if version is not None else self.current_version(path)
+        files, _total = self.prune_files(path, col, lo, hi, v)
+        if not files:
+            empty = self.read(spark, path, version=v).limit(0)
+            return empty.filter(F.col(col).between(lo, hi))
+        df = spark.read.parquet(*[str(f) for f in files])
+        meta = self._snapshot_meta(path, v)
+        df = self._apply_delete_vectors(spark, path, meta, df)
+        return df.filter(F.col(col).between(lo, hi))
 
     def read(
         self, spark: SparkSession, path: Path, version: int | None = None
@@ -171,20 +264,26 @@ class ManifestParquetFormat:
             raise FileNotFoundError(f"no committed snapshot at {path}")
         meta = self._snapshot_meta(path, v)
         df = spark.read.parquet(str(path / meta["data_dir"]))
-        delete_files = meta.get("delete_files", [])
-        if delete_files:
-            from pyspark.sql import functions as F
+        return self._apply_delete_vectors(spark, path, meta, df)
 
-            key = meta["delete_key"]
-            dels = spark.read.parquet(
-                *[str(path / f) for f in delete_files]
-            ).select(F.col(key).alias("__del_key")).distinct()
-            # deletes are a small fraction of the table — broadcast the
-            # key set so the anti-join adds no shuffle to the scan
-            df = df.join(
-                F.broadcast(dels), df[key] == dels["__del_key"], "left_anti"
-            )
-        return df
+    @staticmethod
+    def _apply_delete_vectors(
+        spark: SparkSession, path: Path, meta: dict, df: DataFrame
+    ) -> DataFrame:
+        delete_files = meta.get("delete_files", [])
+        if not delete_files:
+            return df
+        from pyspark.sql import functions as F
+
+        key = meta["delete_key"]
+        dels = spark.read.parquet(
+            *[str(path / f) for f in delete_files]
+        ).select(F.col(key).alias("__del_key")).distinct()
+        # deletes are a small fraction of the table — broadcast the
+        # key set so the anti-join adds no shuffle to the scan
+        return df.join(
+            F.broadcast(dels), df[key] == dels["__del_key"], "left_anti"
+        )
 
     # -- merge-on-read deletes (Iceberg-style equality deletes) ------------
 

@@ -18,4 +18,5 @@ from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     training_suite,
     lifecycle_suite,
     round6_suite,
+    round6b_suite,
 )

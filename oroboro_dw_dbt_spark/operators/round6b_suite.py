@@ -1,0 +1,543 @@
+"""Round-6 second wave: marketing attribution, exact per-group mode,
+trailing EWMA, time-weighted averages, CDC changelog apply, the decimal
+arithmetic surface, the bitwise function surface, and zone-map file
+skipping through the manifest table format.
+
+House rules as ever (operators/catalog.py): identical aliases both
+sides, pinned tiebreaks, exact-integer arithmetic up to a single final
+IEEE division wherever floats could diverge (memory: floor-div /
+HALF_UP / epoch-precision divergences have all broken hashes before).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oroboro_dw_dbt_spark.operators.catalog import query
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+_CENTS_SQL = "CAST(round(CAST(value AS DECIMAL(12,4)) * 100, 0) AS BIGINT)"
+
+
+def _cents(col: str = "value") -> F.Column:
+    return F.round(F.col(col).cast("decimal(12,4)") * 100, 0).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution over the events stream.
+# ---------------------------------------------------------------------------
+_TOUCH_CODE_SQL = """CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+             WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END"""
+_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "ev_last_touch",
+    # the last preceding touch rides a running max of ONE packed BIGINT
+    # (epoch_us * 8 + touch code) over a ROWS frame ending 1 PRECEDING —
+    # engine-portable argmax, no IGNORE NULLS, no self-join. All lag
+    # arithmetic stays integer µs until a single final division.
+    oracle=f"""
+    WITH coded AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             {_TOUCH_CODE_SQL} AS code
+      FROM events
+    ),
+    touched AS (
+      SELECT *,
+             max(CASE WHEN event_type <> 'purchase'
+                      THEN us * 8 + code END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_packed
+      FROM coded
+    ),
+    purchases AS (
+      SELECT CASE
+               WHEN last_packed IS NULL THEN '(none)'
+               WHEN us - last_packed // 8 > {_7D_US} THEN '(stale)'
+               ELSE CASE last_packed % 8 WHEN 1 THEN 'click'
+                    WHEN 2 THEN 'error' WHEN 3 THEN 'signup'
+                    ELSE 'view' END
+             END AS touch,
+             us - last_packed // 8 AS lag_us
+      FROM touched WHERE event_type = 'purchase'
+    )
+    SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(CAST(sum(lag_us) AS BIGINT) AS DOUBLE)
+             / (count(lag_us) * 1000000.0) AS avg_lag_s
+    FROM purchases GROUP BY touch
+    """,
+    survey_ref="beyond-reference: last-touch attribution (each purchase "
+    "credited to the user's most recent prior touch within 7 days) — "
+    "the marts-layer attribution shape over the events fact",
+)
+def ev_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit each purchase to the last non-purchase event before it.
+
+    Scale: one user_id shuffle feeds one sort; the running max carries
+    8 bytes of state per row regardless of history length — the same
+    packed-argmax trick as ts_interpolate, which a LAST_VALUE IGNORE
+    NULLS (engine-specific) or a per-purchase range self-join
+    (O(purchases × touches)) would both lose at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "view", 4)
+    )
+    coded = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        code.alias("code"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = F.when(
+        F.col("event_type") != "purchase", F.col("us") * 8 + F.col("code")
+    )
+    touched = coded.withColumn("last_packed", F.max(packed).over(w))
+    lag_us = F.col("us") - F.expr("last_packed div 8")
+    touch = (
+        F.when(F.col("last_packed").isNull(), "(none)")
+        .when(lag_us > _7D_US, "(stale)")
+        .otherwise(
+            F.when(F.col("last_packed") % 8 == 1, "click")
+            .when(F.col("last_packed") % 8 == 2, "error")
+            .when(F.col("last_packed") % 8 == 3, "signup")
+            .otherwise("view")
+        )
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(touch.alias("touch"), lag_us.alias("lag_us"))
+        .groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            (
+                F.sum("lag_us").cast("bigint").cast("double")
+                / (F.count("lag_us") * 1000000.0)
+            ).alias("avg_lag_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group mode.
+# ---------------------------------------------------------------------------
+@query(
+    "a_mode_exact",
+    # mode = argmax of the (user, type) count with a pinned tiebreak
+    # (count DESC, then event_type ASC) — value-deterministic
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_event_type,
+           CAST(n AS BIGINT) AS n_events
+    FROM ranked WHERE rn = 1
+    """,
+    survey_ref="beyond-reference: exact per-group mode (most frequent "
+    "categorical value, deterministic tiebreak) — the exact twin of "
+    "sk_countmin_freq's approximate heavy hitters",
+)
+def a_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most frequent event_type.
+
+    Scale: the first aggregation combines map-side, so the window's
+    input is |users|×|types| rows, not |events| — the top-1 window then
+    sorts ≤ |types| rows per user. Never windows the raw fact."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing EWMA with power-of-two weights: exact integers end to end.
+# ---------------------------------------------------------------------------
+_EWMA_K = 8  # trailing taps; weight of lag j is 2^(K-1-j)
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    def tap(j: int) -> str:
+        return "cents" if j == 0 else f"lag(cents, {j}) OVER vu"
+
+    num = " + ".join(
+        f"COALESCE({tap(j)}, 0) * {1 << (_EWMA_K - 1 - j)}"
+        for j in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"CASE WHEN {tap(j)} IS NOT NULL"
+        f" THEN {1 << (_EWMA_K - 1 - j)} ELSE 0 END"
+        for j in range(_EWMA_K)
+    )
+    return num, den
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_terms_sql()
+
+
+@query(
+    "ts_ewma_trailing",
+    # α=1/2 makes every weight a power of two: numerator and weight-sum
+    # are exact BIGINTs, the value appears only after ONE IEEE division
+    # — bit-identical across engines, no tolerance, no rounding
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, {_CENTS_SQL} AS cents
+      FROM events
+    )
+    SELECT user_id, event_id, cents,
+           ({_EWMA_NUM_SQL})
+             / (({_EWMA_DEN_SQL}) * 100.0) AS ewma_value
+    FROM pts
+    WINDOW vu AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
+    survey_ref="beyond-reference: trailing EWMA (α=1/2, 8 taps) — "
+    "exponential smoothing as a fixed-tap window, the streaming-safe "
+    "formulation of the classic recursive filter",
+)
+def ts_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing average of each user's values.
+
+    The recursive EWMA (y_t = αx_t + (1-α)y_{t-1}) is inherently
+    sequential; truncating at K taps (weight 2^-K ≈ 0.4% ignored) turns
+    it into K lags over ONE sort — all eight lag() calls share the same
+    window spec, so Spark computes them in a single Sort + Window pass.
+    Scale: one user_id shuffle; per-row state is K values regardless of
+    history; no driver iteration, no sequential dependency."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        _cents().alias("cents"),
+    )
+    vu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    num = None
+    den = None
+    for j in range(_EWMA_K):
+        wgt = 1 << (_EWMA_K - 1 - j)
+        lag = F.lag("cents", j).over(vu) if j else F.col("cents")
+        term = F.coalesce(lag, F.lit(0)) * wgt
+        avail = F.when(lag.isNotNull(), wgt).otherwise(0)
+        num = term if num is None else num + term
+        den = avail if den is None else den + avail
+    return pts.select(
+        "user_id",
+        "event_id",
+        "cents",
+        (num / (den * 100.0)).alias("ewma_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average: each value weighted by how long it was current.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_time_weighted_avg",
+    # durations are integer milliseconds (BIGINT floor-div — DuckDB //
+    # on BIGINT and Spark's `div` agree; NEVER // on a double epoch),
+    # value×duration sums stay integers; one final division
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, {_CENTS_SQL} AS cents
+      FROM events
+    ),
+    spans AS (
+      SELECT user_id, cents,
+             (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              - us) // 1000 AS dur_ms
+      FROM pts
+    )
+    SELECT user_id,
+           CAST(count(dur_ms) AS BIGINT) AS n_spans,
+           CAST(CAST(sum(cents * dur_ms) AS BIGINT) AS DOUBLE)
+             / (CAST(CAST(sum(dur_ms) AS BIGINT) AS DOUBLE) * 100.0)
+             AS twa_value
+    FROM spans WHERE dur_ms IS NOT NULL
+    GROUP BY user_id HAVING sum(dur_ms) > 0
+    """,
+    survey_ref="beyond-reference: time-weighted average (value × "
+    "holding-duration / total duration) — the correct mean for "
+    "irregularly-sampled series, where the arithmetic mean over-weights "
+    "bursts",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean of each user's value series.
+
+    Scale: one user_id shuffle; lead() and the aggregation share the
+    partitioning, and the agg combines map-side. Integer ms durations
+    keep every sum exact until the single closing division."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        _cents().alias("cents"),
+    )
+    # window spelled in SQL only because integer `div` has no Column
+    # operator; it is the one (user_id, ordering) sort of this plan
+    spans = pts.select(
+        "user_id",
+        "cents",
+        F.expr("(lead(us) over (partition by user_id order by us, event_id)"
+               " - us) div 1000").alias("dur_ms"),
+    ).filter(F.col("dur_ms").isNotNull())
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count("dur_ms").cast("bigint").alias("n_spans"),
+            (
+                F.sum(F.col("cents") * F.col("dur_ms"))
+                .cast("bigint")
+                .cast("double")
+                / (F.sum("dur_ms").cast("bigint").cast("double") * 100.0)
+            ).alias("twa_value"),
+            F.sum("dur_ms").alias("__den"),
+        )
+        .filter(F.col("__den") > 0)
+        .drop("__den")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (ops/cdc.py).
+# ---------------------------------------------------------------------------
+_CDC_OP_SQL = """CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                  WHEN o_orderkey % 10 < 4 THEN 'I' ELSE 'U' END"""
+
+
+@query(
+    "eng_cdc_apply",
+    # latest-wins fold certified against arg_max on the same unique seq;
+    # the surviving snapshot must agree row-for-row
+    oracle=f"""
+    WITH ch AS (
+      SELECT o_custkey AS key, o_orderkey AS seq, {_CDC_OP_SQL} AS op,
+             CAST(round(CAST(o_totalprice AS DECIMAL(14,4)) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT key, CAST(arg_max(seq, seq) AS BIGINT) AS seq,
+           arg_max(op, seq) AS op,
+           CAST(arg_max(cents, seq) AS BIGINT) AS cents
+    FROM ch GROUP BY key
+    HAVING arg_max(op, seq) <> 'D'
+    """,
+    survey_ref="engine: CDC changelog apply (ops/cdc.py apply_changelog "
+    "— latest-wins fold, delete-aware) — the consumption half of the "
+    "ACID family's commit protocol",
+)
+def eng_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold an orders-derived changelog (op I/U/D, seq = orderkey) into
+    its latest snapshot via ops.cdc.apply_changelog.
+
+    Scale: ONE map-side-combinable aggregation — max_by(struct, seq) —
+    instead of a row_number window that would sort every key's full
+    history. See ops/cdc.py for the incremental-fold contract."""
+    from oroboro_dw_dbt_spark.ops.cdc import apply_changelog
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 10 < 4, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("o_totalprice").cast("decimal(14,4)") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return apply_changelog(changes, ("key",), "seq", "op")
+
+
+# ---------------------------------------------------------------------------
+# Decimal arithmetic surface: promotion, exact products, power-of-two
+# division, mod, negation, comparison.
+# ---------------------------------------------------------------------------
+@query(
+    "m_decimal_suite",
+    # every operand is an exact decimal built from an integer; every
+    # result is value-exact at ≤ 6 dp, so the closing CAST to a pinned
+    # scale (then VARCHAR — m_cast_matrix precedent: engines' decimal
+    # wire types differ, strings don't) is lossless on both engines.
+    # Divisions are by powers of two only: DuckDB's decimal division
+    # goes through DOUBLE, which is exact exactly there.
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qb
+      FROM lineitem WHERE l_orderkey % 101 = 0
+    )
+    SELECT l_orderkey, l_linenumber,
+      CAST(CAST(qb AS DECIMAL(12,2)) AS VARCHAR) AS d_exact,
+      CAST(CAST(CAST(qb AS DECIMAL(12,3)) * CAST(0.125 AS DECIMAL(4,3))
+                AS DECIMAL(18,6)) AS VARCHAR) AS d_eighth,
+      CAST(CAST(CAST(qb AS DECIMAL(18,6)) / 4 AS DECIMAL(18,6))
+           AS VARCHAR) AS d_quarter,
+      CAST(CAST(CAST(qb AS DECIMAL(10,1)) + CAST(l_linenumber AS DECIMAL(8,3))
+                AS DECIMAL(18,3)) AS VARCHAR) AS d_mixed_add,
+      CAST(CAST(CAST(qb AS DECIMAL(12,2)) % CAST(7 AS DECIMAL(12,2))
+                AS DECIMAL(18,2)) AS VARCHAR) AS d_mod7,
+      CAST(CAST(-CAST(qb AS DECIMAL(12,2)) AS DECIMAL(18,2))
+           AS VARCHAR) AS d_neg,
+      CAST(qb AS DECIMAL(12,2)) > CAST(25.5 AS DECIMAL(4,1)) AS gt_25_5
+    FROM base
+    """,
+    survey_ref="compat (m_safe_math / m_cast_matrix family): decimal "
+    "arithmetic surface — scale promotion on +, exact ×, power-of-two "
+    "÷, %, negation, cross-scale comparison",
+)
+def m_decimal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal semantics as data: Spark's ANSI DecimalType promotion
+    rules produce the same VALUES as DuckDB's (different intermediate
+    precisions — both exact), certified through a pinned-scale cast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 101 == 0
+    )
+    qb = F.col("l_quantity").cast("bigint")
+    d = lambda p, s: f"decimal({p},{s})"  # noqa: E731
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qb.cast(d(12, 2)).cast("string").alias("d_exact"),
+        (qb.cast(d(12, 3)) * F.lit("0.125").cast(d(4, 3)))
+        .cast(d(18, 6))
+        .cast("string")
+        .alias("d_eighth"),
+        (qb.cast(d(18, 6)) / 4).cast(d(18, 6)).cast("string").alias("d_quarter"),
+        (qb.cast(d(10, 1)) + F.col("l_linenumber").cast(d(8, 3)))
+        .cast(d(18, 3))
+        .cast("string")
+        .alias("d_mixed_add"),
+        (qb.cast(d(12, 2)) % F.lit(7).cast(d(12, 2)))
+        .cast(d(18, 2))
+        .cast("string")
+        .alias("d_mod7"),
+        (-qb.cast(d(12, 2))).cast(d(18, 2)).cast("string").alias("d_neg"),
+        (qb.cast(d(12, 2)) > F.lit("25.5").cast(d(4, 1))).alias("gt_25_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise function surface.
+# ---------------------------------------------------------------------------
+@query(
+    "f_bitwise_suite",
+    # all operands non-negative BIGINTs well inside 64 bits; shifts are
+    # small constants, so two's-complement semantics agree everywhere
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS and_255,
+           CAST(o_orderkey | 4096 AS BIGINT) AS or_4096,
+           CAST(xor(o_orderkey, 1023) AS BIGINT) AS xor_1023,
+           CAST(o_orderkey << 3 AS BIGINT) AS shl_3,
+           CAST(o_orderkey >> 2 AS BIGINT) AS shr_2,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount,
+           CAST(~o_orderkey AS BIGINT) AS inverted
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+    survey_ref="beyond-reference: bitwise function surface (&, |, xor, "
+    "shifts, popcount, complement) — the hash/partitioning primitive "
+    "set the sketch and sampling families build on",
+)
+def f_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("and_255"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("or_4096"),
+        k.bitwiseXOR(F.lit(1023)).cast("bigint").alias("xor_1023"),
+        F.shiftleft(k, 3).cast("bigint").alias("shl_3"),
+        F.shiftright(k, 2).cast("bigint").alias("shr_2"),
+        F.bit_count(k).cast("int").alias("popcount"),
+        F.bitwise_not(k).cast("bigint").alias("inverted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map file skipping through the manifest table format.
+# ---------------------------------------------------------------------------
+@query(
+    "eng_stats_skipping",
+    # the pruned read is a file-granularity SUPERSET + residual filter,
+    # so its rows must equal the logical full-scan filter — which is
+    # exactly what the oracle computes from the source table
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,4))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 4000 AND 9000
+    GROUP BY o_orderstatus
+    """,
+    survey_ref="engine storage: file-level min/max statistics + "
+    "zone-map pruned scan (engine/table_format.py write(stats_cols=) / "
+    "read_pruned) — manifest-driven file skipping, the Iceberg "
+    "manifest-stats / Delta data-skipping shape",
+)
+def eng_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders range-clustered on o_orderkey with footer stats in
+    the manifest, then answer a key-range query through the pruned
+    read path.
+
+    Scale: planning reads ONE manifest json (driver-side, O(files)
+    integers), not every file footer; the scan opens only overlapping
+    files. At 100 TB with date- or key-clustered landing, this is the
+    difference between a full-corpus scan and touching ~range/total of
+    the files — the same contract tests/test_table_format.py asserts
+    structurally (pruned file list ⊂ all files, result invariant)."""
+    import tempfile
+    from pathlib import Path
+
+    from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+
+    table = Path(tempfile.mkdtemp(prefix="zone_wh_")) / "orders_zoned"
+    orders = load_table(spark, sf_dir, "orders")
+    fmt = ManifestParquetFormat()
+    # range-cluster so each file owns a tight o_orderkey band — the
+    # layout that makes zone maps effective (cf. eng_zorder_layout)
+    fmt.write(
+        orders.repartitionByRange(8, "o_orderkey"),
+        table,
+        stats_cols=("o_orderkey",),
+    )
+    pruned = fmt.read_pruned(spark, table, "o_orderkey", 4000, 9000)
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,4)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

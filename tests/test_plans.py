@@ -274,3 +274,33 @@ class TestIterativeAndAnnPlanShapes:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Sort ") == 1, plan.count("Sort ")
         assert plan.count("Exchange") <= 3, plan.count("Exchange")
+
+    def test_ewma_one_sort_one_exchange(self, spark):
+        """All 8 EWMA taps share one window spec: one user_id Exchange,
+        one Sort. A refactor that gives taps different specs multiplies
+        the sorts by K."""
+        df = QUERIES["ts_ewma_trailing"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Sort ") == 1, plan
+        assert plan.count("Exchange") == 1, plan
+
+    def test_mode_window_runs_on_the_reduced_aggregate(self, spark):
+        """a_mode_exact must aggregate (partial+final) BEFORE the top-1
+        window: the window's input is |users|x|types|, never the raw
+        fact, and the partial agg combines map-side."""
+        df = QUERIES["a_mode_exact"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        agg_pos = plan.index("HashAggregate")
+        win_pos = plan.index("Window")
+        assert win_pos < agg_pos  # plan prints top-down: window ABOVE agg
+        assert "partial_count" in plan  # map-side combine survived
+
+    def test_cdc_apply_is_one_aggregation_no_window(self, spark):
+        """apply_changelog folds with max_by — a single combinable
+        aggregation. A window/row_number rewrite would sort every key's
+        history; assert it never sneaks back in."""
+        df = QUERIES["eng_cdc_apply"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        assert plan.count("Exchange") == 1, plan
+        assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan

@@ -209,3 +209,61 @@ class TestMergeOnReadDeletes:
         # and compaction still folds them after the move
         fmt.compact_deletes(spark, final)
         assert _ids(spark, fmt, final) == [3, 4, 5, 6, 7, 8, 9]
+
+
+class TestStatsSkipping:
+    """Zone maps: write(stats_cols=) + prune_files/read_pruned.
+
+    Contract: pruning drops only files PROVEN irrelevant (min/max
+    disjoint from the range), so a pruned read + residual filter equals
+    the full read + the same filter — for any range, any layout."""
+
+    def _table(self, spark, tmp_path, rows=2000, files=8):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "zoned"
+        df = spark.range(rows).select(F.col("id").alias("k"))
+        fmt.write(df.repartitionByRange(files, "k"), table, stats_cols=("k",))
+        return fmt, table
+
+    def test_pruned_scan_equals_filtered_full_scan(self, spark, tmp_path):
+        fmt, table = self._table(spark, tmp_path)
+        for lo, hi in [(0, 10), (500, 1500), (1990, 5000), (-5, -1), (0, 1999)]:
+            got = sorted(
+                r.k for r in fmt.read_pruned(spark, table, "k", lo, hi).collect()
+            )
+            want = sorted(
+                r.k
+                for r in fmt.read(spark, table)
+                .filter(F.col("k").between(lo, hi))
+                .collect()
+            )
+            assert got == want, (lo, hi)
+
+    def test_narrow_range_skips_files(self, spark, tmp_path):
+        fmt, table = self._table(spark, tmp_path)
+        kept, total = fmt.prune_files(table, "k", 0, 10)
+        assert total >= 4  # range-clustered layout produced several files
+        assert len(kept) < total  # and a narrow range really skipped some
+        none, _ = fmt.prune_files(table, "k", 10_000, 20_000)
+        assert none == []  # fully out-of-range prunes everything
+
+    def test_unstated_column_keeps_all_files(self, spark, tmp_path):
+        fmt, table = self._table(spark, tmp_path)
+        kept, total = fmt.prune_files(table, "not_indexed", 0, 1)
+        assert len(kept) == total  # conservative: no bounds -> never skip
+
+    def test_snapshot_without_stats_falls_back_to_full_list(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "plain"
+        fmt.write(spark.range(100).select(F.col("id").alias("k")), table)
+        kept, total = fmt.prune_files(table, "k", 0, 5)
+        assert len(kept) == total
+        got = sorted(r.k for r in fmt.read_pruned(spark, table, "k", 0, 5).collect())
+        assert got == [0, 1, 2, 3, 4, 5]
+
+    def test_pruned_read_applies_delete_vectors(self, spark, tmp_path):
+        fmt, table = self._table(spark, tmp_path, rows=100, files=4)
+        dels = spark.createDataFrame([(2,), (3,), (98,)], "k long")
+        fmt.delete_keys(spark, table, dels, "k")
+        got = sorted(r.k for r in fmt.read_pruned(spark, table, "k", 0, 5).collect())
+        assert got == [0, 1, 4, 5]  # 2 and 3 deleted merge-on-read
