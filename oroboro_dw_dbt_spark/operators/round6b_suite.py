@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from oroboro_dw_dbt_spark.operators.catalog import query
+from oroboro_dw_dbt_spark.operators.training_suite import _SHINGLES_3
 from oroboro_dw_dbt_spark.sources.testdata import load_table
 
 _CENTS_SQL = "CAST(round(CAST(value AS DECIMAL(12,4)) * 100, 0) AS BIGINT)"
@@ -540,4 +541,233 @@ def eng_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("o_totalprice").cast("decimal(14,4)")), 2)
         .cast("double")
         .alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: CDC generation between two table versions.
+# ---------------------------------------------------------------------------
+@query(
+    "eng_snapshot_diff",
+    # the oracle recomputes both version states straight from the
+    # source table and takes the same null-safe full-outer diff
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id AS key, {_CENTS_SQL} AS cents FROM events
+    ),
+    old_v AS (SELECT * FROM base WHERE key % 3 <> 0),
+    new_v AS (
+      SELECT key,
+             CASE WHEN key % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+      FROM base WHERE key % 5 <> 0
+    )
+    SELECT COALESCE(o.key, n.key) AS key,
+           CASE WHEN o.key IS NULL THEN 'I'
+                WHEN n.key IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           o.cents AS old_cents, n.cents AS new_cents
+    FROM old_v o FULL OUTER JOIN new_v n ON o.key = n.key
+    WHERE o.key IS NULL OR n.key IS NULL OR o.cents <> n.cents
+    """,
+    survey_ref="engine: snapshot diff / CDC generation "
+    "(engine/diff.py snapshot_diff — I/U/D changelog between two "
+    "committed versions, the inverse of eng_cdc_apply's fold)",
+)
+def eng_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit two versions of an events-derived table, then emit the
+    changelog that transforms v1 into v2.
+
+    Scale: one full-outer join on the key between two snapshots of the
+    SAME table — identical layout, so bucketed writes make it
+    Exchange-free and otherwise it is one co-partitioned SMJ; change
+    detection is a null-safe column comparison in the join projection
+    (no hash round-trip, no second pass). See engine/diff.py."""
+    import tempfile
+    from pathlib import Path
+
+    from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+    from oroboro_dw_dbt_spark.engine.diff import snapshot_diff
+
+    table = Path(tempfile.mkdtemp(prefix="diff_wh_")) / "events_versions"
+    base = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("key"), _cents().alias("cents")
+    )
+    fmt = ManifestParquetFormat()
+    fmt.write(base.filter(F.col("key") % 3 != 0), table)  # v1
+    fmt.write(  # v2: some keys gone, some new, value drift on %7
+        base.filter(F.col("key") % 5 != 0).select(
+            "key",
+            F.when(F.col("key") % 7 == 0, F.col("cents") + 100)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        ),
+        table,
+    )
+    return snapshot_diff(
+        spark, fmt, table, 1, 2, key_cols=("key",), compare_cols=("cents",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: asymmetric Jaccard over shared shingles.
+# ---------------------------------------------------------------------------
+_DF_CAP = 50  # stop-shingle cut: shingles in more docs than this are noise
+
+
+@query(
+    "dd_containment",
+    # shared-shingle equi-join (never all-pairs); the df-cap keeps the
+    # collision fanout bounded and is restated identically in SQL.
+    # containment = |A∩B| / |A| — exact integers, one final division
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest({_SHINGLES_3}) AS s FROM documents)
+    ),
+    keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {_DF_CAP}),
+    kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS n_common
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT src_doc, dst_doc, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_sh AS BIGINT) AS n_src,
+           CAST(n_common AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment
+    FROM inter JOIN sizes ON sizes.doc_id = inter.src_doc
+    WHERE n_common * 10 >= n_sh * 8
+    """,
+    survey_ref="beyond-reference: containment near-dup (asymmetric "
+    "Jaccard |A∩B|/|A| ≥ 0.8 — catches documents EMBEDDED in larger "
+    "ones, which symmetric Jaccard misses; RefinedWeb-style sub-doc "
+    "dedup)",
+)
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs over shared 3-gram shingles.
+
+    Scale: candidates come from a shingle equi-join — O(Σ df²) over
+    KEPT shingles, and the df-cap bounds every shingle's fanout at
+    df² ≤ 50²; frequent (stop) shingles, the classic quadratic
+    blowup, are cut before the join on both numerator and denominator
+    (standard PPJoin practice). No all-pairs anywhere; at 100 TB the
+    cap becomes a corpus-df table maintained incrementally."""
+    from oroboro_dw_dbt_spark.text.analysis import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles("text")).alias("s")
+    ).distinct()
+    keep = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _DF_CAP
+    )
+    kept = sh.join(keep.select("s"), "s")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("src_doc"), "s")
+    b = kept.select(F.col("doc_id").alias("dst_doc"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("src_doc") != F.col("dst_doc"))
+        .groupBy("src_doc", "dst_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes, inter["src_doc"] == sizes["doc_id"])
+        .filter(F.col("n_common") * 10 >= F.col("n_sh") * 8)
+        .select(
+            "src_doc",
+            "dst_doc",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("n_sh").cast("bigint").alias("n_src"),
+            (
+                F.col("n_common").cast("double")
+                / F.col("n_sh").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted percentiles.
+# ---------------------------------------------------------------------------
+@query(
+    "a_weighted_percentile",
+    # weighted quantile = first value whose cumulative weight crosses
+    # q·total, with a pinned unique ordering and INTEGER threshold
+    # comparisons (4·cw ≥ q·4·tw) — no float quantile arithmetic at all
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    tot AS (SELECT grp, CAST(SUM(w) AS BIGINT) AS tw FROM pts GROUP BY grp),
+    cum AS (
+      SELECT grp, v,
+             CAST(SUM(w) OVER (PARTITION BY grp
+                               ORDER BY v, l_orderkey, l_linenumber
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cw
+      FROM pts
+    )
+    SELECT grp, CAST(tw AS BIGINT) AS total_weight,
+           min(CASE WHEN 4 * cw >= tw THEN v END) AS p25_weighted,
+           min(CASE WHEN 2 * cw >= tw THEN v END) AS p50_weighted,
+           min(CASE WHEN 4 * cw >= 3 * tw THEN v END) AS p75_weighted
+    FROM cum JOIN tot USING (grp)
+    GROUP BY grp, tw
+    """,
+    survey_ref="beyond-reference: exact weighted percentiles (quantity-"
+    "weighted price quartiles) — the weighted twin of "
+    "a_exact_percentiles, selecting observed values via cumulative-"
+    "weight crossings",
+)
+def a_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quartiles per return flag.
+
+    Scale: one grp shuffle feeds the cumulative-weight sort; totals are
+    a broadcast-sized aggregate joined back. Thresholds compare
+    integers (4·cw vs q·4·tw), and the reported quantiles are observed
+    data values — nothing interpolated, nothing float-accumulated. At
+    billions of rows per group the certified substitute for the
+    single-partition-per-group sort is w_rank_twophase's
+    range-partitioned offsets (same crossing rule on partial sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = pts.groupBy("grp").agg(F.sum("w").cast("bigint").alias("tw"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.select(
+        "grp", "v", F.sum("w").over(wcum).cast("bigint").alias("cw")
+    )
+    return (
+        cum.join(F.broadcast(tot), "grp")
+        .groupBy("grp", "tw")
+        .agg(
+            F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("v"))).alias(
+                "p25_weighted"
+            ),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))).alias(
+                "p50_weighted"
+            ),
+            F.min(
+                F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("v"))
+            ).alias("p75_weighted"),
+        )
+        .select(
+            "grp",
+            F.col("tw").cast("bigint").alias("total_weight"),
+            "p25_weighted",
+            "p50_weighted",
+            "p75_weighted",
+        )
     )
