@@ -771,3 +771,245 @@ def a_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p75_weighted",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-set Jaccard similarity (link prediction) on the trade graph.
+# ---------------------------------------------------------------------------
+from oroboro_dw_dbt_spark.operators.analytics_suite import (  # noqa: E402
+    _TRADE_PAIRS_SQL,
+    _trade_pairs,
+)
+
+
+@query(
+    "gr_jaccard_neighbors",
+    # candidates come from the wedge join (pairs sharing ≥1 neighbor);
+    # jaccard = common / (deg_u + deg_v - common): exact integers, one
+    # final division
+    oracle=f"""
+    WITH {_TRADE_PAIRS_SQL},
+    edges AS (
+      SELECT a AS u, b AS w FROM pairs
+      UNION ALL SELECT b, a FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+    common AS (
+      SELECT e1.u AS u, e2.u AS v, count(*) AS n_common
+      FROM edges e1 JOIN edges e2 ON e1.w = e2.w AND e1.u < e2.u
+      GROUP BY 1, 2
+    )
+    SELECT common.u, common.v, CAST(n_common AS BIGINT) AS n_common,
+           CAST(du.d AS BIGINT) AS deg_u, CAST(dv.d AS BIGINT) AS deg_v,
+           CAST(n_common AS DOUBLE)
+             / CAST(du.d + dv.d - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN deg du ON du.u = common.u
+    JOIN deg dv ON dv.u = common.v
+    """,
+    survey_ref="beyond-reference: neighbor-set Jaccard similarity "
+    "(link prediction / node dedup over the shared trade graph — the "
+    "seventh graph entry, a set-similarity shape on adjacency rather "
+    "than shingles)",
+)
+def gr_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard of neighbor sets for node pairs sharing ≥1 neighbor.
+
+    Scale: the wedge join is O(Σ deg(w)²) — at 100 TB heavy hubs get
+    the same frequency cap as dd_containment's stop-shingles (drop or
+    sample wedges through w with deg(w) > cap; hub-mediated similarity
+    is noise for the same reason stop-shingles are). Here the graph is
+    the 25-node nation trade graph: dense but tiny."""
+    pairs = _trade_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("u").alias("cu"), "w")
+    e2 = edges.select(F.col("u").alias("cv"), "w")
+    common = (
+        e1.join(e2, "w")
+        .filter(F.col("cu") < F.col("cv"))
+        .groupBy("cu", "cv")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    du = deg.select(F.col("u").alias("cu"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("cv"), F.col("d").alias("deg_v"))
+    return (
+        common.join(F.broadcast(du), "cu")
+        .join(F.broadcast(dv), "cv")
+        .select(
+            F.col("cu").alias("u"),
+            F.col("cv").alias("v"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("deg_u").cast("bigint").alias("deg_u"),
+            F.col("deg_v").cast("bigint").alias("deg_v"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window value functions: first/last/nth + offset defaults.
+# ---------------------------------------------------------------------------
+@query(
+    "w_value_suite",
+    # one (user_id, us, event_id) ordering serves both specs — the
+    # framed full-window trio and the default-frame offsets — so the
+    # plan needs one Exchange and one Sort
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, {_CENTS_SQL} AS cents
+      FROM events
+    )
+    SELECT user_id, event_id, cents,
+           first_value(cents) OVER vu AS first_cents,
+           last_value(cents) OVER vu AS last_cents,
+           nth_value(cents, 3) OVER vu AS third_cents,
+           lead(cents, 2, CAST(-1 AS BIGINT)) OVER vo AS lead2_cents,
+           lag(cents, 3, CAST(-1 AS BIGINT)) OVER vo AS lag3_cents
+    FROM pts
+    WINDOW vu AS (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING),
+           vo AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
+    survey_ref="beyond-reference: window value-function surface "
+    "(first_value / last_value / nth_value over an explicit full "
+    "frame; lead/lag with non-NULL defaults) — completes the window "
+    "family's value functions",
+)
+def w_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions with pinned frames and unique ordering.
+
+    last_value/nth_value are frame-sensitive: the explicit UNBOUNDED
+    FOLLOWING frame is the portable spelling (the default frame stops
+    at CURRENT ROW, making last_value a no-op — a classic silent bug
+    this entry pins)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        _cents().alias("cents"),
+    )
+    vu = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    vo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return pts.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.first("cents").over(vu).alias("first_cents"),
+        F.last("cents").over(vu).alias("last_cents"),
+        F.nth_value("cents", 3).over(vu).alias("third_cents"),
+        F.lead("cents", 2, -1).over(vo).alias("lead2_cents"),
+        F.lag("cents", 3, -1).over(vo).alias("lag3_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# try_* arithmetic: overflow and division-by-zero as NULL, never error.
+# ---------------------------------------------------------------------------
+@query(
+    "m_try_suite",
+    # Spark's try_add/try_subtract/try_multiply/try_divide semantics
+    # pinned as data (m_cast_matrix precedent): the oracle states the
+    # expected outcomes literally
+    oracle="""
+    SELECT * FROM (VALUES
+      ('big_add', CAST(NULL AS VARCHAR), '9223372036854775806',
+                  '9223372036854775807', '9.223372036854776E18'),
+      ('big_sub', '-9223372036854775805', CAST(NULL AS VARCHAR),
+                  CAST(NULL AS VARCHAR), '-4.6116860184273879E18'),
+      ('at_max', '9223372036854775807', '9223372036854775805',
+                 '9223372036854775806', '9.223372036854776E18'),
+      ('big_mul', '4611686018427387908', '4611686018427387900',
+                  CAST(NULL AS VARCHAR), '1.15292150460684698E18'),
+      ('div_zero', '10', '10', '0', CAST(NULL AS VARCHAR)),
+      ('plain', '12', '-2', '35', '0.7142857142857143')
+    ) AS t(label, try_add_r, try_sub_r, try_mul_r, try_div_r)
+    """,
+    survey_ref="compat (m_safe_math family): try_* arithmetic surface — "
+    "BIGINT overflow and ÷0 degrade to NULL instead of the ANSI error, "
+    "the ingest-hardening mode for untrusted numeric feeds",
+)
+def m_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode escape hatches as data: each row drives try_add /
+    try_subtract / try_multiply / try_divide through an overflow,
+    underflow, ÷0, or plain case. Row-local, zero shuffle; at 100 TB
+    this is the difference between a poison row killing a stage and a
+    NULL flowing into quarantine."""
+    return spark.sql(
+        """
+        SELECT label,
+               CAST(try_add(a, b) AS STRING) AS try_add_r,
+               CAST(try_subtract(a, b) AS STRING) AS try_sub_r,
+               CAST(try_multiply(a, b) AS STRING) AS try_mul_r,
+               CAST(try_divide(a, b) AS STRING) AS try_div_r
+        FROM VALUES
+          ('big_add',  9223372036854775807L, 1L),
+          ('big_sub',  -9223372036854775807L, 2L),
+          ('at_max',   9223372036854775806L, 1L),
+          ('big_mul',  4611686018427387904L, 4L),
+          ('div_zero', 10L, 0L),
+          ('plain',    5L, 7L)
+        AS t(label, a, b)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL parsing surface.
+# ---------------------------------------------------------------------------
+@query(
+    "f_url_suite",
+    # the URL is synthesized from table columns, so every component is
+    # known by construction — the oracle states the components directly
+    # while Spark must recover them via parse_url
+    oracle="""
+    SELECT doc_id,
+           'https' AS proto,
+           source || '.example.com' AS host,
+           '/docs/' || doc_id AS path,
+           'lang=' || lang || '&n=' || n_chars AS query,
+           lang AS lang_param
+    FROM documents
+    """,
+    survey_ref="beyond-reference: URL parsing surface (parse_url "
+    "PROTOCOL/HOST/PATH/QUERY + keyed query param) — the web-corpus "
+    "normalization primitive (URL dedup keys, domain grouping)",
+)
+def f_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recover components of a synthesized URL via parse_url.
+
+    Row-local Column tree, zero shuffle. At 100 TB this is the first
+    step of web-corpus curation: registrable-domain grouping and
+    URL-normalized dedup keys both start from exactly these parts."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
