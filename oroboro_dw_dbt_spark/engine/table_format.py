@@ -147,6 +147,21 @@ class ManifestParquetFormat:
         :meth:`read_pruned`: the Iceberg manifest-stats / Delta
         dataSkippingNumIndexedCols idea, collected at write time where
         it costs one footer read per file."""
+        version = self.stage(df, path, partition_by, stats_cols)
+        self._commit(path, version)
+
+    def stage(
+        self,
+        df: DataFrame,
+        path: Path,
+        partition_by: tuple[str, ...] = (),
+        stats_cols: tuple[str, ...] = (),
+    ) -> int:
+        """Land a snapshot WITHOUT committing it: data + metadata exist
+        on disk but no reader can see them (readers follow CURRENT).
+        Returns the staged version for :meth:`commit_staged` — the
+        write half of write-audit-publish (engine/wap.py). An abandoned
+        stage is an orphan, reclaimed by :meth:`vacuum`."""
         path = Path(path)
         mdir = self._manifest_dir(path)
         mdir.mkdir(parents=True, exist_ok=True)
@@ -165,6 +180,19 @@ class ManifestParquetFormat:
         if stats_cols:
             meta["file_stats"] = self._collect_file_stats(data_dir, stats_cols)
         (mdir / f"snap-{version:06d}.json").write_text(json.dumps(meta))
+        return version
+
+    def commit_staged(self, path: Path, version: int) -> None:
+        """Atomically publish a previously staged version. Refuses to
+        move the pointer backwards (a stale publish would silently
+        un-commit newer data)."""
+        path = Path(path)
+        self._snapshot_meta(path, version)  # raises if never staged
+        cur = self.current_version(path)
+        if cur is not None and version <= cur:
+            raise ValueError(
+                f"stale publish: staged v{version} <= current v{cur}"
+            )
         self._commit(path, version)
 
     @staticmethod

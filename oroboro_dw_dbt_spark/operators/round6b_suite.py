@@ -1013,3 +1013,118 @@ def f_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish: tests gate the commit.
+# ---------------------------------------------------------------------------
+@query(
+    "eng_wap_publish",
+    # per-user aggregate states recomputed by the oracle straight from
+    # events; the dirty attempt's violation count is the %13 user set
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM({_CENTS_SQL}) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    no_err AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM({_CENTS_SQL}) AS BIGINT) AS cents
+      FROM events WHERE event_type <> 'error' GROUP BY user_id
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents_total FROM per_user
+    ),
+    clean AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents_total FROM no_err
+    )
+    SELECT 'baseline' AS phase, n, cents_total FROM base
+    UNION ALL
+    SELECT 'dirty_rejected',
+           -- not_null violations (one per nulled key) plus the single
+           -- duplicate-grain group all the NULLed keys collapse into
+           (SELECT CAST(count(*)
+                        + CASE WHEN count(*) > 1 THEN 1 ELSE 0 END
+                   AS BIGINT)
+            FROM per_user WHERE user_id % 13 = 0),
+           CAST(NULL AS BIGINT)
+    UNION ALL SELECT 'post_reject', n, cents_total FROM base
+    UNION ALL SELECT 'clean_published', n, cents_total FROM clean
+    """,
+    survey_ref="engine: write-audit-publish (engine/wap.py + "
+    "ManifestParquetFormat stage/commit_staged) — data tests gate the "
+    "atomic pointer swap; a failed audit leaves readers untouched and "
+    "the stage as a vacuum-reclaimable orphan",
+)
+def eng_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish a per-user aggregate through WAP three times: clean
+    baseline (publishes), NULL-key corruption (audit rejects — readers
+    still see the baseline), clean update (publishes).
+
+    The inversion that matters at 100 TB: dbt-style post-hoc tests mean
+    bad data is LIVE while the test runs; WAP audits the staged files
+    (no extra copy — same snapshot the commit would publish) and bad
+    data never becomes visible. See engine/wap.py."""
+    import tempfile
+    from pathlib import Path
+
+    from oroboro_dw_dbt_spark.engine import (
+        ManifestParquetFormat,
+        not_null,
+        unique_combination_of_columns,
+    )
+    from oroboro_dw_dbt_spark.engine.wap import publish_with_audit
+
+    table = Path(tempfile.mkdtemp(prefix="wap_wh_")) / "user_rollup"
+    ev = load_table(spark, sf_dir, "events")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(_cents()).cast("bigint").alias("cents"),
+        )
+
+    tests = [not_null("user_id"), unique_combination_of_columns("user_id")]
+    fmt = ManifestParquetFormat()
+
+    def state(phase: str) -> DataFrame:
+        return fmt.read(spark, table).agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents_total"),
+        ).select("phase", "n", "cents_total")
+
+    ok, _ = publish_with_audit(spark, fmt, table, rollup(ev), tests)
+    assert ok, "clean baseline must publish"
+    phases = [state("baseline")]
+
+    dirty = rollup(ev).withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    ok, results = publish_with_audit(spark, fmt, table, dirty, tests)
+    assert not ok, "corrupted keys must be rejected"
+    n_viol = sum(r.n_violations for r in results if not r.passed)
+    phases.append(
+        spark.createDataFrame(
+            [("dirty_rejected", n_viol, None)],
+            "phase string, n bigint, cents_total bigint",
+        )
+    )
+    phases.append(state("post_reject"))
+
+    ok, _ = publish_with_audit(
+        spark, fmt, table, rollup(ev.filter(F.col("event_type") != "error")), tests
+    )
+    assert ok, "clean update must publish"
+    phases.append(state("clean_published"))
+
+    out = phases[0]
+    for p in phases[1:]:
+        out = out.unionByName(p)
+    return out

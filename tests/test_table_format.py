@@ -267,3 +267,42 @@ class TestStatsSkipping:
         fmt.delete_keys(spark, table, dels, "k")
         got = sorted(r.k for r in fmt.read_pruned(spark, table, "k", 0, 5).collect())
         assert got == [0, 1, 4, 5]  # 2 and 3 deleted merge-on-read
+
+
+class TestWriteAuditPublish:
+    def test_rejected_publish_leaves_readers_untouched(self, spark, tmp_path):
+        from oroboro_dw_dbt_spark.engine import not_null
+        from oroboro_dw_dbt_spark.engine.wap import publish_with_audit
+
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "wap"
+        clean = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+        ok, _ = publish_with_audit(spark, fmt, table, clean, [not_null("k")])
+        assert ok and fmt.current_version(table) == 1
+
+        dirty = spark.createDataFrame([(None, "x")], "k long, s string")
+        ok, results = publish_with_audit(spark, fmt, table, dirty, [not_null("k")])
+        assert not ok and results[0].n_violations == 1
+        assert fmt.current_version(table) == 1  # pointer never moved
+        assert sorted(r.k for r in fmt.read(spark, table).collect()) == [1, 2]
+
+        # the failed stage is an orphan: vacuum reclaims it
+        reclaimed = fmt.vacuum(table, keep_last=1)
+        assert any("data-000002" in r for r in reclaimed)
+        assert sorted(r.k for r in fmt.read(spark, table).collect()) == [1, 2]
+
+    def test_stale_publish_refused(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "stale"
+        df = spark.range(3).select(F.col("id").alias("k"))
+        v = fmt.stage(df, table)
+        fmt.write(df, table)  # someone else commits meanwhile (v2... )
+        with pytest.raises(ValueError, match="stale publish"):
+            fmt.commit_staged(table, v)
+
+    def test_commit_of_never_staged_version_fails(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "nothing"
+        fmt.write(spark.range(1).select(F.col("id").alias("k")), table)
+        with pytest.raises(FileNotFoundError):
+            fmt.commit_staged(table, 9)
