@@ -196,6 +196,19 @@ class ManifestParquetFormat:
         self._commit(path, version)
 
     @staticmethod
+    def _json_stat(v):
+        """Footer stats as JSON scalars. Timestamps/dates become ISO
+        strings — lexical order matches chronological order, so range
+        overlap tests still work when lo/hi are given in the same form;
+        bytes are refused (no total order worth promising) by mapping
+        to None, which drops the column's bounds for that file."""
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        if hasattr(v, "isoformat"):
+            return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+        return None
+
+    @staticmethod
     def _collect_file_stats(
         data_dir: Path, stats_cols: tuple[str, ...]
     ) -> dict[str, dict[str, list]]:
@@ -217,8 +230,13 @@ class ManifestParquetFormat:
                     if st is None or not st.has_min_max:
                         los = []  # any stats-less row group poisons the file:
                         break  # without bounds the file can never be skipped
-                    los.append(st.min)
-                    his.append(st.max)
+                    lo = ManifestParquetFormat._json_stat(st.min)
+                    hi = ManifestParquetFormat._json_stat(st.max)
+                    if lo is None or hi is None:
+                        los = []  # non-orderable stat type: keep the file
+                        break
+                    los.append(lo)
+                    his.append(hi)
                 if los:
                     per_col[col] = [min(los), max(his)]
             out[str(f.relative_to(data_dir))] = per_col

@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) carries NO parquet footer statistics,
+        # which silently disables zone-map file skipping on timestamp
+        # columns (table_format.py read_pruned); TIMESTAMP_MICROS is the
+        # modern physical type and round-trips µs-precision data exactly
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

@@ -306,3 +306,25 @@ class TestWriteAuditPublish:
         fmt.write(spark.range(1).select(F.col("id").alias("k")), table)
         with pytest.raises(FileNotFoundError):
             fmt.commit_staged(table, 9)
+
+
+class TestStatsTypes:
+    def test_timestamp_stats_survive_json_and_prune(self, spark, tmp_path):
+        """Footer stats for TIMESTAMP columns serialize as ISO strings;
+        lexical overlap tests on same-format bounds still prune."""
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "ts_zoned"
+        df = spark.sql(
+            "SELECT timestampadd(HOUR, CAST(id AS INT),"
+            " timestamp'2024-01-01 00:00:00') AS t, id AS k"
+            " FROM range(200)"
+        )
+        fmt.write(df.repartitionByRange(4, "t"), table, stats_cols=("t",))
+        kept, total = fmt.prune_files(
+            table, "t", "2024-01-01 00:00:00", "2024-01-01 05:00:00"
+        )
+        assert total == 4 and len(kept) < total
+        got = fmt.read_pruned(
+            spark, table, "t", "2024-01-01 00:00:00", "2024-01-01 05:00:00"
+        )
+        assert got.count() == 6  # hours 0..5 inclusive
