@@ -76,6 +76,10 @@ HEADLINE = [
     # partitioning) and the Bellman-Ford relaxation loop
     "ts_interpolate",
     "gr_sssp_weighted",
+    # round 6 second wave: packed-argmax attribution and the
+    # max_by-struct changelog fold
+    "ev_last_touch",
+    "eng_cdc_apply",
 ]
 
 
