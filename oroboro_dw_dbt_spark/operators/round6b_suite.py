@@ -1128,3 +1128,133 @@ def eng_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in phases[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gini impurity of each user's event-type mix: exact rational arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "a_gini_impurity",
+    # gini = 1 - Σ(nᵢ/N)² = (N² - Σnᵢ²)/N² — numerator and denominator
+    # are exact BIGINTs, one final division. (Shannon entropy is the
+    # usual alternative; ln() can differ by 1 ulp across libms, Gini
+    # cannot — see the house exact-arithmetic rule.)
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT)
+                - CAST(SUM(n * n) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT)
+                    AS DOUBLE) AS gini
+    FROM counts GROUP BY user_id
+    """,
+    survey_ref="beyond-reference: per-group Gini impurity (behavioral "
+    "diversity score) — the exact-rational alternative to entropy, "
+    "two map-side-combinable aggregations",
+)
+def a_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How mixed is each user's event-type distribution (0 = single
+    type, →1 = uniform over many).
+
+    Scale: counts aggregate combines map-side; the second agg runs on
+    |users|×|types| rows. No window, no sort, exact integers into one
+    closing division."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    n_sum = F.sum("n").cast("bigint")
+    sq_sum = F.sum(F.col("n") * F.col("n")).cast("bigint")
+    return counts.groupBy("user_id").agg(
+        n_sum.alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (
+            (n_sum * n_sum - sq_sum).cast("double")
+            / (n_sum * n_sum).cast("double")
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day activity streak (gaps and islands).
+# ---------------------------------------------------------------------------
+@query(
+    "w_streak_lengths",
+    # the island id (day_num - row_number) is pure integer arithmetic;
+    # top-1 per user pins the (length DESC, start ASC) tiebreak
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    numbered AS (
+      SELECT user_id, d,
+             date_diff('day', DATE '2024-01-01', d)
+               - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len,
+             min(d) AS streak_start
+      FROM numbered GROUP BY user_id, grp
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, streak_start)
+               AS rn,
+             CAST(SUM(streak_len) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_active_days
+      FROM streaks
+    )
+    SELECT user_id, streak_len AS longest_streak, streak_start,
+           n_active_days
+    FROM ranked WHERE rn = 1
+    """,
+    survey_ref="beyond-reference: gaps-and-islands longest streak "
+    "(consecutive active days per user) — the calendar twin of "
+    "st_sessionize's time-gap islands, pure integer island ids",
+)
+def w_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's longest run of consecutive active days.
+
+    Scale: every window runs on the DISTINCT-days frame (≤ days/user
+    rows, never raw events); the distinct, both windows, and the
+    grouping all share the user_id partitioning — one shuffle feeds
+    the chain under AQE."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    wn = Window.partitionBy("user_id").orderBy("d")
+    numbered = days.withColumn(
+        "grp",
+        F.datediff("d", F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(wn),
+    )
+    streaks = numbered.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_len"),
+        F.min("d").alias("streak_start"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start")
+    )
+    wtot = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("rn", F.row_number().over(wr))
+        .withColumn(
+            "n_active_days", F.sum("streak_len").over(wtot).cast("bigint")
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").alias("longest_streak"),
+            "streak_start",
+            "n_active_days",
+        )
+    )

@@ -259,3 +259,47 @@ def test_winnowing_density_guarantee(spark, docs):
     for positions in by_doc.values():
         ps = sorted(positions)
         assert all(b - a <= w for a, b in zip(ps, ps[1:])), ps
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),  # value (as int)
+            st.integers(min_value=1, max_value=50),  # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_weighted_percentile_crossing_rule(spark, rows):
+    """The catalog's cumulative-weight crossing must agree with the
+    brute-force definition: the smallest value v whose total weight at
+    or below v reaches q of the total."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(float(v), w, i) for i, (v, w) in enumerate(rows)],
+        "v double, w long, id long",
+    )
+    tw = sum(w for _, w in rows)
+    wcum = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.select("v", F.sum("w").over(wcum).alias("cw"))
+    got = cum.agg(
+        F.min(F.when(2 * F.col("cw") >= tw, F.col("v"))).alias("p50"),
+        F.min(F.when(4 * F.col("cw") >= 3 * tw, F.col("v"))).alias("p75"),
+    ).first()
+
+    def brute(q_num: int, q_den: int) -> float:
+        acc = 0
+        for v, w in sorted(rows):
+            acc += w
+            if acc * q_den >= q_num * tw:
+                return float(v)
+        raise AssertionError("never crossed")
+
+    assert got.p50 == brute(1, 2)
+    assert got.p75 == brute(3, 4)
