@@ -265,15 +265,19 @@ class TestIterativeAndAnnPlanShapes:
         probed_share = sum(r["count"] for r in top4) / corpus
         assert probed_share < 1.0, probed_share
 
-    def test_interpolate_single_shared_sort(self, spark):
-        """Both neighbor-search windows order by hour under the same
-        user_id partitioning — Spark must compute them through ONE Sort
-        and one user_id Exchange (plus the agg shuffle and the grid
-        join); a refactor that splits the windows doubles the sort."""
+    def test_interpolate_segment_explode_shape(self, spark):
+        """Segment-explode spelling: ONE lead() window over the
+        OBSERVED hourly rows, then explode — no grid⋈hourly join, no
+        sort of the exploded grid. One Sort, ≤ 2 Exchanges (hourly agg
+        + the window's user_id partitioning), zero Join nodes; the
+        sf0.1 noop wall fell 6.6 s → ~1.1 s when the join-and-two-
+        running-windows plan was replaced (SCALE.md 30× probe)."""
         df = QUERIES["ts_interpolate"].builder(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Sort ") == 1, plan.count("Sort ")
-        assert plan.count("Exchange") <= 3, plan.count("Exchange")
+        assert plan.count("Exchange") <= 2, plan.count("Exchange")
+        assert "Join" not in plan, "grid join crept back in"
+        assert "Generate" in plan  # the segment explode survived
 
     def test_ewma_one_sort_one_exchange(self, spark):
         """All 8 EWMA taps share one window spec: one user_id Exchange,
