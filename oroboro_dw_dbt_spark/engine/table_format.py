@@ -165,7 +165,12 @@ class ManifestParquetFormat:
         path = Path(path)
         mdir = self._manifest_dir(path)
         mdir.mkdir(parents=True, exist_ok=True)
-        version = (self.current_version(path) or 0) + 1
+        # allocate past every EXISTING snapshot json, not just CURRENT:
+        # two live stages (e.g. two branches) must never share a version
+        staged = [
+            int(p.stem.split("-")[1]) for p in mdir.glob("snap-*.json")
+        ]
+        version = max([self.current_version(path) or 0, *staged, 0]) + 1
         data_dir = path / f"data-{version:06d}"
         w = df.write.mode("overwrite")
         if partition_by:
@@ -297,14 +302,26 @@ class ManifestParquetFormat:
         return df.filter(F.col(col).between(lo, hi))
 
     def read(
-        self, spark: SparkSession, path: Path, version: int | None = None
+        self,
+        spark: SparkSession,
+        path: Path,
+        version: int | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Read the committed snapshot (or a historical ``version`` —
-        time travel). Uncommitted/orphan data dirs are invisible.
-        Snapshots carrying delete vectors apply them merge-on-read:
-        an anti-join of the (immutable) data files against the deleted
-        keys — the Iceberg equality-delete read path."""
+        time travel — or a named ``branch`` head). Uncommitted/orphan
+        data dirs are invisible. Snapshots carrying delete vectors
+        apply them merge-on-read: an anti-join of the (immutable) data
+        files against the deleted keys — the Iceberg equality-delete
+        read path."""
         path = Path(path)
+        if branch is not None:
+            if version is not None:
+                raise ValueError("pass version OR branch, not both")
+            bf = self._branch_file(path, branch)
+            if not bf.exists():
+                raise FileNotFoundError(f"no branch {branch!r} at {path}")
+            version = int(bf.read_text().strip())
         v = version if version is not None else self.current_version(path)
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {path}")
@@ -385,6 +402,62 @@ class ManifestParquetFormat:
         self._commit(path, version)
         return version
 
+    # -- branches (named pointers; the Iceberg branch/tag shape) -----------
+
+    def _branch_file(self, path: Path, branch: str) -> Path:
+        if not branch or "/" in branch or branch.startswith("."):
+            raise ValueError(f"invalid branch name {branch!r}")
+        return self._manifest_dir(path) / f"BRANCH-{branch}"
+
+    def branches(self, path: Path) -> dict[str, int]:
+        """{branch name: version} for every named pointer."""
+        mdir = self._manifest_dir(Path(path))
+        if not mdir.exists():
+            return {}
+        return {
+            p.name[len("BRANCH-"):]: int(p.read_text().strip())
+            for p in sorted(mdir.glob("BRANCH-*"))
+        }
+
+    def write_branch(
+        self,
+        df: DataFrame,
+        path: Path,
+        branch: str,
+        partition_by: tuple[str, ...] = (),
+        stats_cols: tuple[str, ...] = (),
+    ) -> int:
+        """Land a snapshot on a NAMED branch: staged data + an atomic
+        branch-pointer swap. Main readers (CURRENT) never see it; branch
+        readers (``read(branch=...)``) see the branch head. The audit/
+        experimentation line WAP generalizes to: many live branches,
+        each a chain of real snapshots, published by fast-forward."""
+        path = Path(path)
+        version = self.stage(df, path, partition_by, stats_cols)
+        bf = self._branch_file(path, branch)
+        tmp = bf.with_name(bf.name + f".tmp.{version}")
+        tmp.write_text(str(version))
+        os.replace(tmp, bf)  # atomic branch-head swap
+        return version
+
+    def publish_branch(self, path: Path, branch: str) -> int:
+        """Fast-forward CURRENT to the branch head (atomic pointer
+        swap; refuses if the branch is behind — not a fast-forward)."""
+        path = Path(path)
+        bf = self._branch_file(path, branch)
+        if not bf.exists():
+            raise FileNotFoundError(f"no branch {branch!r} at {path}")
+        version = int(bf.read_text().strip())
+        self.commit_staged(path, version)
+        return version
+
+    def drop_branch(self, path: Path, branch: str) -> None:
+        """Remove the pointer; its unpublished snapshots become orphans
+        for vacuum (which never deletes a branch-referenced version)."""
+        bf = self._branch_file(Path(path), branch)
+        if bf.exists():
+            bf.unlink()
+
     def compact_deletes(self, spark: SparkSession, path: Path) -> int:
         """Fold accumulated delete vectors into a rewritten data dir
         (the copy-on-write step, run when vectors grow past the point
@@ -458,6 +531,8 @@ class ManifestParquetFormat:
             v for v in self.versions(path) if v <= cur
         )
         keep_versions = set(sorted(keep_versions)[-keep_last:]) | {cur}
+        # live branch heads are referenced even though uncommitted
+        keep_versions |= set(self.branches(path).values())
         referenced: set[str] = set()
         for v in keep_versions:
             meta = self._snapshot_meta(path, v)

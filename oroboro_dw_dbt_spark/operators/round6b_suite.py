@@ -1258,3 +1258,89 @@ def w_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active_days",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Branch lifecycle: isolated writes, fast-forward publish, vacuum safety.
+# ---------------------------------------------------------------------------
+@query(
+    "eng_branch_publish",
+    # each phase's expected state restated straight from events; the
+    # reclaim count is structural (old main dir + dropped branch dir)
+    oracle=f"""
+    WITH ev AS (SELECT event_id, {_CENTS_SQL} AS cents FROM events),
+    even_t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents_total
+      FROM ev WHERE event_id % 2 = 0
+    ),
+    odd_t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents_total
+      FROM ev WHERE event_id % 2 = 1
+    )
+    SELECT 'main_v1' AS phase, n, cents_total FROM even_t
+    UNION ALL SELECT 'main_isolated', n, cents_total FROM even_t
+    UNION ALL SELECT 'branch_head', n, cents_total FROM odd_t
+    UNION ALL SELECT 'published', n, cents_total FROM odd_t
+    UNION ALL SELECT 'after_vacuum', n, cents_total FROM odd_t
+    UNION ALL SELECT 'reclaimed', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+    """,
+    survey_ref="engine: branch lifecycle (write_branch / read(branch=) "
+    "/ publish_branch fast-forward / drop_branch + vacuum safety) — "
+    "named Iceberg-style branch pointers generalizing WAP's single "
+    "anonymous stage",
+)
+def eng_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive a branch through its life: write on a branch (main
+    readers untouched), read the branch head, fast-forward publish,
+    drop a second branch, vacuum.
+
+    The claims beyond eng_wap_publish: (a) branch writes are REAL
+    snapshots invisible to main until an atomic fast-forward — many can
+    be live at once with unique versions; (b) vacuum reclaims dropped-
+    branch snapshots but never a live branch head (keep set includes
+    branch pointers). At 100 TB branches are the audit/experiment lane:
+    a shadow pipeline writes production-shaped snapshots for days, then
+    publishes by pointer swap — zero data movement."""
+    import tempfile
+    from pathlib import Path
+
+    from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+
+    table = Path(tempfile.mkdtemp(prefix="br_wh_")) / "events_branched"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", _cents().alias("cents")
+    )
+
+    def agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents_total"),
+        ).select("phase", "n", "cents_total")
+
+    fmt = ManifestParquetFormat()
+    fmt.write(ev.filter(F.col("event_id") % 2 == 0), table)  # main v1
+    phases = [agg(fmt.read(spark, table), "main_v1")]
+    fmt.write_branch(ev.filter(F.col("event_id") % 2 == 1), table, "exp")
+    phases.append(agg(fmt.read(spark, table), "main_isolated"))  # still even
+    phases.append(agg(fmt.read(spark, table, branch="exp"), "branch_head"))
+    fmt.write_branch(ev.limit(10), table, "scratch")  # to be dropped
+    fmt.publish_branch(table, "exp")
+    phases.append(agg(fmt.read(spark, table), "published"))
+    fmt.drop_branch(table, "scratch")
+    # pin pre-vacuum phases: vacuum deletes the dirs their plans read
+    phases = [p.localCheckpoint(eager=True) for p in phases]
+    reclaimed = fmt.vacuum(table, keep_last=1)
+    phases.append(agg(fmt.read(spark, table), "after_vacuum"))
+    phases.append(
+        spark.createDataFrame(
+            [("reclaimed", len(reclaimed), None)],
+            "phase string, n bigint, cents_total bigint",
+        )
+    )
+    out = phases[0]
+    for p in phases[1:]:
+        out = out.unionByName(p)
+    return out

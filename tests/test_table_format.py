@@ -328,3 +328,56 @@ class TestStatsTypes:
             spark, table, "t", "2024-01-01 00:00:00", "2024-01-01 05:00:00"
         )
         assert got.count() == 6  # hours 0..5 inclusive
+
+
+class TestBranches:
+    def test_branch_isolation_and_fast_forward(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "br"
+        fmt.write(spark.createDataFrame([(1,)], "x long"), table)  # main v1
+        v = fmt.write_branch(
+            spark.createDataFrame([(10,), (11,)], "x long"), table, "exp"
+        )
+        # main readers untouched; branch readers see the branch head
+        assert _ids(spark, fmt, table) == [1]
+        assert sorted(
+            r.x for r in fmt.read(spark, table, branch="exp").collect()
+        ) == [10, 11]
+        assert fmt.branches(table) == {"exp": v}
+        # fast-forward publish: main now IS the branch head
+        assert fmt.publish_branch(table, "exp") == v
+        assert _ids(spark, fmt, table) == [10, 11]
+
+    def test_two_branches_never_share_a_version(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "br2"
+        fmt.write(spark.createDataFrame([(1,)], "x long"), table)
+        va = fmt.write_branch(spark.createDataFrame([(2,)], "x long"), table, "a")
+        vb = fmt.write_branch(spark.createDataFrame([(3,)], "x long"), table, "b")
+        assert va != vb
+        assert sorted(r.x for r in fmt.read(spark, table, branch="a").collect()) == [2]
+        assert sorted(r.x for r in fmt.read(spark, table, branch="b").collect()) == [3]
+
+    def test_stale_branch_publish_refused(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "br3"
+        fmt.write(spark.createDataFrame([(1,)], "x long"), table)
+        fmt.write_branch(spark.createDataFrame([(2,)], "x long"), table, "old")
+        fmt.write(spark.createDataFrame([(9,)], "x long"), table)  # main advances
+        fmt.write(spark.createDataFrame([(10,)], "x long"), table)  # past branch
+        with pytest.raises(ValueError, match="stale publish"):
+            fmt.publish_branch(table, "old")
+
+    def test_vacuum_keeps_branch_heads_reclaims_dropped(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "br4"
+        fmt.write(spark.createDataFrame([(1,)], "x long"), table)
+        fmt.write_branch(spark.createDataFrame([(2,)], "x long"), table, "keepme")
+        v3 = fmt.write_branch(spark.createDataFrame([(3,)], "x long"), table, "gone")
+        fmt.drop_branch(table, "gone")
+        reclaimed = fmt.vacuum(table, keep_last=1)
+        assert any(f"data-{v3:06d}" in r for r in reclaimed)  # dropped branch gone
+        assert sorted(
+            r.x for r in fmt.read(spark, table, branch="keepme").collect()
+        ) == [2]  # live branch survived the vacuum
+        assert _ids(spark, fmt, table) == [1]
