@@ -1344,3 +1344,82 @@ def eng_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in phases[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: windowed audio energy + scene-cut detection.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_audio_energy",
+    # ASCII corpus ⇒ byte arithmetic over the payload equals char-code
+    # arithmetic over text (mm_resize_blocks precedent): the oracle
+    # restates the exact window boundaries and Σ sample² integers
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n, text FROM documents
+      WHERE length(text) > 0
+    ),
+    exploded AS (
+      SELECT doc_id, n, text,
+             unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS i
+      FROM b
+    )
+    SELECT doc_id, CAST(i AS INT) AS win_idx,
+           CAST(least((i + 1) * 64, n) - i * 64 AS INT) AS win_len,
+           CAST(list_sum(list_transform(
+                  range(i * 64 + 1, least((i + 1) * 64, n) + 1),
+                  j -> ascii(substr(text, CAST(j AS INT), 1))
+                       * ascii(substr(text, CAST(j AS INT), 1))))
+                AS BIGINT) AS energy
+    FROM exploded
+    """,
+    survey_ref="beyond-reference multimodal: windowed signal energy "
+    "(multimodal/media.py audio_energy_windows — the VAD/silence-trim "
+    "primitive; vectorized cumsum-of-squares kernel, exact BIGINT)",
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.multimodal import media_from_documents
+    from oroboro_dw_dbt_spark.multimodal.media import audio_energy_windows
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return audio_energy_windows(media)
+
+
+@query(
+    "mm_scene_cuts",
+    # delta(i) = Σ|byte_j(i) − byte_j(i−1)| over FULL 100-byte frames;
+    # the cut rule is an integer comparison restated verbatim
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) // 100 AS n_full, text FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, text,
+             unnest(range(1, n_full)) AS i
+      FROM b WHERE n_full >= 2
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(list_sum(list_transform(range(1, 101),
+                  j -> abs(ascii(substr(text,
+                             CAST(i * 100 + j AS INT), 1))
+                         - ascii(substr(text,
+                             CAST((i - 1) * 100 + j AS INT), 1)))))
+                AS BIGINT) AS delta,
+           list_sum(list_transform(range(1, 101),
+                  j -> abs(ascii(substr(text,
+                             CAST(i * 100 + j AS INT), 1))
+                         - ascii(substr(text,
+                             CAST((i - 1) * 100 + j AS INT), 1)))))
+             > 4000 AS is_cut
+    FROM exploded
+    """,
+    survey_ref="beyond-reference multimodal: scene-cut detection "
+    "(multimodal/media.py scene_cuts — frame-delta shot boundaries, "
+    "the keyframe-selection signal for video sampling pipelines)",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oroboro_dw_dbt_spark.multimodal import media_from_documents
+    from oroboro_dw_dbt_spark.multimodal.media import scene_cuts
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return scene_cuts(media)

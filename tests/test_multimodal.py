@@ -194,3 +194,44 @@ class TestResizeBlocks:
         )
         row = resize_blocks(media).collect()[0]
         assert row.resized_hex == "42" * 16
+
+
+class TestEnergyAndCuts:
+    def test_energy_windows_exact(self, spark):
+        from oroboro_dw_dbt_spark.multimodal.media import audio_energy_windows
+
+        payload = bytes(range(1, 131))  # 130 bytes -> windows 64/64/2
+        media = spark.createDataFrame(
+            [(1, payload)], "doc_id long, payload binary"
+        )
+        rows = {r.win_idx: r for r in audio_energy_windows(media).collect()}
+        assert [rows[i].win_len for i in range(3)] == [64, 64, 2]
+        assert rows[0].energy == sum(v * v for v in range(1, 65))
+        assert rows[1].energy == sum(v * v for v in range(65, 129))
+        assert rows[2].energy == 129 * 129 + 130 * 130
+
+    def test_empty_payload_emits_nothing(self, spark):
+        from oroboro_dw_dbt_spark.multimodal.media import audio_energy_windows
+
+        media = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+        assert audio_energy_windows(media).count() == 0
+
+    def test_scene_cuts_delta_and_threshold(self, spark):
+        from oroboro_dw_dbt_spark.multimodal.media import scene_cuts
+
+        # frame0 = 100x10, frame1 = 100x10 (delta 0), frame2 = 100x60
+        payload = bytes([10] * 200 + [60] * 100)
+        media = spark.createDataFrame(
+            [(1, payload)], "doc_id long, payload binary"
+        )
+        rows = {r.frame_idx: r for r in scene_cuts(media).collect()}
+        assert rows[1].delta == 0 and not rows[1].is_cut
+        assert rows[2].delta == 100 * 50 and rows[2].is_cut  # 5000 > 4000
+
+    def test_short_payload_has_no_cuts(self, spark):
+        from oroboro_dw_dbt_spark.multimodal.media import scene_cuts
+
+        media = spark.createDataFrame(
+            [(1, bytes(150))], "doc_id long, payload binary"  # 1 full frame
+        )
+        assert scene_cuts(media).count() == 0
