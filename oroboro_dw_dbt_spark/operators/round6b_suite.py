@@ -1423,3 +1423,71 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     return scene_cuts(media)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning: scan reduction with a provably
+# lossless result.
+# ---------------------------------------------------------------------------
+@query(
+    "sk_bucket_prefilter_join",
+    # the coarse-bucket pre-filter has NO false negatives and the real
+    # join removes its false positives, so the result is EXACTLY the
+    # plain join — which is the oracle. The filter is certified through
+    # the property that makes it deployable, not its bit pattern.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+                          * (1 - CAST(l_discount AS DECIMAL(14,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="beyond-reference scale pattern: coarse-bucket semi-join "
+    "pruning (xxhash64-bucket membership set, the DataFrame-native "
+    "bloom-filter stand-in) — runtime-filter scan reduction certified "
+    "lossless against the plain join",
+)
+def sk_bucket_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filter the fact scan with the selective dimension's coarse
+    key-bucket set, then join exactly.
+
+    Scale: the filter is the DISTINCT set of xxhash64(key) mod 65536
+    buckets present in the dimension subset — ≤ 65536 rows regardless
+    of dimension size, broadcast into the fact's scan stage as a semi-
+    join, so rows that cannot join never reach the shuffle. No false
+    negatives by construction; false positives (~|buckets|/65536 of
+    non-matching rows) are removed by the real join, so the sketch can
+    never change the answer, only the bytes shuffled. This is the
+    explicit spelling of the runtime filters AQE injects (Spark's own
+    bloom_filter_agg is not public SQL API), available to hand-built
+    pipelines and certifiable."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    buckets = orders.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(65536)).alias("kb")
+    ).distinct()
+    pruned = li.withColumn(
+        "kb", F.pmod(F.xxhash64("l_orderkey"), F.lit(65536))
+    ).join(F.broadcast(buckets), "kb", "left_semi")
+    return (
+        pruned.join(orders, pruned["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(14,4)")
+                    * (1 - F.col("l_discount").cast("decimal(14,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -308,3 +308,15 @@ class TestIterativeAndAnnPlanShapes:
         assert "Window" not in plan, plan
         assert plan.count("Exchange") == 1, plan
         assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan
+
+    def test_bucket_prefilter_is_a_broadcast_semi_below_the_join(self, spark):
+        """The coarse-bucket filter must apply as a broadcast LeftSemi
+        in the fact's scan stage — BEFORE the equi-join shuffle — or
+        the scan-reduction claim is void."""
+        df = QUERIES["sk_bucket_prefilter_join"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        semi = plan.index("LeftSemi")
+        assert "BroadcastHashJoin" in plan[max(0, semi - 200):semi + 50]
+        # the exact join sits ABOVE the semi filter in the printed tree
+        join_pos = plan.index("l_orderkey = o_orderkey") if "l_orderkey = o_orderkey" in plan else plan.index("Join")
+        assert join_pos < semi  # top-down print: outer join first
