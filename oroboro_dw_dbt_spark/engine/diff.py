@@ -63,6 +63,7 @@ def snapshot_diff(
             ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
             for c in compare_cols
         ],
+        F.lit(False),  # empty compare_cols → presence-only (I/D) diff
     )
     op = (
         F.when(~in_old, "I").when(~in_new, "D").when(changed, "U")

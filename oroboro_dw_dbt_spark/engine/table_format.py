@@ -203,15 +203,37 @@ class ManifestParquetFormat:
     @staticmethod
     def _json_stat(v):
         """Footer stats as JSON scalars. Timestamps/dates become ISO
-        strings — lexical order matches chronological order, so range
-        overlap tests still work when lo/hi are given in the same form;
-        bytes are refused (no total order worth promising) by mapping
-        to None, which drops the column's bounds for that file."""
+        strings with EXPLICIT microseconds — a fixed-width spelling, so
+        lexical order matches chronological order against any bound
+        canonicalized the same way (:meth:`_canon_bound`); bytes are
+        refused (no total order worth promising) by mapping to None,
+        which drops the column's bounds for that file."""
         if v is None or isinstance(v, (bool, int, float, str)):
             return v
-        if hasattr(v, "isoformat"):
-            return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+        if hasattr(v, "hour"):  # datetime
+            return v.isoformat(sep=" ", timespec="microseconds")
+        if hasattr(v, "isoformat"):  # date
+            return v.isoformat()
         return None
+
+    @staticmethod
+    def _canon_bound(v):
+        """Normalize a prune bound to the stats' spelling: datetimes →
+        the fixed-width ISO form; timestamp-looking strings reformatted
+        to it (so '2024-01-01 05:00:00' and '...05:00:00.000000' bounds
+        compare identically); everything else unchanged."""
+        from datetime import datetime
+
+        if hasattr(v, "hour"):
+            return v.isoformat(sep=" ", timespec="microseconds")
+        if isinstance(v, str):
+            try:
+                return datetime.fromisoformat(v).isoformat(
+                    sep=" ", timespec="microseconds"
+                )
+            except ValueError:
+                return v
+        return v
 
     @staticmethod
     def _collect_file_stats(
@@ -264,6 +286,7 @@ class ManifestParquetFormat:
         if not stats:
             files = sorted(data_dir.rglob("*.parquet"))
             return files, len(files)
+        lo, hi = self._canon_bound(lo), self._canon_bound(hi)
         keep = [
             data_dir / f
             for f, per_col in sorted(stats.items())
@@ -405,7 +428,9 @@ class ManifestParquetFormat:
     # -- branches (named pointers; the Iceberg branch/tag shape) -----------
 
     def _branch_file(self, path: Path, branch: str) -> Path:
-        if not branch or "/" in branch or branch.startswith("."):
+        # no dots: a crashed tmp file or a dotted name must never be
+        # confusable with (or clobber) another branch's pointer
+        if not branch or not all(c.isalnum() or c in "-_" for c in branch):
             raise ValueError(f"invalid branch name {branch!r}")
         return self._manifest_dir(path) / f"BRANCH-{branch}"
 
@@ -435,7 +460,9 @@ class ManifestParquetFormat:
         path = Path(path)
         version = self.stage(df, path, partition_by, stats_cols)
         bf = self._branch_file(path, branch)
-        tmp = bf.with_name(bf.name + f".tmp.{version}")
+        # leading dot keeps a crashed tmp OUT of the BRANCH-* namespace:
+        # branches() can never report it, vacuum can never pin it
+        tmp = bf.with_name(f".tmp-{bf.name}.{version}")
         tmp.write_text(str(version))
         os.replace(tmp, bf)  # atomic branch-head swap
         return version
@@ -518,11 +545,23 @@ class ManifestParquetFormat:
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, path: Path, keep_last: int = 1) -> list[str]:
+    def vacuum(
+        self, path: Path, keep_last: int = 1, stage_grace_s: float = 0.0
+    ) -> list[str]:
         """Delete orphan data dirs (crashed, never-committed writes) and
         snapshots older than the ``keep_last`` most recent committed
         ones. Returns the deleted dir names. Never touches the current
-        snapshot."""
+        snapshot or a live branch head.
+
+        ``stage_grace_s`` protects IN-FLIGHT stages: an uncommitted
+        snapshot staged less than this many seconds ago is kept, so a
+        maintenance vacuum running concurrently with a WAP audit
+        (engine/wap.py: stage → test → commit) cannot delete the very
+        files the audit is scanning. 0 (the default) reclaims every
+        uncommitted stage immediately — right for single-writer use;
+        schedule vacuums with a grace ≥ your longest audit otherwise."""
+        import time as _time
+
         path = Path(path)
         cur = self.current_version(path)
         if cur is None:
@@ -533,6 +572,20 @@ class ManifestParquetFormat:
         keep_versions = set(sorted(keep_versions)[-keep_last:]) | {cur}
         # live branch heads are referenced even though uncommitted
         keep_versions |= set(self.branches(path).values())
+        if stage_grace_s > 0:
+            now = _time.time()
+            for j in self._manifest_dir(path).glob("snap-*.json"):
+                v = int(j.stem.split("-")[1])
+                if v in keep_versions:
+                    continue
+                try:
+                    staged_at = json.loads(j.read_text()).get(
+                        "committed_at_unix", 0
+                    )
+                except (OSError, ValueError):
+                    continue
+                if now - staged_at < stage_grace_s:
+                    keep_versions.add(v)
         referenced: set[str] = set()
         for v in keep_versions:
             meta = self._snapshot_meta(path, v)

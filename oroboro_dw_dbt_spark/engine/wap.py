@@ -35,7 +35,13 @@ def publish_with_audit(
 ) -> tuple[bool, list[TestResult]]:
     """Stage ``df``, run ``tests`` against the staged snapshot, commit
     iff all pass. Returns (published, per-test results); on False the
-    table is untouched and the stage is an orphan for vacuum."""
+    table is untouched and the stage is an orphan for vacuum.
+
+    Concurrency note: a vacuum running DURING the audit would reclaim
+    the in-flight stage (it is uncommitted and not a branch head) and
+    fail the audit's scans — don't vacuum concurrently, or call
+    ``vacuum(..., stage_grace_s=...)`` with a grace longer than your
+    slowest audit."""
     version = fmt.stage(df, path, partition_by, stats_cols)
     staged = fmt.read(spark, path, version=version)
     results = [t.run(staged) for t in tests]

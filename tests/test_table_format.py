@@ -381,3 +381,64 @@ class TestBranches:
             r.x for r in fmt.read(spark, table, branch="keepme").collect()
         ) == [2]  # live branch survived the vacuum
         assert _ids(spark, fmt, table) == [1]
+
+
+class TestReviewRegressions:
+    """Round-6 self-review findings, pinned."""
+
+    def test_presence_only_diff_with_no_compare_cols(self, spark, tmp_path):
+        from oroboro_dw_dbt_spark.engine.diff import snapshot_diff
+
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "presence"
+        fmt.write(spark.createDataFrame([(1,), (2,)], "k long"), table)
+        fmt.write(spark.createDataFrame([(2,), (3,)], "k long"), table)
+        d = snapshot_diff(spark, fmt, table, 1, 2, ("k",), ())
+        got = {r.k: r.op for r in d.collect()}
+        assert got == {1: "D", 3: "I"}  # presence-only: no U possible
+
+    def test_timestamp_prune_accepts_typed_and_fractionless_bounds(
+        self, spark, tmp_path
+    ):
+        from datetime import datetime
+
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "ts_bounds"
+        df = spark.sql(
+            "SELECT timestampadd(HOUR, CAST(id AS INT),"
+            " timestamp'2024-01-01 00:00:00') AS t FROM range(100)"
+        )
+        fmt.write(df.repartitionByRange(4, "t"), table, stats_cols=("t",))
+        # typed datetime bounds must not TypeError against string stats
+        kept_dt, total = fmt.prune_files(
+            table, "t", datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 3)
+        )
+        assert kept_dt and len(kept_dt) < total
+        # a bound equal to a file's max must KEEP that file even though
+        # the spellings differ in the fractional part
+        got = fmt.read_pruned(
+            spark, table, "t", "2024-01-01 03:00:00", "2024-01-01 03:00:00"
+        )
+        assert got.count() == 1
+
+    def test_crashed_branch_tmp_is_not_a_phantom_branch(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "phantom"
+        fmt.write(spark.createDataFrame([(1,)], "x long"), table)
+        # simulate a crash between tmp write and the pointer swap
+        (fmt._manifest_dir(table) / ".tmp-BRANCH-exp.7").write_text("7")
+        assert fmt.branches(table) == {}
+        with pytest.raises(ValueError, match="invalid branch name"):
+            fmt._branch_file(table, "a.tmp.3")  # dotted names refused
+
+    def test_vacuum_grace_protects_inflight_stage(self, spark, tmp_path):
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "grace"
+        fmt.write(spark.createDataFrame([(1,)], "x long"), table)
+        v = fmt.stage(spark.createDataFrame([(2,)], "x long"), table)
+        assert fmt.vacuum(table, keep_last=1, stage_grace_s=3600) == []
+        fmt.commit_staged(table, v)  # the audit can still publish
+        assert _ids(spark, fmt, table) == [2]
+        # without grace the same fresh stage is reclaimed immediately
+        fmt.stage(spark.createDataFrame([(3,)], "x long"), table)
+        assert fmt.vacuum(table, keep_last=1) != []
