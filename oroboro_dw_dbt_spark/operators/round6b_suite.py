@@ -1491,3 +1491,105 @@ def sk_bucket_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# String surface, second tier: pad / translate / repeat / reverse /
+# split_part / overlay.
+# ---------------------------------------------------------------------------
+@query(
+    "f_string_suite2",
+    # overlay has no DuckDB twin — the oracle reconstructs it from
+    # substr/concat, certifying Spark's builtin against first principles
+    oracle="""
+    SELECT doc_id,
+           lpad(source, 12, '*') AS padded_l,
+           rpad(lang, 6, '.') AS padded_r,
+           translate(source, 'src', 'XYZ') AS translated,
+           repeat(lang, 3) AS repeated,
+           reverse(source) AS reversed_src,
+           split_part(source || '|' || lang || '|' || CAST(doc_id AS VARCHAR),
+                      '|', 2) AS second_field,
+           substr(source, 1, 2) || 'ZZ'
+             || substr(source, 5) AS overlaid
+    FROM documents
+    """,
+    survey_ref="beyond-reference: string surface tier 2 (lpad/rpad, "
+    "translate, repeat, reverse, split_part, overlay-vs-first-"
+    "principles) — completes F1-F9's builtin matrix",
+)
+def f_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.lpad("source", 12, "*").alias("padded_l"),
+        F.rpad("lang", 6, ".").alias("padded_r"),
+        F.translate("source", "src", "XYZ").alias("translated"),
+        F.repeat("lang", 3).alias("repeated"),
+        F.reverse("source").alias("reversed_src"),
+        F.split_part(
+            F.concat_ws("|", "source", "lang", F.col("doc_id").cast("string")),
+            F.lit("|"),
+            F.lit(2),
+        ).alias("second_field"),
+        F.overlay("source", F.lit("ZZ"), 3, 2).alias("overlaid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generator functions: stack / posexplode / inline.
+# ---------------------------------------------------------------------------
+@query(
+    "p_generator_suite",
+    # Spark's generators restated as UNION ALL + ordinal arithmetic:
+    # stack(2, a,b,c,d) = two rows of column pairs; posexplode carries
+    # the 0-based ordinal; inline flattens an array of structs
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, source, lang, n_chars FROM documents
+      WHERE doc_id % 37 = 0
+    ),
+    stacked AS (
+      SELECT doc_id, source AS k, CAST(lang AS VARCHAR) AS v FROM src
+      UNION ALL
+      SELECT doc_id, 'chars', CAST(n_chars AS VARCHAR) FROM src
+    ),
+    exploded AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             CAST(doc_id * 10 + i AS BIGINT) AS val
+      FROM src, unnest(range(0, 3)) AS t(i)
+    )
+    SELECT s.doc_id, s.k, s.v, e.pos, e.val
+    FROM stacked s
+    JOIN exploded e ON e.doc_id = s.doc_id
+    """,
+    survey_ref="beyond-reference: generator-function surface (stack, "
+    "posexplode with ordinals, lateral fan-out composition) — the "
+    "builtin row-generator matrix beside the UDTF family",
+)
+def p_generator_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 37 == 0
+    )
+    stacked = docs.select(
+        "doc_id",
+        F.expr(
+            "stack(2, source, CAST(lang AS STRING),"
+            " 'chars', CAST(n_chars AS STRING)) AS (k, v)"
+        ),
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.col("doc_id") * 10,
+                F.col("doc_id") * 10 + 1,
+                F.col("doc_id") * 10 + 2,
+            )
+        ).alias("pos", "val"),
+    ).select(
+        "doc_id", F.col("pos").cast("int"), F.col("val").cast("bigint")
+    )
+    return stacked.join(exploded, "doc_id").select(
+        "doc_id", "k", "v", "pos", "val"
+    )
