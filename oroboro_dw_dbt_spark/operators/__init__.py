@@ -19,4 +19,5 @@ from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     lifecycle_suite,
     round6_suite,
     round6b_suite,
+    ml_eval_suite,
 )
