@@ -20,4 +20,5 @@ from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     round6_suite,
     round6b_suite,
     ml_eval_suite,
+    drift_suite,
 )

@@ -80,6 +80,13 @@ NESTED_LOOP_OK = {
     # crossed onto the 20-row estimate output — the round-6 lazy fold of
     # what was an eager limit(1).count() during plan build
     "sk_countmin_merge",
+    # 3-row threshold table broadcast-crossed onto the ≤1000-row score
+    # HISTOGRAM (never the fact table) — one scan answers every
+    # threshold via conditional aggregation, same shape as sp_time_folds
+    "ml_confusion_threshold",
+    # 3-row annotator-pair table broadcast-crossed onto the 1-row
+    # sufficient-statistics aggregate — pair fan-out off one full pass
+    "lab_agreement",
 }
 # streaming entries execute eagerly inside the builder; explain() on the
 # returned batch result reflects the memory sink, not the stream plan
