@@ -607,3 +607,69 @@ def lab_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("n") - e)
         ).alias("kappa"),
     )
+
+
+@query(
+    "ml_pr_curve",
+    # The full precision/recall/lift sweep: one row per distinct score,
+    # thresholding at sx ≥ t. tp/fp are DESCENDING cumulative sums over
+    # the histogram; precision, recall, and lift are single divisions
+    # of exact BIGINTs (lift = tp·(P+N) / ((tp+fp)·P) — precision over
+    # base rate without intermediate rates).
+    oracle=f"""
+    WITH hist AS ({_HIST_SQL}),
+    cum AS (
+      SELECT sx,
+             sum(pos) OVER (ORDER BY sx DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(neg) OVER (ORDER BY sx DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             sum(pos) OVER () AS p,
+             sum(neg) OVER () AS nn
+      FROM hist
+    )
+    SELECT sx AS threshold_milli, CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
+           CAST(tp AS DOUBLE) / p AS recall_,
+           CAST(tp * (p + nn) AS DOUBLE) / ((tp + fp) * p) AS lift
+    FROM cum
+    """,
+    survey_ref="beyond-reference: full PR-curve / cumulative-gains "
+    "sweep (precision, recall, lift at every distinct threshold) from "
+    "one histogram pass — the campaign-targeting eval table",
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/lift at every distinct score threshold.
+
+    Scale: the threshold sweep is a descending cumulative window over
+    the ≤1000-row score histogram — the raw corpus is touched once by
+    the combining groupBy. AP/AUPRC is a driver-side fold of this
+    output."""
+    hist = _score_hist(spark, sf_dir)
+    w_cum = Window.orderBy(F.col("sx").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "sx",
+        F.sum("pos").over(w_cum).alias("tp"),
+        F.sum("neg").over(w_cum).alias("fp"),
+        F.sum("pos").over(w_all).alias("p"),
+        F.sum("neg").over(w_all).alias("nn"),
+    )
+    return cum.select(
+        F.col("sx").alias("threshold_milli"),
+        "tp",
+        "fp",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias(
+            "precision_"
+        ),
+        (F.col("tp").cast("double") / F.col("p")).alias("recall_"),
+        (
+            (F.col("tp") * (F.col("p") + F.col("nn"))).cast("double")
+            / ((F.col("tp") + F.col("fp")) * F.col("p"))
+        ).alias("lift"),
+    )

@@ -199,3 +199,34 @@ class TestAgreement:
             n, a = r["n"], r["n_agree"]
             e = r["pos_a"] * r["pos_b"] + (n - r["pos_a"]) * (n - r["pos_b"])
             assert r["kappa"] == (n * a - e) / (n * n - e)
+
+
+class TestPrCurve:
+    def test_monotone_and_consistent(self, spark):
+        from oroboro_dw_dbt_spark.operators.ml_eval_suite import ml_pr_curve
+
+        rows = sorted(
+            ml_pr_curve(spark, SF01).collect(),
+            key=lambda r: -r["threshold_milli"],
+        )
+        # tp/fp cumulative in descending threshold; recall monotone up
+        for a, b in zip(rows, rows[1:]):
+            assert b["tp"] >= a["tp"] and b["fp"] >= a["fp"]
+            assert b["recall_"] >= a["recall_"]
+        last = rows[-1]
+        assert last["recall_"] == 1.0  # lowest threshold captures all
+        base = last["tp"] / (last["tp"] + last["fp"])
+        for r in rows:
+            assert abs(r["lift"] - r["precision_"] / base) < 1e-12
+
+    def test_agrees_with_confusion_entry(self, spark):
+        from oroboro_dw_dbt_spark.operators.ml_eval_suite import (
+            ml_confusion_threshold,
+            ml_pr_curve,
+        )
+
+        pr = {r["threshold_milli"]: r for r in ml_pr_curve(spark, SF01).collect()}
+        for c in ml_confusion_threshold(spark, SF01).collect():
+            t = c["threshold_milli"]
+            if t in pr:  # only when some row has exactly score t
+                assert pr[t]["tp"] == c["tp"] and pr[t]["fp"] == c["fp"]
