@@ -331,3 +331,109 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(_LATERAL_SQL)
+
+
+_BINNED_SQL = """
+      SELECT date_trunc('hour', ts) AS win_start,
+             least(CAST(round(CAST(value AS DECIMAL(12,4)) * 100, 0)
+                        AS BIGINT) // 10000, 4) AS bin
+      FROM events
+"""
+
+
+@query(
+    "st_drift_monitor",
+    # The Spark side runs a REAL stream (file source → 1-hour window ×
+    # 5 exact value bins → complete-mode sink); the settled histogram
+    # state then joins the broadcast reference distribution for a
+    # per-window PSI (same +1-smoothed fixed-point form as
+    # ml_psi_drift). The oracle restates ALL of it as batch SQL — a
+    # hash match certifies streaming-state == batch histogram AND the
+    # drift math on top of it.
+    oracle=f"""
+    WITH binned AS ({_BINNED_SQL}),
+    wb AS (
+      SELECT win_start, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM binned GROUP BY 1, 2
+    ),
+    ref AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS rcnt,
+             sum(count(*)) OVER () AS rn
+      FROM binned GROUP BY 1
+    ),
+    w AS (
+      SELECT win_start, bin, cnt,
+             sum(cnt) OVER (PARTITION BY win_start) AS wn
+      FROM wb
+    ),
+    terms AS (
+      SELECT win_start, wn,
+             CAST(round(
+               (CAST(cnt + 1 AS DOUBLE) / (wn + 5)
+                  - CAST(rcnt + 1 AS DOUBLE) / (rn + 5))
+               * ln((CAST(cnt + 1 AS DOUBLE) / (wn + 5))
+                    / (CAST(rcnt + 1 AS DOUBLE) / (rn + 5)))
+               * 1e9, 0) AS BIGINT) AS t
+      FROM w JOIN ref USING (bin)
+    )
+    SELECT win_start, CAST(max(wn) AS BIGINT) AS n_window,
+           CAST(sum(t) AS DOUBLE) / 1e9 AS psi
+    FROM terms GROUP BY win_start
+    """,
+    survey_ref="beyond-reference: streaming drift monitor — windowed "
+    "value-histogram state maintained by a real Structured Streaming "
+    "query, per-window PSI against the reference distribution derived "
+    "from the settled state",
+)
+def st_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour PSI of the event-value distribution vs the corpus.
+
+    Scale: the stream maintains |windows|·5 rows of state (the
+    histogram), not raw events; the reference is a 5-row broadcast;
+    the PSI derivation touches only the settled state. In production
+    this runs append-mode with a watermark so closed windows emit and
+    evict — the complete-mode AvailableNow form here is what makes it
+    oracle-checkable."""
+    from oroboro_dw_dbt_spark.streaming.jobs import (
+        stream_binned_value_counts,
+    )
+
+    sink = stream_binned_value_counts(spark, sf_dir)  # (w, bin, cnt)
+    wb = sink.select(
+        F.col("w.start").alias("win_start"), "bin", "cnt"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.expr(
+            "CAST(round(CAST(value AS DECIMAL(12,4)) * 100, 0) AS BIGINT)"
+            " div 10000"
+        ),
+        F.lit(4),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ref = (
+        ev.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("rcnt"))
+        .withColumn("rn", F.sum("rcnt").over(w_all))
+    )
+    w_win = Window.partitionBy("win_start")
+    joined = (
+        wb.withColumn("wn", F.sum("cnt").over(w_win))
+        .join(F.broadcast(ref), "bin")
+    )
+    p = (F.col("cnt") + 1).cast("double") / (F.col("wn") + 5)
+    q = (F.col("rcnt") + 1).cast("double") / (F.col("rn") + 5)
+    terms = joined.select(
+        "win_start",
+        "wn",
+        F.round((p - q) * F.log(p / q) * 1e9, 0)
+        .cast("bigint")
+        .alias("t"),
+    )
+    return terms.groupBy("win_start").agg(
+        F.max("wn").alias("n_window"),
+        (F.sum("t").cast("double") / 1e9).alias("psi"),
+    )

@@ -455,3 +455,39 @@ def stream_upsert_latest(
     )
     q.awaitTermination()
     return fmt.read(spark, final)
+
+
+def stream_binned_value_counts(
+    spark: SparkSession, sf_dir: str, name: str = "stream_drift_bins"
+) -> DataFrame:
+    """Maintain the per-hour value-histogram state as a REAL stream:
+    file source → 1-hour tumbling window × 5 exact value bins → counts
+    (AvailableNow, complete-mode memory sink). This is the streaming
+    half of st_drift_monitor — at 100 TB/day the histogram state is
+    |windows|·5 rows (bounded, watermark-evictable in append mode); the
+    drift score is derived from the settled state, never the raw feed.
+
+    The bin edges ride the exact-cents integer path (value →
+    DECIMAL(12,4) cents → BIGINT div 10000, capped at 4) so binning can
+    never straddle a float boundary differently than the batch oracle."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _events_stream_dir(spark, sf_dir)
+    )
+    cents_div = F.expr(
+        "CAST(round(CAST(value AS DECIMAL(12,4)) * 100, 0) AS BIGINT) div 10000"
+    )
+    binned = stream.select(
+        F.window("ts", "1 hour").alias("w"),
+        F.least(cents_div, F.lit(4)).alias("bin"),
+    )
+    q = (
+        binned.groupBy("w", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -154,3 +154,22 @@ class TestLateralTopn:
         }
         got = {(r["n_nationkey"], r["s_suppkey"]) for r in rows}
         assert got == expect
+
+
+class TestStreamDriftMonitor:
+    def test_stream_state_matches_batch_and_psi_nonneg(self, spark):
+        from oroboro_dw_dbt_spark.operators.drift_suite import st_drift_monitor
+        from oroboro_dw_dbt_spark.sources.testdata import load_table
+        from pyspark.sql import functions as F
+
+        rows = st_drift_monitor(spark, SF).collect()
+        ev = load_table(spark, SF, "events")
+        n_windows = ev.select(
+            F.date_trunc("hour", "ts").alias("h")
+        ).distinct().count()
+        assert len(rows) == n_windows
+        # PSI = Σ (p−q)·ln(p/q) is non-negative term-by-term
+        for r in rows:
+            assert r["psi"] >= 0.0
+        # per-window counts reassemble the full event count
+        assert sum(r["n_window"] for r in rows) == ev.count()
