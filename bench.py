@@ -80,6 +80,10 @@ HEADLINE = [
     # max_by-struct changelog fold
     "ev_last_touch",
     "eng_cdc_apply",
+    # round 6 close: histogram-route exact AUC (eval family) and the
+    # streaming drift monitor (real stream + settled-state PSI)
+    "ml_auc_rank",
+    "st_drift_monitor",
 ]
 
 

@@ -303,3 +303,55 @@ def test_weighted_percentile_crossing_rule(spark, rows):
 
     assert got.p50 == brute(1, 2)
     assert got.p75 == brute(3, 4)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 9)),
+        min_size=4,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_histogram_auc_and_ks_equal_naive_definitions(spark, rows):
+    """The aggregate-first metric routes (ml_eval_suite) must equal the
+    naive definitions for ANY population: histogram rank-sum AUC ==
+    pairwise win/tie counting, and cross-multiplied integer KS == the
+    max CDF gap — exactly, not approximately (both sides are integer
+    arithmetic until one division)."""
+    import oroboro_dw_dbt_spark.operators.ml_eval_suite as m
+    from oroboro_dw_dbt_spark.operators.drift_suite import ml_ks_drift
+    from oroboro_dw_dbt_spark.operators.ml_eval_suite import (
+        _binary_scores,
+        ml_auc_rank,
+    )
+
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    orig = m.load_table
+    m.load_table = lambda spark, sf_dir, name: df
+    try:
+        scored = _binary_scores(spark, "ignored").collect()
+        pos = [r["sx"] for r in scored if r["y"] == 1]
+        neg = [r["sx"] for r in scored if r["y"] == 0]
+        if not pos or not neg:
+            return  # metrics undefined for a one-class population
+        auc_row = ml_auc_rank(spark, "ignored").first()
+        wins = sum(1 for p in pos for n in neg if p > n)
+        ties = sum(1 for p in pos for n in neg if p == n)
+        assert auc_row["auc"] == (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert auc_row["n_pos"] == len(pos) and auc_row["n_neg"] == len(neg)
+
+        ks_row = ml_ks_drift(spark, "ignored").first()
+        points = sorted(set(pos) | set(neg))
+        d_scaled = max(
+            abs(
+                sum(1 for p in pos if p <= x) * len(neg)
+                - sum(1 for q in neg if q <= x) * len(pos)
+            )
+            for x in points
+        )
+        assert ks_row["d_scaled"] == d_scaled
+        assert ks_row["ks_d"] == d_scaled / (len(pos) * len(neg))
+    finally:
+        m.load_table = orig
