@@ -673,3 +673,72 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("tp") + F.col("fp")) * F.col("p"))
         ).alias("lift"),
     )
+
+
+@query(
+    "lab_pref_pairs",
+    # Preference-pair construction (RLHF-style training data): within
+    # each group, pair the top-k docs by score ("chosen") against the
+    # bottom-k ("rejected"), keeping pairs whose margin clears a
+    # threshold. BOTH sides are rank-capped BEFORE the pairing join —
+    # k² pairs per group by construction, never |group|².
+    oracle="""
+    WITH scored AS (
+      SELECT lang, doc_id,
+             (doc_id * 2654435761 + 17) % 1000 AS s
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, s,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY s DESC, doc_id) AS rk_top,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY s ASC, doc_id) AS rk_bot
+      FROM scored
+    )
+    SELECT c.lang, c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+           CAST(c.s - r.s AS BIGINT) AS margin
+    FROM ranked c JOIN ranked r
+      ON c.lang = r.lang AND c.rk_top <= 4 AND r.rk_bot <= 4
+     AND c.doc_id <> r.doc_id AND c.s - r.s >= 100
+    """,
+    survey_ref="beyond-reference: preference-pair construction — "
+    "rank-capped chosen/rejected pairing with a margin floor, the "
+    "RLHF/DPO training-data shape",
+)
+def lab_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(chosen, rejected) preference pairs per group, margin ≥ 100.
+
+    Scale: the two row_number windows share one lang shuffle and
+    WindowGroupLimit caps their sort output at k; the pairing join
+    runs on two k-row-per-group slivers (k=4), so output and work are
+    O(groups·k²) no matter how large the groups get — the naive
+    all-pairs-then-filter version is the quadratic trap."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761) + 17) % 1000).alias("s"),
+    )
+    w_top = Window.partitionBy("lang").orderBy(F.col("s").desc(), "doc_id")
+    w_bot = Window.partitionBy("lang").orderBy(F.col("s").asc(), "doc_id")
+    ranked = scored.select(
+        "lang",
+        "doc_id",
+        "s",
+        F.row_number().over(w_top).alias("rk_top"),
+        F.row_number().over(w_bot).alias("rk_bot"),
+    )
+    c = ranked.filter(F.col("rk_top") <= 4).alias("c")
+    r = ranked.filter(F.col("rk_bot") <= 4).alias("r")
+    return c.join(
+        r,
+        (F.col("c.lang") == F.col("r.lang"))
+        & (F.col("c.doc_id") != F.col("r.doc_id"))
+        & (F.col("c.s") - F.col("r.s") >= 100),
+    ).select(
+        F.col("c.lang").alias("lang"),
+        F.col("c.doc_id").alias("chosen_id"),
+        F.col("r.doc_id").alias("rejected_id"),
+        (F.col("c.s") - F.col("r.s")).cast("bigint").alias("margin"),
+    )

@@ -230,3 +230,32 @@ class TestPrCurve:
             t = c["threshold_milli"]
             if t in pr:  # only when some row has exactly score t
                 assert pr[t]["tp"] == c["tp"] and pr[t]["fp"] == c["fp"]
+
+
+class TestPrefPairs:
+    def test_rank_caps_and_margin(self, spark):
+        from oroboro_dw_dbt_spark.operators.ml_eval_suite import lab_pref_pairs
+        from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+        rows = lab_pref_pairs(spark, SF01).collect()
+        assert rows, "construction should yield pairs at sf0.01"
+        score = lambda d: (d * 2654435761 + 17) % 1000
+        per_group: dict[str, list] = {}
+        for r in rows:
+            assert r["margin"] >= 100
+            assert score(r["chosen_id"]) - score(r["rejected_id"]) == r["margin"]
+            per_group.setdefault(r["lang"], []).append(r)
+        for lang, rs in per_group.items():
+            # rank caps bound the fan-out: ≤ 4 chosen × 4 rejected
+            assert len(rs) <= 16
+            assert len({x["chosen_id"] for x in rs}) <= 4
+            assert len({x["rejected_id"] for x in rs}) <= 4
+        # chosen really are the group's top scores: no doc in the group
+        # outscores every chosen doc
+        docs = load_table(spark, SF01, "documents").select("lang", "doc_id").collect()
+        by_lang: dict[str, list[int]] = {}
+        for d in docs:
+            by_lang.setdefault(d["lang"], []).append(d["doc_id"])
+        for lang, rs in per_group.items():
+            top4 = sorted(by_lang[lang], key=lambda d: (-score(d), d))[:4]
+            assert {x["chosen_id"] for x in rs} <= set(top4)
