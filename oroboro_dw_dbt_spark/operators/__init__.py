@@ -21,4 +21,5 @@ from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     round6b_suite,
     ml_eval_suite,
     drift_suite,
+    round6c_suite,
 )

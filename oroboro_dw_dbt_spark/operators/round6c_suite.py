@@ -1,0 +1,511 @@
+"""Round-6 sixth wave: behavioral sequences, label curation, metric
+confidence, URL-canonical dedup, and the interval-overlap join.
+
+Five shapes a production corpus/analytics pipeline needs that nothing
+in the catalog covered yet:
+
+- ``ev_sequence_match`` — ordered event-pattern detection (the
+  MATCH_RECOGNIZE shape): first view→click→purchase chain per user,
+  each step within a bounded lookback, via two stacked RANGE windows —
+  O(n log n) per user-partition, no self-joins.
+- ``lab_majority_vote`` — 3-annotator majority-vote gold labels with
+  unanimity/split diagnostics and latent-truth accuracy (the labeling
+  half the kappa entry measures).
+- ``ml_bootstrap_ci`` — Poisson bootstrap over deterministic integer
+  hashes: 32 resampled accuracy estimates from ONE pass, the
+  confidence-interval machinery for eval metrics at corpus scale.
+- ``dd_url_canonical`` — URL canonicalization dedup: four messiness
+  classes (case, trailing slash, utm_* tracking params + fragment,
+  default port) recovered to one canonical key via real parsing.
+- ``j_interval_overlap`` — interval×interval overlap join through
+  coarse time-bucket explosion + equi-join with an emit-once guard —
+  the O(collisions) substitute for the nested-loop inequality join.
+
+House rules as everywhere in this catalog (operators/catalog.py):
+integer/fixed-point arithmetic, explicit tiebreaks, identical aliases
+on both engines. The reference has no analog for any of these (its
+surface is 3 BigQuery models — models/marts/core/*.sql); they extend
+the engine the way SURVEY §6 scopes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oroboro_dw_dbt_spark.operators.catalog import query
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+# Seconds offsets from 2024-01-01 keep every packed intermediate far
+# inside BIGINT: the events table spans 30 days → off_s < 2^22.
+_ORIGIN_S = 1704067200
+_PACK = 4194304  # 2^22
+_LOOKBACK_S = 3 * 86400
+
+
+@query(
+    "ev_sequence_match",
+    # The oracle is the SAME two-layer window program in DuckDB SQL:
+    # layer 1 finds the latest view within 3 days strictly before each
+    # row; layer 2 propagates (click, its-view) packed as one BIGINT to
+    # the purchases. Packing makes "the click AND the view it chains
+    # from" a single max() — order-independent, tie-free.
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) - {_ORIGIN_S} AS off_s
+      FROM events
+    ),
+    l1 AS (
+      SELECT *,
+             max(CASE WHEN event_type = 'view' THEN off_s END) OVER (
+               PARTITION BY user_id ORDER BY off_s
+               RANGE BETWEEN {_LOOKBACK_S} PRECEDING AND 1 PRECEDING
+             ) AS last_view
+      FROM e
+    ),
+    l2 AS (
+      SELECT *,
+             max(CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+                      THEN off_s * {_PACK} + last_view END) OVER (
+               PARTITION BY user_id ORDER BY off_s
+               RANGE BETWEEN {_LOOKBACK_S} PRECEDING AND 1 PRECEDING
+             ) AS chain_pack
+      FROM l1
+    ),
+    chains AS (
+      SELECT user_id, event_id, off_s AS p_off,
+             chain_pack // {_PACK} AS c_off,
+             chain_pack % {_PACK} AS v_off
+      FROM l2
+      WHERE event_type = 'purchase' AND chain_pack IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY p_off, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_chains
+      FROM chains
+    )
+    SELECT user_id, CAST(n_chains AS BIGINT) AS n_chains,
+           make_timestamp((v_off + {_ORIGIN_S}) * 1000000) AS view_ts,
+           make_timestamp((c_off + {_ORIGIN_S}) * 1000000) AS click_ts,
+           make_timestamp((p_off + {_ORIGIN_S}) * 1000000) AS purchase_ts
+    FROM ranked WHERE rn = 1
+    """,
+    survey_ref="beyond-reference: ordered event-sequence detection "
+    "(MATCH_RECOGNIZE shape) — view→click→purchase chains via stacked "
+    "RANGE windows, no self-joins",
+)
+def ev_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First view→click→purchase chain per user, steps ≤3 days apart.
+
+    Two window passes over ONE (user_id, off_s) sort: pass 1 tags each
+    row with the latest view in its 3-day lookback; pass 2 propagates
+    qualifying clicks to purchases with the view PACKED into the same
+    BIGINT (click·2²² + view), so one max() carries the whole chain —
+    no per-step self-join, no arrays. Content is order-independent:
+    RANGE frames are value-defined and max() is commutative.
+
+    Scale: cost is the per-user sort both windows share (Catalyst
+    reuses the exchange+sort). State is the 3-day frame, not the
+    stream; at 100 TB this is the canonical sessionized-funnel plan —
+    partition by user, never shuffle the fact twice."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_timestamp("ts") - _ORIGIN_S).alias("off_s"),
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("off_s")
+        .rangeBetween(-_LOOKBACK_S, -1)
+    )
+    l1 = e.withColumn(
+        "last_view",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("off_s"))
+        ).over(frame),
+    )
+    l2 = l1.withColumn(
+        "chain_pack",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("last_view").isNotNull(),
+                F.col("off_s") * _PACK + F.col("last_view"),
+            )
+        ).over(frame),
+    )
+    chains = l2.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("chain_pack").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("off_s").alias("p_off"),
+        (F.col("chain_pack") / _PACK).cast("bigint").alias("c_off"),
+        (F.col("chain_pack") % _PACK).alias("v_off"),
+    )
+    by_user = Window.partitionBy("user_id")
+    ranked = chains.withColumn(
+        "rn",
+        F.row_number().over(by_user.orderBy("p_off", "event_id")),
+    ).withColumn("n_chains", F.count(F.lit(1)).over(by_user))
+
+    def ts(off: str) -> F.Column:
+        return F.timestamp_seconds(F.col(off) + _ORIGIN_S)
+
+    return ranked.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("n_chains").cast("bigint").alias("n_chains"),
+        ts("v_off").alias("view_ts"),
+        ts("c_off").alias("click_ts"),
+        ts("p_off").alias("purchase_ts"),
+    )
+
+
+# Annotator votes: same latent truth + flip model as lab_agreement
+# (ml_eval_suite._VOTES_SQL) so the two label-quality entries measure
+# the same synthetic labeling process.
+_TRUTH = "((doc_id * 2654435761) % 100 < 50)"
+_VOTE = "({t} <> ((doc_id * {m} + {o}) % 100 < 20))"
+
+
+@query(
+    "lab_majority_vote",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, lang,
+             CASE WHEN {_TRUTH} THEN 1 ELSE 0 END AS t,
+             CASE WHEN {_VOTE.format(t=_TRUTH, m=31, o=7)} THEN 1 ELSE 0 END AS v1,
+             CASE WHEN {_VOTE.format(t=_TRUTH, m=53, o=11)} THEN 1 ELSE 0 END AS v2,
+             CASE WHEN {_VOTE.format(t=_TRUTH, m=97, o=3)} THEN 1 ELSE 0 END AS v3
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, t, v1 + v2 + v3 AS s,
+             CASE WHEN v1 + v2 + v3 >= 2 THEN 1 ELSE 0 END AS gold
+      FROM v
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(gold) AS BIGINT) AS n_gold_pos,
+           CAST(sum(CASE WHEN s IN (0, 3) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unanimous,
+           CAST(sum(CASE WHEN gold = t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+    FROM g GROUP BY lang
+    """,
+    survey_ref="beyond-reference: majority-vote gold-label "
+    "construction with unanimity and latent-accuracy diagnostics — "
+    "the labeling step lab_agreement's kappa measures",
+)
+def lab_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-annotator majority vote → per-language gold-label report.
+
+    Row-local vote construction (pure BIGINT mod arithmetic, zero
+    data movement) then ONE combining groupBy to |langs| rows. With
+    an odd annotator count the majority always exists — no tie rule
+    needed; n_unanimous vs n_docs is the consensus-rate diagnostic
+    and n_correct/n_docs the (here-knowable) label error rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = ((F.col("doc_id") * F.lit(2654435761)) % 100 < 50).cast("int")
+
+    def vote(m: int, o: int) -> F.Column:
+        flip = (F.col("doc_id") * m + o) % 100 < 20
+        return (t.cast("boolean") != flip).cast("int")
+
+    s = vote(31, 7) + vote(53, 11) + vote(97, 3)
+    g = docs.select(
+        "lang",
+        t.alias("t"),
+        s.alias("s"),
+        (s >= 2).cast("int").alias("gold"),
+    )
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("gold").cast("bigint").alias("n_gold_pos"),
+        F.sum(F.col("s").isin(0, 3).cast("int"))
+        .cast("bigint")
+        .alias("n_unanimous"),
+        F.sum((F.col("gold") == F.col("t")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+
+
+# Poisson(1) inverse CDF at 1e-4 resolution: P(X<=k) cumulative,
+# scaled to 0..10000. A uniform integer hash u∈[0,10000) maps to the
+# resample weight via these thresholds — deterministic, no rand().
+_POIS = (3679, 7358, 9197, 9810, 9963)
+_B = 32
+
+
+@query(
+    "ml_bootstrap_ci",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN {_TRUTH} THEN 1 ELSE 0 END AS label,
+             CASE WHEN {_TRUTH} <> ((doc_id * 193 + 29) % 100 < 15)
+                  THEN 1 ELSE 0 END AS pred
+      FROM documents
+    ),
+    x AS (
+      SELECT d.*, b.b,
+             (d.doc_id * 1103515245 + b.b * 12345 + 7) % 10000 AS u
+      FROM d CROSS JOIN (SELECT unnest(range(0, {_B})) AS b) b
+    ),
+    w AS (
+      SELECT b, pred, label,
+             CASE WHEN u < {_POIS[0]} THEN 0
+                  WHEN u < {_POIS[1]} THEN 1
+                  WHEN u < {_POIS[2]} THEN 2
+                  WHEN u < {_POIS[3]} THEN 3
+                  WHEN u < {_POIS[4]} THEN 4
+                  ELSE 5 END AS w
+      FROM x
+    )
+    SELECT CAST(b AS BIGINT) AS b,
+           CAST(sum(w) AS BIGINT) AS n_w,
+           CAST(sum(CASE WHEN pred = label THEN w ELSE 0 END) AS BIGINT)
+             AS correct_w,
+           CAST(sum(CASE WHEN pred = label THEN w ELSE 0 END) * 1000000
+                AS BIGINT) // sum(w) AS acc_ppm
+    FROM w GROUP BY b
+    """,
+    survey_ref="beyond-reference: Poisson-bootstrap confidence "
+    "intervals for eval metrics — 32 deterministic resamples in one "
+    "pass, integer-exact accuracy per resample",
+)
+def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32 Poisson-bootstrap resamples of classifier accuracy, exact.
+
+    The classic driver-side bootstrap (B passes over sampled copies)
+    is unusable at corpus scale; the Poisson bootstrap replaces it
+    with per-row integer weights — here a deterministic LCG-style
+    hash of (doc_id, b) through the Poisson(1) inverse CDF, so the
+    resamples are reproducible on any cluster and oracle-checkable.
+    One explode(0..31) + one combining groupBy: the corpus is read
+    once, shuffle carries 32 rows of state per partition. acc_ppm is
+    integer floor division — no float in the certified values; the
+    CI is read off the 32-row result (rank 2 / rank 30 ≈ 90% CI)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (F.col("doc_id") * F.lit(2654435761)) % 100 < 50
+    noise = (F.col("doc_id") * 193 + 29) % 100 < 15
+    d = docs.select(
+        "doc_id",
+        truth.cast("int").alias("label"),
+        (truth != noise).cast("int").alias("pred"),
+    )
+    x = d.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b")
+    ).withColumn(
+        "u",
+        (F.col("doc_id") * F.lit(1103515245) + F.col("b") * 12345 + 7)
+        % 10000,
+    )
+    w = (
+        F.when(F.col("u") < _POIS[0], 0)
+        .when(F.col("u") < _POIS[1], 1)
+        .when(F.col("u") < _POIS[2], 2)
+        .when(F.col("u") < _POIS[3], 3)
+        .when(F.col("u") < _POIS[4], 4)
+        .otherwise(5)
+    )
+    correct_w = F.when(F.col("pred") == F.col("label"), F.col("w")).otherwise(0)
+    return (
+        x.withColumn("w", w)
+        .groupBy(F.col("b").cast("bigint").alias("b"))
+        .agg(
+            F.sum("w").cast("bigint").alias("n_w"),
+            F.sum(correct_w).cast("bigint").alias("correct_w"),
+        )
+        .select(
+            "b",
+            "n_w",
+            "correct_w",
+            F.expr("correct_w * 1000000 div n_w").alias("acc_ppm"),
+        )
+    )
+
+
+@query(
+    "dd_url_canonical",
+    # Every messy variant is synthesized from (k = doc_id//4, host
+    # class k%7), so the oracle can state the canonical form directly
+    # and group — while Spark must RECOVER it by parsing. A hash match
+    # certifies scheme/host lowercasing, default-port stripping,
+    # trailing-slash normalization, utm_* removal and fragment drop.
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, doc_id // 4 AS k FROM documents
+    )
+    SELECT 'https://h' || (k % 7) || '.example.com/docs/' || k
+             AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+    FROM c GROUP BY k
+    """,
+    survey_ref="beyond-reference: URL canonicalization dedup — the "
+    "web-corpus exact-dedup key (case, default port, trailing slash, "
+    "utm_* tracking params, fragments)",
+)
+def dd_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize four messiness classes of the same URL and dedup.
+
+    doc_id % 4 picks the mess: clean / UPPERCASE host + trailing
+    slash / utm_* params + #fragment / explicit :443 + uppercase
+    scheme. Canonicalization is parse_url + Column string ops — all
+    row-local, so the only shuffle is the final canonical-key groupBy
+    (the same shape as dd_exact). At 100 TB this is step zero of web
+    corpus dedup: ~30% of crawl duplicates are URL-trivial and never
+    need to reach MinHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.expr("doc_id div 4")
+    host = F.concat(F.lit("h"), (k % 7).cast("string"), F.lit(".example.com"))
+    path = F.concat(F.lit("/docs/"), k.cast("string"))
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://"), host, path))
+        .when(
+            m == 1,
+            F.concat(F.lit("https://"), F.upper(host), path, F.lit("/")),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://"),
+                host,
+                path,
+                F.lit("?utm_source=feed&utm_campaign=x#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("HTTPS://"), host, F.lit(":443"), path)
+        )
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    proto = F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL")))
+    # parse_url HOST keeps the port when present — strip :443 then
+    # lowercase; the empty-string port case never arises here.
+    host_c = F.lower(
+        F.regexp_replace(
+            F.parse_url(F.col("url"), F.lit("HOST")), ":443$", ""
+        )
+    )
+    path_c = F.regexp_replace(
+        F.parse_url(F.col("url"), F.lit("PATH")), "/+$", ""
+    )
+    # drop utm_* params, then tidy separators left behind
+    q = F.parse_url(F.col("url"), F.lit("QUERY"))
+    q_c = F.regexp_replace(q, "(^|&)utm_[^&]*", "")
+    q_c = F.regexp_replace(q_c, "^&", "")
+    canon = F.concat(
+        proto,
+        F.lit("://"),
+        host_c,
+        path_c,
+        F.when(
+            q_c.isNotNull() & (q_c != ""), F.concat(F.lit("?"), q_c)
+        ).otherwise(F.lit("")),
+    )
+    return (
+        raw.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("rep_doc_id"),
+        )
+    )
+
+
+_BUCKET_DAYS = 7
+
+
+@query(
+    "j_interval_overlap",
+    # oracle: the plain inequality join DuckDB evaluates with its
+    # IEJoin — the semantics the bucketed plan must reproduce exactly
+    oracle=f"""
+    WITH l AS (
+      SELECT o_orderkey AS l_id, o_custkey % 40 AS key,
+             CAST(o_orderdate AS DATE) AS l_s,
+             CAST(o_orderdate AS DATE)
+               + INTERVAL (o_orderkey % 5 + 1) DAY AS l_e
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    r AS (
+      SELECT o_orderkey AS r_id, o_custkey % 40 AS key,
+             CAST(o_orderdate AS DATE) AS r_s,
+             CAST(o_orderdate AS DATE)
+               + INTERVAL (o_orderkey % 7 + 1) DAY AS r_e
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT l.key AS key, l_id, r_id,
+           CAST(date_diff('day',
+                greatest(l_s, r_s), least(l_e, r_e)) AS BIGINT)
+             AS overlap_days
+    FROM l JOIN r ON l.key = r.key AND l_s <= r_e AND r_s <= l_e
+    """,
+    survey_ref="beyond-reference: interval×interval overlap join via "
+    "coarse-bucket explosion + emit-once guard — the distributed "
+    "substitute for the nested-loop inequality join (extends "
+    "tj_range_join from point-in-interval to interval-interval)",
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (left, right) interval pairs sharing a key.
+
+    Each interval explodes into the 7-day buckets it touches (≤2 here:
+    intervals are 1–7 days); the join is then a plain (key, bucket)
+    equi-join + residual overlap predicate. A pair sharing several
+    buckets would duplicate, so emit ONLY in the first bucket both
+    occupy — bucket == max(l_start_bucket, r_start_bucket) — an O(1)
+    guard instead of a distinct shuffle.
+
+    Scale: candidate work is O(overlapping pairs + bucket collisions),
+    never |L|·|R|; bucket width trades replication (interval_len/width
+    copies) against collision fan-in, exactly like tj_range_join. Both
+    sides shuffle once on (key, bucket) — AQE handles a hot bucket."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def side(mod: int, id_alias: str, s_alias: str, e_alias: str, span_mod: int) -> DataFrame:
+        return orders.filter(F.col("o_orderkey") % 3 == mod).select(
+            F.col("o_orderkey").alias(id_alias),
+            (F.col("o_custkey") % 40).alias("key"),
+            F.to_date("o_orderdate").alias(s_alias),
+            F.date_add(
+                F.to_date("o_orderdate"),
+                (F.col("o_orderkey") % span_mod + 1).cast("int"),
+            ).alias(e_alias),
+        )
+
+    left = side(0, "l_id", "l_s", "l_e", 5)
+    right = side(1, "r_id", "r_s", "r_e", 7)
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        b_lo = F.expr(f"datediff({s}, DATE'1970-01-01') div {_BUCKET_DAYS}")
+        b_hi = F.expr(f"datediff({e}, DATE'1970-01-01') div {_BUCKET_DAYS}")
+        return df.withColumn(
+            "bucket", F.explode(F.sequence(b_lo, b_hi))
+        ).withColumn("s_bucket", b_lo)
+
+    lb = bucketed(left, "l_s", "l_e").withColumnRenamed("s_bucket", "l_sb")
+    rb = bucketed(right, "r_s", "r_e").withColumnRenamed("s_bucket", "r_sb")
+    joined = lb.join(rb, ["key", "bucket"]).filter(
+        (F.col("l_s") <= F.col("r_e"))
+        & (F.col("r_s") <= F.col("l_e"))
+        & (F.col("bucket") == F.greatest("l_sb", "r_sb"))
+    )
+    return joined.select(
+        F.col("key").cast("bigint").alias("key"),
+        "l_id",
+        "r_id",
+        F.datediff(
+            F.least("l_e", "r_e"), F.greatest("l_s", "r_s")
+        ).cast("bigint").alias("overlap_days"),
+    )

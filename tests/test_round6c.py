@@ -1,0 +1,183 @@
+"""Tests for the round-6 sixth wave (round6c_suite): sequence
+matching, majority-vote labels, bootstrap CIs, URL canonicalization,
+and the interval-overlap join — semantic invariants plus
+naive-equivalence proofs for the bucketed join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from oroboro_dw_dbt_spark.operators.round6c_suite import (
+    _B,
+    dd_url_canonical,
+    ev_sequence_match,
+    j_interval_overlap,
+    lab_majority_vote,
+    ml_bootstrap_ci,
+)
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+class TestSequenceMatch:
+    def test_chain_is_ordered_and_bounded(self, spark):
+        rows = ev_sequence_match(spark, SF01).collect()
+        assert rows
+        for r in rows:
+            assert r["view_ts"] < r["click_ts"] < r["purchase_ts"]
+            assert r["click_ts"] - r["view_ts"] <= dt.timedelta(days=3)
+            assert r["purchase_ts"] - r["click_ts"] <= dt.timedelta(days=3)
+            assert r["n_chains"] >= 1
+
+    def test_first_chain_vs_naive_scan(self, spark):
+        """Per user, the reported purchase_ts is the earliest purchase
+        with a qualifying click (itself preceded by a qualifying view)
+        — recomputed by a driver-side O(n²) scan at sf0.001."""
+        ev = (
+            load_table(spark, SF, "events")
+            .select("user_id", "event_id", "event_type", "ts")
+            .collect()
+        )
+        by_user: dict = {}
+        for r in ev:
+            by_user.setdefault(r["user_id"], []).append(r)
+        look = 3 * 86400  # the RANGE frame works at second resolution
+
+        def sec(r) -> int:
+            return int(r["ts"].timestamp())
+
+        expect = {}
+        for u, rs in by_user.items():
+            views = sorted(sec(r) for r in rs if r["event_type"] == "view")
+            clicks = sorted(
+                c
+                for r in rs
+                if r["event_type"] == "click"
+                for c in [sec(r)]
+                # click qualifies iff some view is 1..look seconds before
+                if any(c - look <= v <= c - 1 for v in views)
+            )
+            firsts = [
+                sec(r)
+                for r in rs
+                if r["event_type"] == "purchase"
+                and any(
+                    sec(r) - look <= c <= sec(r) - 1 for c in clicks
+                )
+            ]
+            if firsts:
+                expect[u] = dt.datetime.utcfromtimestamp(min(firsts))
+        got = {
+            r["user_id"]: r["purchase_ts"]
+            for r in ev_sequence_match(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_partition_independence(self, spark):
+        a = sorted(map(tuple, ev_sequence_match(spark, SF).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        try:
+            b = sorted(map(tuple, ev_sequence_match(spark, SF).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        assert a == b
+
+
+class TestMajorityVote:
+    def test_counts_and_accuracy(self, spark):
+        rows = lab_majority_vote(spark, SF01).collect()
+        n = sum(r["n_docs"] for r in rows)
+        docs = load_table(spark, SF01, "documents").count()
+        assert n == docs
+        # per-annotator flip 20% → majority error = 3·0.2²·0.8 + 0.2³
+        # = 0.104; accuracy ≈ 0.896 with sampling slack
+        correct = sum(r["n_correct"] for r in rows)
+        assert 0.85 < correct / n < 0.95
+        for r in rows:
+            assert 0 <= r["n_unanimous"] <= r["n_docs"]
+            assert 0 <= r["n_gold_pos"] <= r["n_docs"]
+
+
+class TestBootstrapCI:
+    def test_resample_shape_and_exactness(self, spark):
+        rows = ml_bootstrap_ci(spark, SF01).collect()
+        assert len(rows) == _B
+        docs = load_table(spark, SF01, "documents").count()
+        for r in rows:
+            # Poisson(1) weights: resample mass ≈ corpus size
+            assert 0.8 * docs < r["n_w"] < 1.2 * docs
+            # acc_ppm is exact integer floor division of the sums
+            assert r["acc_ppm"] == r["correct_w"] * 1_000_000 // r["n_w"]
+            # pred flips truth 15% → accuracy ≈ 0.85
+            assert 0.78 < r["acc_ppm"] / 1e6 < 0.92
+        # the whole point: the resamples differ (a CI exists)
+        assert len({r["acc_ppm"] for r in rows}) > 5
+
+    def test_deterministic(self, spark):
+        a = sorted(map(tuple, ml_bootstrap_ci(spark, SF).collect()))
+        b = sorted(map(tuple, ml_bootstrap_ci(spark, SF).collect()))
+        assert a == b
+
+
+class TestUrlCanonical:
+    def test_mass_conserved_and_canonical_clean(self, spark):
+        rows = dd_url_canonical(spark, SF01).collect()
+        docs = load_table(spark, SF01, "documents").count()
+        assert sum(r["n_docs"] for r in rows) == docs
+        for r in rows:
+            u = r["canonical_url"]
+            assert u.startswith("https://h")
+            assert u == u.lower()
+            assert ":443" not in u
+            assert "utm_" not in u and "#" not in u
+            assert not u.endswith("/")
+
+    def test_groups_merge_all_four_variants(self, spark):
+        # every full group of 4 consecutive doc_ids collapses to one
+        # canonical URL regardless of messiness class
+        rows = dd_url_canonical(spark, SF01).collect()
+        full = [r for r in rows if r["n_docs"] == 4]
+        assert len(full) >= len(rows) - 2  # at most edge groups partial
+
+
+class TestIntervalOverlap:
+    def test_equals_naive_inequality_join(self, spark):
+        """The bucketed plan must be LOSSLESS and DUPLICATE-FREE vs
+        the plain inequality join (which Spark can only run as a
+        broadcast nested loop — fine at sf0.001)."""
+        orders = load_table(spark, SF, "orders")
+
+        def side(mod, idc, s, e, span):
+            return orders.filter(F.col("o_orderkey") % 3 == mod).select(
+                F.col("o_orderkey").alias(idc),
+                (F.col("o_custkey") % 40).alias(f"{idc}_key"),
+                F.to_date("o_orderdate").alias(s),
+                F.date_add(
+                    F.to_date("o_orderdate"),
+                    (F.col("o_orderkey") % span + 1).cast("int"),
+                ).alias(e),
+            )
+
+        left = side(0, "l_id", "l_s", "l_e", 5)
+        right = side(1, "r_id", "r_s", "r_e", 7)
+        naive = (
+            left.join(
+                right,
+                (F.col("l_id_key") == F.col("r_id_key"))
+                & (F.col("l_s") <= F.col("r_e"))
+                & (F.col("r_s") <= F.col("l_e")),
+            )
+            .select("l_id", "r_id")
+            .collect()
+        )
+        got = j_interval_overlap(spark, SF).select("l_id", "r_id").collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
+
+    def test_overlap_days_nonneg(self, spark):
+        rows = j_interval_overlap(spark, SF01).collect()
+        assert rows
+        assert all(r["overlap_days"] >= 0 for r in rows)
