@@ -184,6 +184,7 @@ class ManifestParquetFormat:
         }
         if stats_cols:
             meta["file_stats"] = self._collect_file_stats(data_dir, stats_cols)
+        meta["file_rows"] = self._collect_file_rows(data_dir)
         (mdir / f"snap-{version:06d}.json").write_text(json.dumps(meta))
         return version
 
@@ -267,6 +268,68 @@ class ManifestParquetFormat:
                 if los:
                     per_col[col] = [min(los), max(his)]
             out[str(f.relative_to(data_dir))] = per_col
+        return out
+
+    @staticmethod
+    def _collect_file_rows(data_dir: Path) -> dict[str, int]:
+        """{relative file: row count} from parquet footers only — the
+        same one-footer-read-per-file cost class as the zone maps, paid
+        once at write time so COUNT-style queries never need the data."""
+        import pyarrow.parquet as pq
+
+        return {
+            str(f.relative_to(data_dir)): pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(data_dir.rglob("*.parquet"))
+        }
+
+    def stats_summary(
+        self, path: Path, cols: tuple[str, ...] = (), version: int | None = None
+    ) -> dict:
+        """Aggregates served from the MANIFEST alone — no data scan:
+        ``{"n_rows": total, col: [global_min, global_max], ...}``.
+
+        This is the metadata-only fast path warehouses use for
+        ``COUNT(*)`` / ``MIN`` / ``MAX``: at 100 TB it answers from KBs
+        of manifest instead of the table. Strictly honest by
+        construction — it REFUSES (raises) whenever the manifest can't
+        prove the answer: merge-on-read delete vectors present (rows
+        are masked at read time, so footer counts overstate), a
+        pre-``file_rows`` manifest, or a requested column missing
+        bounds for any file (stats-less row group / non-orderable
+        type). MIN/MAX honesty also needs the no-deletes guard: a
+        masked row may BE the extremum."""
+        path = Path(path)
+        v = version if version is not None else self.current_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        meta = self._snapshot_meta(path, v)
+        if meta.get("delete_files"):
+            raise ValueError(
+                f"stats_summary refused: v{v} has delete vectors; counts "
+                "and extrema require a scan (or compact_deletes first)"
+            )
+        file_rows = meta.get("file_rows")
+        if file_rows is None:
+            raise ValueError(
+                f"stats_summary refused: v{v} predates file_rows manifests"
+            )
+        out: dict = {"n_rows": sum(file_rows.values())}
+        stats = meta.get("file_stats", {})
+        for col in cols:
+            los, his = [], []
+            for f, per_col in stats.items():
+                if col not in per_col:
+                    raise ValueError(
+                        f"stats_summary refused: file {f} has no bounds "
+                        f"for {col!r}"
+                    )
+                los.append(per_col[col][0])
+                his.append(per_col[col][1])
+            if not los or len(los) != len(file_rows):
+                raise ValueError(
+                    f"stats_summary refused: incomplete bounds for {col!r}"
+                )
+            out[col] = [min(los), max(his)]
         return out
 
     def prune_files(

@@ -509,3 +509,211 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("l_e", "r_e"), F.greatest("l_s", "r_s")
         ).cast("bigint").alias("overlap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only aggregates: COUNT/MIN/MAX served from the manifest.
+# ---------------------------------------------------------------------------
+@query(
+    "eng_metadata_count",
+    # the oracle recomputes the same aggregates by SCANNING the source
+    # table — a hash match proves the manifest's footer-derived numbers
+    # equal ground truth exactly
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(ts) AS ts_min, max(ts) AS ts_max,
+           CAST(min(user_id) AS BIGINT) AS user_min,
+           CAST(max(user_id) AS BIGINT) AS user_max
+    FROM events
+    """,
+    survey_ref="engine: metadata-only COUNT/MIN/MAX "
+    "(ManifestParquetFormat.stats_summary — the manifest fast path, "
+    "refused whenever delete vectors could falsify it)",
+)
+def eng_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*)/MIN/MAX answered from the manifest, zero data scan.
+
+    The builder lands events as a manifest table (footer row counts +
+    ts/user_id zone maps collected at write time), then the aggregate
+    row is assembled from ``stats_summary`` — pure driver-side JSON,
+    KBs at any table size. The oracle scans; we don't. The summary
+    REFUSES under delete vectors / missing bounds rather than guess
+    (pytest covers the refusals) — the honesty contract that makes a
+    metadata fast path safe to wire into a planner."""
+    import datetime as dt
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+
+    table = Path(tempfile.mkdtemp(prefix="meta_wh_")) / "events_meta"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    fmt = ManifestParquetFormat()
+    fmt.write(events.repartition(8), table, stats_cols=("ts", "user_id"))
+    s = fmt.stats_summary(table, cols=("ts", "user_id"))
+    row = (
+        int(s["n_rows"]),
+        dt.datetime.fromisoformat(s["ts"][0]),
+        dt.datetime.fromisoformat(s["ts"][1]),
+        int(s["user_id"][0]),
+        int(s["user_id"][1]),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("ts_min", T.TimestampType()),
+            T.StructField("ts_max", T.TimestampType()),
+            T.StructField("user_min", T.LongType()),
+            T.StructField("user_max", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame([row], schema)
+
+
+# ---------------------------------------------------------------------------
+# Watermarked LEFT-OUTER stream-stream join over a planned feed.
+# ---------------------------------------------------------------------------
+def _join_outer_oracle() -> str:
+    from oroboro_dw_dbt_spark.sources.pydatasource import (
+        JOIN_BOUND_S,
+        JOIN_PLAN,
+        JOIN_SENTINEL_L,
+    )
+
+    def vals(side: str) -> str:
+        return ", ".join(
+            f"({i}, {u}, {ep})"
+            for batch in JOIN_PLAN
+            for s, i, u, ep in batch
+            if s == side
+        )
+
+    return f"""
+    WITH l(l_id, user_id, l_ep) AS (VALUES {vals("L")}),
+    r(r_id, r_user, r_ep) AS (VALUES {vals("R")})
+    SELECT CAST(l_id AS BIGINT) AS l_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(l_ep AS BIGINT) AS l_ep,
+           CAST(r_id AS BIGINT) AS r_id,
+           CAST(r_ep AS BIGINT) AS r_ep
+    FROM l LEFT JOIN r
+      ON r_user = user_id AND r_ep BETWEEN l_ep AND l_ep + {JOIN_BOUND_S}
+    WHERE l_id <> {JOIN_SENTINEL_L}
+    """
+
+
+@query(
+    "st_stream_join_outer",
+    # the oracle is the BATCH left join over the same planned rows,
+    # excluding the left sentinel (whose state the stream must never
+    # flush). A hash match certifies all four contracts at once:
+    # matches emit, unmatched-left emits NULL after eviction,
+    # unmatched-right emits nothing, unevicted state emits nothing.
+    oracle=_join_outer_oracle(),
+    survey_ref="streaming semantics: watermarked LEFT OUTER "
+    "stream-stream join — NULL emission is an eviction-time decision, "
+    "certified over a planned two-sided feed "
+    "(sources/pydatasource.py JOIN_PLAN)",
+)
+def st_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream join: the NULL rows are the contract.
+
+    Inner stream-stream joins emit on match; the OUTER variant also
+    has to decide a negative — "this left row will never match" — and
+    that decision is only sound at watermark eviction time. The feed's
+    per-side event times are monotone (nothing arrives late) and the
+    closing sentinels push both sides' watermarks past every real
+    row's bound, so the final sink content is decidable on paper under
+    any watermark-effectiveness lag (the lesson LATE_PLAN encodes).
+
+    Scale: state is watermark-bounded on both sides (the time-bound
+    join condition is what permits GC); NULL emission adds no extra
+    shuffle — it rides the eviction sweep. The poll-settle-recheck
+    drain asserts no EXTRA rows trickle out after the expected set."""
+    import time
+    import uuid
+
+    from oroboro_dw_dbt_spark.sources.pydatasource import (
+        JOIN_BOUND_S,
+        JOIN_PLAN,
+        JOIN_SENTINEL_L,
+        register_joinfeed,
+    )
+
+    register_joinfeed(spark)
+    # expected final row count, derived from the plan itself
+    lefts = [
+        (i, u, ep) for b in JOIN_PLAN for s, i, u, ep in b if s == "L"
+    ]
+    rights = [
+        (i, u, ep) for b in JOIN_PLAN for s, i, u, ep in b if s == "R"
+    ]
+    expected = sum(
+        max(
+            1,
+            sum(
+                1
+                for _, ru, rep in rights
+                if ru == u and ep <= rep <= ep + JOIN_BOUND_S
+            ),
+        )
+        for i, u, ep in lefts
+        if i != JOIN_SENTINEL_L
+    )
+
+    def side(tag: str, prefix: str):
+        return (
+            spark.readStream.format("joinfeed")
+            .load()
+            .filter(F.col("side") == tag)
+            .select(
+                F.col("id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.timestamp_seconds("ep").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", f"{JOIN_BOUND_S} seconds")
+        )
+
+    left, right = side("L", "l"), side("R", "r")
+    joined = left.join(
+        right,
+        (F.col("r_user") == F.col("l_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (
+            F.col("r_ts")
+            <= F.col("l_ts") + F.expr(f"INTERVAL {JOIN_BOUND_S} SECONDS")
+        ),
+        "leftOuter",
+    ).select(
+        "l_id",
+        F.col("l_user").alias("user_id"),
+        F.unix_timestamp("l_ts").alias("l_ep"),
+        "r_id",
+        F.unix_timestamp("r_ts").alias("r_ep"),
+    )
+    name = f"joinfeed_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("join feed did not flush within 120 s")
+        # settle: a buggy extra emission (e.g. the sentinel flushing)
+        # must FAIL the gate, not race past it
+        time.sleep(2.0)
+    finally:
+        q.stop()
+    return spark.table(name)

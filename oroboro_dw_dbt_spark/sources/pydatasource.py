@@ -203,3 +203,89 @@ class LateFeedDataSource(DataSource):
 
 def register_latefeed(spark) -> None:
     spark.dataSource.register(LateFeedDataSource)
+
+# ---------------------------------------------------------------------------
+# Planned two-sided feed: OUTER stream-stream join made deterministic
+# ---------------------------------------------------------------------------
+# One feed carries both join sides (column ``side``); the entry reads
+# it twice and filters, so each side replays the same batch plan. The
+# left-outer join's NULL rows only materialize when the GLOBAL
+# watermark (min over both sides) passes a left row's join upper bound
+# and its state is evicted — the batch plan below makes that final
+# content decidable on paper under ANY watermark-effectiveness lag,
+# because per side event times are monotone (nothing ever arrives
+# late) and the closing sentinels push the watermark past every real
+# row's bound on BOTH sides:
+#
+#   batch 0: L rows u1@0, u2@60, u3@120; R rows u1@300 (matches u1's
+#            left row), u9@200 (right-only: must NOT appear)
+#   batch 1: L u4@2000 (stays unmatched); R u2@500 (matches u2@60:
+#            500 ∈ [60, 660]), u7@2100 (right-only)
+#   batch 2: sentinels L u98@100000, R u99@100000 — watermark → 99400,
+#            evicting u3@120 and u4@2000 unmatched (→ NULL rows); the
+#            left sentinel itself is never evicted and must NOT emit.
+#
+# Expected final sink: 2 matched + 2 NULL-extended rows, exactly.
+#
+# Event times sit on a +10000 s base: the engine's initial watermark is
+# epoch 0, and a row whose event time EQUALS the watermark is dropped
+# on arrival at the join's late-row filter (observed: a left row at
+# ep=0 vanished — neither matched nor NULL). Real feeds never straddle
+# the epoch; the base keeps the plan away from that boundary artifact.
+_JB = 10000
+
+JOIN_PLAN: list[list[tuple[str, int, int, int]]] = [
+    [
+        ("L", 0, 1, _JB + 0),
+        ("L", 1, 2, _JB + 60),
+        ("L", 2, 3, _JB + 120),
+        ("R", 100, 1, _JB + 300),
+        ("R", 109, 9, _JB + 200),
+    ],
+    [
+        ("L", 3, 4, _JB + 2000),
+        ("R", 101, 2, _JB + 500),
+        ("R", 102, 7, _JB + 2100),
+    ],
+    [("L", 98, 98, _JB + 100000), ("R", 199, 99, _JB + 100000)],
+]
+JOIN_BOUND_S = 600  # r.ep ∈ [l.ep, l.ep + bound]
+JOIN_SENTINEL_L = 98
+
+
+class JoinFeedReader(SimpleDataSourceStreamReader):
+    """Replays JOIN_PLAN one batch per micro-batch (offset = batch
+    index), same protocol as LateFeedReader."""
+
+    def initialOffset(self):
+        return {"b": 0}
+
+    def read(self, start):
+        b = start["b"]
+        if b >= len(JOIN_PLAN):
+            return iter([]), {"b": b}
+        return iter(JOIN_PLAN[b]), {"b": b + 1}
+
+    def readBetweenOffsets(self, start, end):
+        rows: list[tuple[str, int, int, int]] = []
+        for b in range(start["b"], end["b"]):
+            rows.extend(JOIN_PLAN[b])
+        return iter(rows)
+
+
+class JoinFeedDataSource(DataSource):
+    """``spark.readStream.format("joinfeed")`` — the two-sided feed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "joinfeed"
+
+    def schema(self) -> str:
+        return "side string, id bigint, user_id bigint, ep bigint"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return JoinFeedReader()
+
+
+def register_joinfeed(spark) -> None:
+    spark.dataSource.register(JoinFeedDataSource)

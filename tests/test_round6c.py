@@ -181,3 +181,62 @@ class TestIntervalOverlap:
         rows = j_interval_overlap(spark, SF01).collect()
         assert rows
         assert all(r["overlap_days"] >= 0 for r in rows)
+
+
+class TestStatsSummary:
+    def _table(self, spark, tmp_path, stats_cols=("user_id",)):
+        from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+
+        fmt = ManifestParquetFormat()
+        df = load_table(spark, SF, "events").select("event_id", "user_id")
+        fmt.write(df.repartition(4), tmp_path / "t", stats_cols=stats_cols)
+        return fmt, tmp_path / "t", df
+
+    def test_matches_scan(self, spark, tmp_path):
+        fmt, t, df = self._table(spark, tmp_path)
+        s = fmt.stats_summary(t, cols=("user_id",))
+        row = df.agg(
+            F.count(F.lit(1)), F.min("user_id"), F.max("user_id")
+        ).first()
+        assert s["n_rows"] == row[0]
+        assert s["user_id"] == [row[1], row[2]]
+
+    def test_refuses_under_delete_vectors(self, spark, tmp_path):
+        import pytest
+
+        fmt, t, df = self._table(spark, tmp_path)
+        fmt.delete_keys(spark, t, df.select("event_id").limit(3), "event_id")
+        with pytest.raises(ValueError, match="delete vectors"):
+            fmt.stats_summary(t)
+
+    def test_refuses_missing_bounds(self, spark, tmp_path):
+        import pytest
+
+        fmt, t, _ = self._table(spark, tmp_path, stats_cols=())
+        with pytest.raises(ValueError, match="bounds"):
+            fmt.stats_summary(t, cols=("user_id",))
+        # but the pure count is still provable
+        assert fmt.stats_summary(t)["n_rows"] > 0
+
+
+class TestStreamJoinOuter:
+    def test_expected_content(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            st_stream_join_outer,
+        )
+        from oroboro_dw_dbt_spark.sources.pydatasource import (
+            JOIN_SENTINEL_L,
+        )
+
+        rows = sorted(
+            map(tuple, st_stream_join_outer(spark, SF).collect())
+        )
+        assert len(rows) == 4
+        matched = [r for r in rows if r[3] is not None]
+        nulls = [r for r in rows if r[3] is None]
+        assert len(matched) == 2 and len(nulls) == 2
+        # the left sentinel's state must never flush
+        assert all(r[0] != JOIN_SENTINEL_L for r in rows)
+        # matches respect the time bound
+        for _, _, l_ep, _, r_ep in matched:
+            assert l_ep <= r_ep <= l_ep + 600
