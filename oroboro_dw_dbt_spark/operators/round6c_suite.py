@@ -717,3 +717,253 @@ def st_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (batch F.session_window == gaps-and-islands).
+# ---------------------------------------------------------------------------
+_GAP_MIN = 30
+_CENTS = "CAST(round(CAST(value AS DECIMAL(12,4)) * 100, 0) AS BIGINT)"
+
+
+@query(
+    "w_session_window",
+    # the oracle is the classic gaps-and-islands spelling: session id =
+    # running count of >30-min gaps per user; Spark runs the NATIVE
+    # session_window operator — the hash match certifies the two
+    # formulations compute the identical sessionization
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, {_CENTS} AS cents,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                  > {_GAP_MIN} * 60 * 1000000 OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT *,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM e
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {_GAP_MIN} MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM s GROUP BY user_id, session_id
+    """,
+    survey_ref="beyond-reference: native batch session windows "
+    "(F.session_window) certified against the gaps-and-islands SQL "
+    "spelling — the two sessionization idioms proven equivalent",
+)
+def w_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap sessions via the NATIVE session_window.
+
+    The engine's session operator merges overlapping [ts, ts+gap)
+    intervals inside a single aggregation — one shuffle on user_id,
+    no window-function pass at all (contrast sessionize_batch's
+    lag+cumsum, and the streaming twin st_sessionize). Certifying it
+    against the gaps-and-islands oracle pins the exact boundary
+    semantics (session end = last event + gap; a gap of EXACTLY 30
+    min merges — [start, start+gap) intervals touching counts as
+    overlap on both engines' definitions)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value").cast("decimal(12,4)") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", f"{_GAP_MIN} minutes")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-line source: the last cell of the source-format matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "eng_text_source",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+    survey_ref="S1 sources: text-line format (spark.read.text) — "
+    "completing the CSV/JSON/ORC/parquet source matrix with the "
+    "delimited-line roundtrip",
+)
+def eng_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip documents through a text-line landing zone.
+
+    Writes one pipe-delimited line per doc (spark.write.text), reads
+    the directory back with the text source, and re-derives the typed
+    columns — the log-file/JSONL-adjacent ingest shape every pipeline
+    starts from. Split is bounded (split(_, '|', 3)) so text bodies
+    containing the delimiter would not shift columns; the aggregate
+    certifies the parse recovered every row and value exactly."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="text_src_") + "/docs"
+    lines = docs.select(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            "lang",
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.text(out)
+        .select(F.split("value", "\\|", 3).alias("p"))
+        .select(
+            F.col("p")[0].cast("bigint").alias("doc_id"),
+            F.col("p")[1].alias("lang"),
+            F.col("p")[2].cast("bigint").alias("n_chars"),
+        )
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas: Spark 4's arbitrary-stateful API.
+#
+# NOT a catalog entry in this container: the TWS state protocol speaks
+# protobuf between the JVM and the Python driver worker, and
+# google.protobuf is absent here (no pip installs) — the query crashes
+# at StateMessage_pb2 import, observed and pinned in
+# tests/test_round6c.py::TestTransformWithState (importorskip). The
+# builder below is complete and oracle-shaped; in an environment with
+# protobuf it certifies by the same batch-aggregate comparison, and
+# applyInPandasWithState (st_stateful_sessions) covers the
+# arbitrary-stateful contract in the gate meanwhile.
+# ---------------------------------------------------------------------------
+def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals through a custom StatefulProcessor.
+
+    The processor keeps (n, cents) in ValueState and emits the updated
+    snapshot for every key that saw input in a micro-batch; with
+    maxFilesPerTrigger=2 over 8 files the feed is a REAL 4-batch
+    stream, so a state-loss bug (e.g. state not persisted between
+    batches) yields terminal snapshots below the batch totals and
+    fails the hash. Terminal selection is argmax by n — emission
+    counts per user depend on batching, the terminal value doesn't.
+
+    Scale: this is the API for operators watermarks can't express
+    (per-key models, CDC folds with custom conflict rules); state
+    lives in RocksDB per partition, sized by keys not events."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from oroboro_dw_dbt_spark.streaming.jobs import _events_stream_dir
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = T.StructType(
+                [
+                    T.StructField("n", T.LongType()),
+                    T.StructField("cents", T.LongType()),
+                ]
+            )
+            self._agg = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                tuple(self._agg.get()) if self._agg.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    import uuid
+
+    src_dir = _events_stream_dir(spark, sf_dir)
+    from oroboro_dw_dbt_spark.streaming.jobs import EVENTS_SCHEMA
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+            .select(
+                "user_id",
+                F.round(F.col("value").cast("decimal(12,4)") * 100, 0)
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+        snapshots = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id bigint, n bigint, cents bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            snapshots.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.expr("max_by(cents, n)").cast("bigint").alias("cents"),
+        )
+    )
