@@ -84,6 +84,9 @@ HEADLINE = [
     # streaming drift monitor (real stream + settled-state PSI)
     "ml_auc_rank",
     "st_drift_monitor",
+    # round 6 sixth wave: MATCH_RECOGNIZE-shape sequence detection
+    # (two stacked RANGE windows over one per-user sort)
+    "ev_sequence_match",
 ]
 
 
