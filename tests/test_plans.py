@@ -320,3 +320,45 @@ class TestIterativeAndAnnPlanShapes:
         # the exact join sits ABOVE the semi filter in the printed tree
         join_pos = plan.index("l_orderkey = o_orderkey") if "l_orderkey = o_orderkey" in plan else plan.index("Join")
         assert join_pos < semi  # top-down print: outer join first
+
+
+class TestRound6cPlanShapes:
+    def test_sequence_match_one_exchange(self, spark):
+        """All four window ops (two RANGE frames, row_number, count)
+        partition by user_id — ONE Exchange total. A refactor that
+        repartitions between passes doubles the shuffle on the fact."""
+        df = QUERIES["ev_sequence_match"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan.count("Exchange")
+        assert "Join" not in plan, "a per-step self-join crept back in"
+
+    def test_interval_overlap_is_an_equi_join(self, spark):
+        """The bucket-explode formulation must compile to a HASH-
+        partitionable equi-join — never a nested loop / cartesian
+        (which is what the raw inequality predicate would force)."""
+        df = QUERIES["j_interval_overlap"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+        assert "Generate" in plan  # the bucket explode survived
+
+    def test_session_window_single_shuffle(self, spark):
+        """Native session_window: interval merge inside ONE user_id
+        aggregation — one Exchange, one Sort, zero window-function
+        passes (contrast the lag+cumsum spelling, 1 window + 1 agg)."""
+        df = QUERIES["w_session_window"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan.count("Exchange")
+        assert plan.count("Sort ") == 1, plan.count("Sort ")
+
+    def test_bootstrap_resamples_never_widen_the_shuffle(self, spark):
+        """ml_bootstrap_ci: the ×32 explode happens map-side under a
+        partial aggregate — the shuffle carries ≤32 rows per partition,
+        asserted as: exactly one Exchange, and a partial HashAggregate
+        BELOW it (map-side combine on b)."""
+        df = QUERIES["ml_bootstrap_ci"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan.count("Exchange")
+        body = plan.split("Exchange", 1)[1]
+        assert "HashAggregate" in body, "no map-side partial aggregate"
