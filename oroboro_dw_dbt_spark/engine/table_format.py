@@ -345,7 +345,7 @@ class ManifestParquetFormat:
             raise FileNotFoundError(f"no committed snapshot at {path}")
         meta = self._snapshot_meta(path, v)
         stats = meta.get("file_stats", {})
-        data_dir = path / meta["data_dir"]
+        data_dir = self._resolve_data_dir(path, meta)
         if not stats:
             files = sorted(data_dir.rglob("*.parquet"))
             return files, len(files)
@@ -412,8 +412,15 @@ class ManifestParquetFormat:
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {path}")
         meta = self._snapshot_meta(path, v)
-        df = spark.read.parquet(str(path / meta["data_dir"]))
+        df = spark.read.parquet(str(self._resolve_data_dir(path, meta)))
         return self._apply_delete_vectors(spark, path, meta, df)
+
+    @staticmethod
+    def _resolve_data_dir(path: Path, meta: dict) -> Path:
+        """A snapshot's data dir: local (relative to the table) for
+        normal snapshots, absolute for shallow clones (``clone``)."""
+        ext = meta.get("external_data_dir")
+        return Path(ext) if ext else Path(path) / meta["data_dir"]
 
     @staticmethod
     def _apply_delete_vectors(
@@ -473,20 +480,112 @@ class ManifestParquetFormat:
                 "out or delete by a non-nullable key"
             )
         key_set.write.mode("overwrite").parquet(str(path / delete_file))
+        new_meta = {
+            "version": version,
+            "data_dir": meta["data_dir"],
+            "partition_by": meta.get("partition_by", []),
+            "delete_key": key_col,
+            "delete_files": meta.get("delete_files", []) + [delete_file],
+            "committed_at_unix": time.time(),
+        }
+        if meta.get("external_data_dir"):  # clones keep their source ref
+            new_meta["external_data_dir"] = meta["external_data_dir"]
         (self._manifest_dir(path) / f"snap-{version:06d}.json").write_text(
-            json.dumps(
-                {
-                    "version": version,
-                    "data_dir": meta["data_dir"],
-                    "partition_by": meta.get("partition_by", []),
-                    "delete_key": key_col,
-                    "delete_files": meta.get("delete_files", []) + [delete_file],
-                    "committed_at_unix": time.time(),
-                }
-            )
+            json.dumps(new_meta)
         )
         self._commit(path, version)
         return version
+
+    # -- restore + shallow clone (Delta RESTORE / CREATE TABLE CLONE) ------
+
+    def restore(self, path: Path, version: int) -> int:
+        """Roll the table back to ``version`` AS A NEW COMMIT: the new
+        snapshot re-references the old version's (immutable) data dir
+        and delete vectors — nothing is rewritten or lost, and the
+        mis-write being undone stays readable via time travel. Because
+        the restored snapshot is now CURRENT, ``vacuum`` keeps the
+        shared data dir alive even after the old snapshot json ages
+        out. O(1) metadata, any table size."""
+        path = Path(path)
+        target = self._snapshot_meta(path, version)  # raises if absent
+        cur = self.current_version(path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        new_v = cur + 1
+        meta = {
+            k: target[k]
+            for k in (
+                "data_dir",
+                "partition_by",
+                "delete_key",
+                "delete_files",
+                "external_data_dir",
+                "file_stats",
+                "file_rows",
+            )
+            if k in target
+        }
+        meta.update(
+            {
+                "version": new_v,
+                "restored_from": version,
+                "committed_at_unix": time.time(),
+            }
+        )
+        (self._manifest_dir(path) / f"snap-{new_v:06d}.json").write_text(
+            json.dumps(meta)
+        )
+        self._commit(path, new_v)
+        return new_v
+
+    def clone(
+        self, src: Path, dst: Path, version: int | None = None
+    ) -> int:
+        """SHALLOW clone: a new table whose first snapshot references
+        the source snapshot's data files in place (absolute path) —
+        zero data copied, O(1) metadata, the CREATE TABLE ... CLONE
+        shape. The clone then evolves independently: its own deletes,
+        overwrites and branches land under ``dst`` and never touch the
+        source; new source commits never move the clone (it pins the
+        cloned version).
+
+        Refused when the source snapshot carries delete vectors —
+        compact them first (``compact_deletes``) so the clone's
+        lineage starts from plain immutable files. KNOWN LIMITATION
+        (same as Delta shallow clones): vacuuming the SOURCE can
+        reclaim data files the clone still references; production
+        would track external references in the source catalog —
+        documented rather than half-solved here."""
+        src, dst = Path(src), Path(dst)
+        v = version if version is not None else self.current_version(src)
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {src}")
+        if self.current_version(dst) is not None:
+            raise FileExistsError(f"clone target {dst} already exists")
+        smeta = self._snapshot_meta(src, v)
+        if smeta.get("delete_files"):
+            raise ValueError(
+                "clone refused: source snapshot has delete vectors; "
+                "run compact_deletes first"
+            )
+        mdir = self._manifest_dir(dst)
+        mdir.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "version": 1,
+            "data_dir": smeta["data_dir"],
+            "external_data_dir": str(
+                (src / smeta["data_dir"]).resolve()
+            ),
+            "partition_by": smeta.get("partition_by", []),
+            "cloned_from": {"path": str(src), "version": v},
+            "committed_at_unix": time.time(),
+        }
+        for k in ("file_stats", "file_rows"):
+            if k in smeta:
+                meta[k] = smeta[k]
+        (mdir / "snap-000001.json").write_text(json.dumps(meta))
+        self._commit(dst, 1)
+        return 1
 
     # -- branches (named pointers; the Iceberg branch/tag shape) -----------
 

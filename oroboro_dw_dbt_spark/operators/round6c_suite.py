@@ -967,3 +967,240 @@ def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_by(cents, n)").cast("bigint").alias("cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression metrics: the eval family's missing half.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_regression_metrics",
+    # y = event cents, ŷ = y + deterministic ±1000-cent noise. Every
+    # sufficient statistic is an exact integer (decimal(38,0) for the
+    # n·Σy² products); RMSE's sqrt is IEEE-exact (correctly rounded on
+    # every conforming libm), so even the derived doubles hash-match.
+    oracle=f"""
+    WITH d AS (
+      SELECT {_CENTS} AS y,
+             {_CENTS} + ((event_id * 37 + 11) % 2001 - 1000) AS yhat
+      FROM events
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(y - yhat AS HUGEINT) * (y - yhat)) AS BIGINT)
+               AS sse,
+             CAST(sum(abs(y - yhat)) AS BIGINT) AS sae
+      FROM d
+    )
+    SELECT n, sse, sae,
+           sqrt(CAST(sse AS DOUBLE) / n) AS rmse,
+           CAST(sae AS DOUBLE) / n AS mae,
+           1.0 - CAST(n AS DOUBLE) * sse
+                 / CAST(n * syy - sy * sy AS DOUBLE) AS r2
+    FROM s
+    """,
+    survey_ref="beyond-reference: regression metrics (RMSE/MAE/R²) "
+    "from one pass of exact integer sufficient statistics — "
+    "completing ml_eval's classification-only metric set",
+)
+def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact RMSE / MAE / R² in a single aggregate pass.
+
+    SSE, SAE, Σy, Σy² are integers (cents); R² uses the mean-free
+    identity n·Σ(y−ȳ)² = n·Σy² − (Σy)², kept exact in decimal(38,0)
+    (DuckDB HUGEINT) — at 10⁹ rows of 10⁵-cent values n·Σy² ≈ 10²⁴,
+    past BIGINT but far inside 38 digits. One division (and one IEEE
+    sqrt) at the very end. Scale: a combining aggregate — map-side
+    partials, one 5-number row on the wire."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (
+        F.round(F.col("value").cast("decimal(12,4)") * 100, 0)
+        .cast("bigint")
+    )
+    d = e.select(
+        cents.alias("y"),
+        (cents + ((F.col("event_id") * 37 + 11) % 2001 - 1000)).alias(
+            "yhat"
+        ),
+    )
+    err = F.col("y") - F.col("yhat")
+    dec = "decimal(38,0)"
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(err * err).cast("bigint").alias("sse"),
+        F.sum(F.abs(err)).cast("bigint").alias("sae"),
+    )
+    return s.select(
+        "n",
+        "sse",
+        "sae",
+        F.sqrt(F.col("sse").cast("double") / F.col("n")).alias("rmse"),
+        (F.col("sae").cast("double") / F.col("n")).alias("mae"),
+        (
+            F.lit(1.0)
+            - F.col("n").cast("double")
+            * F.col("sse")
+            / (
+                F.col("n").cast(dec) * F.col("syy")
+                - F.col("sy") * F.col("sy")
+            ).cast("double")
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Version restore + shallow clone: the last two lifecycle verbs.
+# ---------------------------------------------------------------------------
+def _user_cents_state(sf_dir_expr: str, drop_mod: str) -> str:
+    return f"""
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({_CENTS}) AS BIGINT) AS cents
+      FROM events {drop_mod} GROUP BY user_id
+    """
+
+
+@query(
+    "eng_restore_version",
+    # phases: v2 (the "bad" overwrite drops %3 users), the restore
+    # (back to the full v1 state), and post-vacuum (restore must keep
+    # the shared data dir alive because it IS current)
+    oracle=f"""
+    WITH v1 AS ({_user_cents_state("", "")}),
+    v2 AS ({_user_cents_state("", "WHERE user_id % 3 <> 0")}),
+    ph AS (
+      SELECT 'bad_overwrite' AS phase, count(*) AS n_users,
+             sum(cents) AS cents FROM v2
+      UNION ALL
+      SELECT 'restored', count(*), sum(cents) FROM v1
+      UNION ALL
+      SELECT 'post_vacuum', count(*), sum(cents) FROM v1
+    )
+    SELECT phase, CAST(n_users AS BIGINT) AS n_users,
+           CAST(cents AS BIGINT) AS cents
+    FROM ph
+    """,
+    survey_ref="engine: RESTORE to version as a new commit "
+    "(ManifestParquetFormat.restore) — O(1) metadata rollback, "
+    "vacuum-safe because the restored snapshot is current",
+)
+def eng_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undo a bad overwrite with a metadata-only RESTORE, then prove
+    vacuum keeps the restored (shared) data dir alive.
+
+    v1 = per-user totals; v2 = a 'bad' overwrite that lost every %3
+    user; restore(v1) becomes v3 re-referencing v1's immutable files
+    (nothing rewritten); vacuum(keep_last=1) reclaims v2's dir but the
+    restored state survives — the rollback contract at any scale."""
+    import tempfile
+    from pathlib import Path
+
+    from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+
+    table = Path(tempfile.mkdtemp(prefix="restore_wh_")) / "t"
+    fmt = ManifestParquetFormat()
+    e = load_table(spark, sf_dir, "events")
+    cents = (
+        F.round(F.col("value").cast("decimal(12,4)") * 100, 0)
+        .cast("bigint")
+    )
+    state = e.select("user_id", cents.alias("c")).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("cents"),
+    )
+    fmt.write(state, table)  # v1
+    fmt.write(state.filter(F.col("user_id") % 3 != 0), table)  # v2: bad
+
+    # each phase must be MATERIALIZED at its point in the lifecycle —
+    # lazy phase frames would all evaluate after vacuum reclaimed v2
+    def rollup(df: DataFrame, phase: str) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).cast("bigint"),
+            F.sum("cents").cast("bigint"),
+        ).first()
+        return (phase, r[0], r[1])
+
+    phases = [rollup(fmt.read(spark, table), "bad_overwrite")]
+    fmt.restore(table, 1)  # v3 == v1 content
+    phases.append(rollup(fmt.read(spark, table), "restored"))
+    fmt.vacuum(table, keep_last=1)
+    phases.append(rollup(fmt.read(spark, table), "post_vacuum"))
+    return spark.createDataFrame(
+        phases, "phase string, n_users bigint, cents bigint"
+    )
+
+
+@query(
+    "eng_shallow_clone",
+    # phases: the clone equals the source snapshot; a later SOURCE
+    # overwrite must not move the clone (it pins the version); deletes
+    # on the CLONE must not touch the source
+    oracle=f"""
+    WITH v1 AS ({_user_cents_state("", "")}),
+    ph AS (
+      SELECT 'clone' AS phase, count(*) AS n_users, sum(cents) AS cents
+      FROM v1
+      UNION ALL
+      SELECT 'clone_after_src_overwrite', count(*), sum(cents) FROM v1
+      UNION ALL
+      SELECT 'clone_after_own_delete', count(*), sum(cents)
+      FROM v1 WHERE user_id % 5 <> 0
+      UNION ALL
+      SELECT 'src_final', count(*), sum(cents)
+      FROM v1 WHERE user_id % 3 <> 0
+    )
+    SELECT phase, CAST(n_users AS BIGINT) AS n_users,
+           CAST(cents AS BIGINT) AS cents
+    FROM ph
+    """,
+    survey_ref="engine: shallow clone (CREATE TABLE CLONE shape) — "
+    "zero-copy table fork with independent forward lifecycles "
+    "(ManifestParquetFormat.clone)",
+)
+def eng_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy clone, then prove both lifecycles are independent.
+
+    Clone pins source v1 in place (absolute data ref, no copy); the
+    source then overwrites (clone unmoved) and the clone then deletes
+    %5 users via its OWN merge-on-read vectors (source unmoved). At
+    100 TB a clone is how a team forks the corpus for an experiment
+    in O(1) — the alternative is a multi-day copy."""
+    import tempfile
+    from pathlib import Path
+
+    from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+
+    root = Path(tempfile.mkdtemp(prefix="clone_wh_"))
+    src, dst = root / "src", root / "clone"
+    fmt = ManifestParquetFormat()
+    e = load_table(spark, sf_dir, "events")
+    cents = (
+        F.round(F.col("value").cast("decimal(12,4)") * 100, 0)
+        .cast("bigint")
+    )
+    state = e.select("user_id", cents.alias("c")).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("cents"),
+    )
+    fmt.write(state, src)  # src v1
+    fmt.clone(src, dst)
+
+    def rollup(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        ).select(F.lit(phase).alias("phase"), "n_users", "cents")
+
+    out = rollup(fmt.read(spark, dst), "clone")
+    fmt.write(state.filter(F.col("user_id") % 3 != 0), src)  # src v2
+    out = out.unionByName(
+        rollup(fmt.read(spark, dst), "clone_after_src_overwrite")
+    )
+    doomed = state.filter(F.col("user_id") % 5 == 0).select("user_id")
+    fmt.delete_keys(spark, dst, doomed, "user_id")
+    out = out.unionByName(
+        rollup(fmt.read(spark, dst), "clone_after_own_delete")
+    )
+    return out.unionByName(rollup(fmt.read(spark, src), "src_final"))

@@ -317,3 +317,62 @@ class TestTextSource:
             .collect()
         }
         assert {r["lang"]: (r["n_docs"], r["chars"]) for r in rows} == exp
+
+
+class TestCloneRestore:
+    def _write(self, spark, path, mod=None):
+        from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+
+        fmt = ManifestParquetFormat()
+        df = load_table(spark, SF, "events").select("event_id", "user_id")
+        if mod is not None:
+            df = df.filter(F.col("user_id") % mod != 0)
+        fmt.write(df, path)
+        return fmt
+
+    def test_clone_is_zero_copy_and_pinned(self, spark, tmp_path):
+        fmt = self._write(spark, tmp_path / "src")
+        n1 = fmt.read(spark, tmp_path / "src").count()
+        fmt.clone(tmp_path / "src", tmp_path / "c")
+        # zero-copy: no parquet lands under the clone's own dir
+        assert not list((tmp_path / "c").rglob("*.parquet"))
+        assert fmt.read(spark, tmp_path / "c").count() == n1
+        # source moves on; clone stays pinned
+        self._write(spark, tmp_path / "src", mod=2)
+        assert fmt.read(spark, tmp_path / "c").count() == n1
+
+    def test_clone_refuses_delete_vectors_and_overwrite(self, spark, tmp_path):
+        import pytest
+
+        fmt = self._write(spark, tmp_path / "src")
+        df = fmt.read(spark, tmp_path / "src")
+        fmt.delete_keys(
+            spark, tmp_path / "src", df.select("event_id").limit(2), "event_id"
+        )
+        with pytest.raises(ValueError, match="delete vectors"):
+            fmt.clone(tmp_path / "src", tmp_path / "c")
+        fmt.clone(tmp_path / "src", tmp_path / "c2", version=1)  # pre-delete ok
+        with pytest.raises(FileExistsError):
+            fmt.clone(tmp_path / "src", tmp_path / "c2")
+
+    def test_restore_then_vacuum_keeps_shared_dir(self, spark, tmp_path):
+        fmt = self._write(spark, tmp_path / "t")
+        n1 = fmt.read(spark, tmp_path / "t").count()
+        self._write(spark, tmp_path / "t", mod=2)  # v2
+        v3 = fmt.restore(tmp_path / "t", 1)
+        assert v3 == 3
+        assert fmt.read(spark, tmp_path / "t").count() == n1
+        fmt.vacuum(tmp_path / "t", keep_last=1)
+        # v1's dir is shared with (current) v3 — must survive the vacuum
+        assert fmt.read(spark, tmp_path / "t").count() == n1
+
+    def test_restore_carries_delete_vectors(self, spark, tmp_path):
+        fmt = self._write(spark, tmp_path / "t")
+        df = fmt.read(spark, tmp_path / "t")
+        n1 = df.count()
+        fmt.delete_keys(
+            spark, tmp_path / "t", df.select("event_id").limit(3), "event_id"
+        )  # v2: n1-3 rows
+        self._write(spark, tmp_path / "t", mod=2)  # v3
+        fmt.restore(tmp_path / "t", 2)
+        assert fmt.read(spark, tmp_path / "t").count() == n1 - 3
