@@ -1204,3 +1204,155 @@ def eng_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup(fmt.read(spark, dst), "clone_after_own_delete")
     )
     return out.unionByName(rollup(fmt.read(spark, src), "src_final"))
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: two-proportion z from exact counts.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_ab_proportions",
+    # variant = user hash; converted = user has a >150-value purchase
+    # (mid-range rate at every sf — "any purchase" saturates to 1.0 and
+    # zeroes the z denominator). All four
+    # sufficient statistics are exact BIGINTs; rates and the pooled z
+    # are spelled as the IDENTICAL expression tree on both engines, so
+    # the final doubles match bit-for-bit (IEEE ops are deterministic
+    # given identical operand order).
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN (user_id * 2654435761) % 100 < 50
+                  THEN 'a' ELSE 'b' END AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(sum(CASE WHEN variant = 'a' THEN converted ELSE 0 END)
+             AS BIGINT) AS conv_a,
+        CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(sum(CASE WHEN variant = 'b' THEN converted ELSE 0 END)
+             AS BIGINT) AS conv_b
+      FROM u
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt(
+                 (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b)
+               ) AS z
+    FROM s
+    """,
+    survey_ref="beyond-reference: A/B two-proportion z-test from "
+    "exact counts — the experimentation readout (complements the "
+    "drift family's chi-square)",
+)
+def ml_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic 50/50 user split.
+
+    One per-user aggregate (did the user ever convert) then one
+    4-counter combining aggregate; rates and the pooled z derive from
+    those BIGINTs in a single final expression. Scale: the experiment
+    readout is O(users) map-side + 4 numbers on the wire — re-runnable
+    per metric/segment without touching the fact twice."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150)
+                ).cast("int")
+            ).alias("converted")
+        )
+        .select(
+            F.when(
+                (F.col("user_id") * F.lit(2654435761)) % 100 < 50, "a"
+            )
+            .otherwise("b")
+            .alias("variant"),
+            "converted",
+        )
+    )
+    s = u.agg(
+        F.sum((F.col("variant") == "a").cast("int"))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(
+            F.when(F.col("variant") == "a", F.col("converted")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum((F.col("variant") == "b").cast("int"))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == "b", F.col("converted")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        z.alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boolean-aggregate function surface.
+# ---------------------------------------------------------------------------
+@query(
+    "a_bool_agg_suite",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 0) AS all_pos,
+           bool_or(value > 990) AS any_high,
+           CAST(count_if(value > 500) AS BIGINT) AS n_big,
+           CAST(count_if(value IS NULL) AS BIGINT) AS n_null_val,
+           bool_and(user_id IS NOT NULL) AS users_complete
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="beyond-reference: boolean aggregate surface "
+    "(bool_and/bool_or/count_if) — the data-quality assertion "
+    "primitives as plain aggregates",
+)
+def a_bool_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or / count_if per group, NULL semantics pinned.
+
+    These are the aggregate forms data-quality checks compile to
+    (engine/tests.py's not_null is a count_if at heart). Row-local
+    predicates, one combining groupBy — map-side partials carry one
+    boolean/long per (group, aggregate)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_pos"),
+        F.bool_or(F.col("value") > 990).alias("any_high"),
+        F.count_if(F.col("value") > 500).cast("bigint").alias("n_big"),
+        F.count_if(F.col("value").isNull())
+        .cast("bigint")
+        .alias("n_null_val"),
+        F.bool_and(F.col("user_id").isNotNull()).alias("users_complete"),
+    )

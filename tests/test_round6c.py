@@ -376,3 +376,38 @@ class TestCloneRestore:
         self._write(spark, tmp_path / "t", mod=2)  # v3
         fmt.restore(tmp_path / "t", 2)
         assert fmt.read(spark, tmp_path / "t").count() == n1 - 3
+
+
+class TestAbAndBoolAgg:
+    def test_ab_counts_partition_users(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            ml_ab_proportions,
+        )
+
+        r = ml_ab_proportions(spark, SF01).first()
+        users = (
+            load_table(spark, SF01, "events")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert r["n_a"] + r["n_b"] == users
+        assert 0 < r["conv_a"] < r["n_a"]
+        assert 0 < r["conv_b"] < r["n_b"]
+        # z is finite and consistent with the rates' ordering
+        import math
+
+        assert math.isfinite(r["z"])
+        assert (r["z"] > 0) == (r["rate_a"] > r["rate_b"])
+
+    def test_bool_agg_consistency(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            a_bool_agg_suite,
+        )
+
+        for r in a_bool_agg_suite(spark, SF01).collect():
+            # any_high ⇒ n_big > 0 (990 > 500); all_pos over positive data
+            if r["any_high"]:
+                assert r["n_big"] > 0
+            assert r["n_null_val"] >= 0
+            assert r["users_complete"] is True
