@@ -1356,3 +1356,77 @@ def a_bool_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_val"),
         F.bool_and(F.col("user_id").isNotNull()).alias("users_complete"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite: replace only the partitions in the batch.
+# ---------------------------------------------------------------------------
+@query(
+    "eng_dynamic_partition_overwrite",
+    # late-arriving corrections for 3 days (cents doubled) land via
+    # dynamic overwrite; the other 27 day-partitions must be byte-
+    # untouched. The oracle states the expected blended table.
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day, user_id, {_CENTS} AS cents
+      FROM events
+    ),
+    blended AS (
+      SELECT day, user_id,
+             CASE WHEN dayofmonth(day) IN (5, 6, 7)
+                  THEN cents * 2 ELSE cents END AS cents
+      FROM base
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM blended GROUP BY day
+    """,
+    survey_ref="S4 sinks: dynamic partition overwrite "
+    "(partitionOverwriteMode=dynamic) — reprocess late days in place "
+    "without rewriting or losing the other partitions",
+)
+def eng_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Overwrite ONLY the day-partitions present in the incoming batch.
+
+    Static overwrite mode would TRUNCATE the table down to the 3
+    corrected days — the classic reprocessing footgun; dynamic mode
+    replaces exactly the partitions the batch carries. The entry lands
+    30 day-partitions, rewrites days 5–7 with doubled cents, and
+    certifies the blend. At 100 TB this is the daily-correction path:
+    write amplification is O(corrected days), and readers never see a
+    half-replaced partition (per-partition commit).
+
+    The mode is set per-entry and restored — it changes INSERT
+    OVERWRITE semantics session-wide and must not leak into other
+    entries' writes."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    cents = (
+        F.round(F.col("value").cast("decimal(12,4)") * 100, 0)
+        .cast("bigint")
+    )
+    base = e.select(
+        F.to_date("ts").alias("day"), "user_id", cents.alias("cents")
+    )
+    out = tempfile.mkdtemp(prefix="dyn_part_") + "/t"
+    base.write.partitionBy("day").mode("overwrite").parquet(out)
+    fix = base.filter(F.dayofmonth("day").isin(5, 6, 7)).withColumn(
+        "cents", F.col("cents") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix.write.partitionBy("day").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(out)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )

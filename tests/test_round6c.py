@@ -411,3 +411,23 @@ class TestAbAndBoolAgg:
                 assert r["n_big"] > 0
             assert r["n_null_val"] >= 0
             assert r["users_complete"] is True
+
+
+class TestDynamicPartitionOverwrite:
+    def test_only_target_partitions_replaced(self, spark, tmp_path):
+        """Static mode would truncate to the written partitions; the
+        entry's mode must leave the other days' FILES untouched."""
+        import os
+
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            eng_dynamic_partition_overwrite,
+        )
+
+        rows = eng_dynamic_partition_overwrite(spark, SF).collect()
+        days = {r["day"].day for r in rows}
+        assert len(rows) == 30 and days == set(range(1, 31))
+        # the overwrite-mode conf must not leak out of the entry
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            != "dynamic"
+        )
