@@ -92,14 +92,18 @@ def generate(spark: SparkSession, src: str, out: str, replicas: int) -> None:
         ).withColumn("n_chars", F.length("text").cast("bigint"))
 
     def perturb_vec(df: DataFrame, r: int) -> DataFrame:
+        # shift must wrap at the vector dim: with replicas > dim a raw
+        # r produces a negative slice length and the write crashes
+        # (hit at 100 replicas × dim-64 vectors)
         if r == 0:
             return df
         n = F.size("embedding")
+        s = F.lit(r) % n
         return df.withColumn(
             "embedding",
             F.concat(
-                F.slice("embedding", F.lit(r + 1), n - F.lit(r)),
-                F.slice("embedding", 1, r),
+                F.slice("embedding", s + 1, n - s),
+                F.slice("embedding", F.lit(1), s),
             ),
         )
 
