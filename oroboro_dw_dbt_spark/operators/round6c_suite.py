@@ -1430,3 +1430,137 @@ def eng_dynamic_partition_overwrite(
             F.sum("cents").cast("bigint").alias("cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall report: the false-negative rate measured as data.
+# ---------------------------------------------------------------------------
+from oroboro_dw_dbt_spark.operators.training_suite import (  # noqa: E402
+    _minhash_cte,
+    _SHINGLES_3,
+)
+
+
+@query(
+    "dd_lsh_recall_report",
+    # truth = the blocked exact-Jaccard pairs (dd_ngram_jaccard's
+    # definition); lsh = the banded-MinHash verified pairs
+    # (dd_minhash_lsh's). Both spellings already certify individually;
+    # this entry certifies their SET RELATIONSHIP — tp/fn/extra counts
+    # and the recall — so the LSH probabilistic guarantee ("8 hashes,
+    # 4 bands of 2") is a measured, regression-checked number instead
+    # of a docstring claim.
+    oracle=f"""
+    WITH {_minhash_cte()},
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id,
+                   lang || '|' ||
+                     CAST(CAST(floor(n_chars / 100) AS INT) AS STRING)
+                     AS block,
+                   {_SHINGLES_3} AS sh
+            FROM documents) a
+      JOIN (SELECT doc_id,
+                   lang || '|' ||
+                     CAST(CAST(floor(n_chars / 100) AS INT) AS STRING)
+                     AS block,
+                   {_SHINGLES_3} AS sh
+            FROM documents) b
+        ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+    ),
+    lsh AS (
+      SELECT DISTINCT ca.doc_id AS doc_a, cb.doc_id AS doc_b
+      FROM bands ca
+      JOIN bands cb ON ca.band = cb.band AND ca.band_key = cb.band_key
+                   AND ca.doc_id < cb.doc_id
+      JOIN sh sa ON ca.doc_id = sa.doc_id
+      JOIN sh sb ON cb.doc_id = sb.doc_id
+      WHERE round(len(list_filter(sa.shingles,
+                                  x -> list_contains(sb.shingles, x))) * 1.0
+                  / len(list_distinct(
+                        list_concat(sa.shingles, sb.shingles))), 6) >= 0.5
+    ),
+    j AS (
+      SELECT coalesce(t.doc_a, l.doc_a) AS doc_a,
+             CASE WHEN t.doc_a IS NOT NULL AND l.doc_a IS NOT NULL
+                  THEN 'tp'
+                  WHEN l.doc_a IS NULL THEN 'fn' ELSE 'extra' END AS cls
+      FROM truth t
+      FULL OUTER JOIN lsh l
+        ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+    )
+    SELECT
+      CAST(sum(CASE WHEN cls IN ('tp', 'fn') THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_truth,
+      CAST(sum(CASE WHEN cls IN ('tp', 'extra') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_lsh,
+      CAST(sum(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+      CAST(sum(CASE WHEN cls = 'fn' THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
+      CAST(sum(CASE WHEN cls = 'extra' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_extra,
+      CAST(sum(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) * 1000000
+           AS BIGINT)
+        // sum(CASE WHEN cls IN ('tp', 'fn') THEN 1 ELSE 0 END)
+        AS recall_ppm
+    FROM j
+    """,
+    survey_ref="beyond-reference: LSH recall meta-evaluation — the "
+    "banded-MinHash false-negative rate vs blocked-exact truth, "
+    "certified as data (the honesty artifact behind dd_minhash_lsh)",
+)
+def dd_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TP/FN/extra census of LSH near-dup pairs vs exact truth.
+
+    'extra' pairs are NOT false positives — they are exact-verified
+    ≥0.5 pairs the blocked-truth baseline cannot see (LSH buckets
+    cross the (lang, length-band) blocks). The number that matters is
+    n_fn: every missed pair is a duplicate the corpus would keep.
+
+    Scale: both inputs are the already-bucketed production plans; the
+    census adds one pair-key full-outer join. Run it on a sampled
+    corpus slice in production — recall is a statistic, not a
+    per-document artifact."""
+    from oroboro_dw_dbt_spark.dedup.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(docs).select(
+        F.col("doc_a").alias("l_a"), F.col("doc_b").alias("l_b")
+    )
+    j = truth.join(
+        lsh,
+        (truth.doc_a == lsh.l_a) & (truth.doc_b == lsh.l_b),
+        "full_outer",
+    ).select(
+        F.when(
+            F.col("doc_a").isNotNull() & F.col("l_a").isNotNull(), "tp"
+        )
+        .when(F.col("l_a").isNull(), "fn")
+        .otherwise("extra")
+        .alias("cls")
+    )
+    return j.agg(
+        F.sum(F.col("cls").isin("tp", "fn").cast("int"))
+        .cast("bigint")
+        .alias("n_truth"),
+        F.sum(F.col("cls").isin("tp", "extra").cast("int"))
+        .cast("bigint")
+        .alias("n_lsh"),
+        F.sum((F.col("cls") == "tp").cast("int"))
+        .cast("bigint")
+        .alias("n_tp"),
+        F.sum((F.col("cls") == "fn").cast("int"))
+        .cast("bigint")
+        .alias("n_fn"),
+        F.sum((F.col("cls") == "extra").cast("int"))
+        .cast("bigint")
+        .alias("n_extra"),
+    ).select(
+        "*",
+        F.expr("n_tp * 1000000 div n_truth").alias("recall_ppm"),
+    )

@@ -431,3 +431,20 @@ class TestDynamicPartitionOverwrite:
             spark.conf.get("spark.sql.sources.partitionOverwriteMode")
             != "dynamic"
         )
+
+
+class TestLshRecall:
+    def test_census_is_consistent(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            dd_lsh_recall_report,
+        )
+
+        r = dd_lsh_recall_report(spark, SF01).first()
+        assert r["n_tp"] + r["n_fn"] == r["n_truth"]
+        assert r["n_tp"] + r["n_extra"] == r["n_lsh"]
+        assert r["recall_ppm"] == r["n_tp"] * 1_000_000 // r["n_truth"]
+        # 4 bands of 2 over Jaccard>=0.5: P(miss) = (1-s^2)^4 <= 0.32,
+        # and the gate corpus's near-dups are engineered well above the
+        # threshold — recall should be high here (regression canary, a
+        # banding bug shows up as a collapse, not a wiggle)
+        assert r["recall_ppm"] >= 800_000
