@@ -1564,3 +1564,222 @@ def dd_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.expr("n_tp * 1000000 div n_truth").alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall census: LSH top-k vs the exact baseline, per query.
+# ---------------------------------------------------------------------------
+from oroboro_dw_dbt_spark.operators.training_suite import (  # noqa: E402
+    QUERY_VEC_IDS,
+    _COS,
+    _planes_dot_sql,
+)
+
+_QIDS = ", ".join(str(i) for i in QUERY_VEC_IDS)
+
+
+@query(
+    "ss_lsh_recall_report",
+    # exact top-5 and LSH-bucketed top-5 from the two already-certified
+    # spellings; per query the census counts the overlap — recall@5 of
+    # the hyperplane index measured as data, per query (the honesty
+    # artifact behind the ss_lsh_* family)
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    exact_p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS} AS cosine
+      FROM v q JOIN v c ON q.vec_id != c.vec_id
+      WHERE q.vec_id IN ({_QIDS})
+    ),
+    exact_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM exact_p) t WHERE rank <= 5
+    ),
+    b AS (SELECT vec_id, v, {_planes_dot_sql('v')} AS bucket FROM v),
+    lsh_p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS} AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id IN ({_QIDS})
+    ),
+    lsh_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM lsh_p) t WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 AS BIGINT) // count(*) AS recall_ppm
+    FROM exact_top e
+    LEFT JOIN lsh_top l
+      ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+    GROUP BY e.query_id
+    """,
+    survey_ref="beyond-reference: ANN recall@5 census — hyperplane-LSH "
+    "top-k vs the exact baseline, per query, certified as data",
+)
+def ss_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the LSH index, measured per query.
+
+    Joins the two production plans' outputs on (query, neighbor); the
+    per-query hit count IS the recall numerator. Single-bucket LSH
+    trades recall for candidate reduction — this census is the knob's
+    dial (ss_lsh_multiprobe_topk is the knob). Scale: both inputs are
+    k-row-per-query top-k results; the census join is KBs."""
+    from oroboro_dw_dbt_spark.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, QUERY_VEC_IDS, k=5).select(
+        "query_id", "vec_id"
+    )
+    lsh = lsh_bucketed_topk(emb, QUERY_VEC_IDS, k=5).select(
+        F.col("query_id").alias("l_q"), F.col("vec_id").alias("l_v")
+    )
+    j = exact.join(
+        lsh,
+        (exact.query_id == lsh.l_q) & (exact.vec_id == lsh.l_v),
+        "left",
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.col("l_v").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.expr("n_hit * 1000000 div n_exact").alias("recall_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON function surface, tier 2.
+# ---------------------------------------------------------------------------
+@query(
+    "f_json_suite2",
+    # JSON synthesized from table columns → every extraction's ground
+    # truth is known by construction (the f_url_suite pattern)
+    oracle="""
+    SELECT doc_id,
+           lang AS path_lang,
+           CAST(n_chars AS STRING) AS path_n,
+           source AS path_tag1,
+           CAST(doc_id AS STRING) AS tup_id,
+           CASE WHEN n_chars > 500 THEN 'long' ELSE 'short' END AS tup_cls,
+           NULL AS path_missing
+    FROM documents
+    """,
+    survey_ref="beyond-reference: JSON path surface tier 2 "
+    "(get_json_object nested/array paths, json_tuple multi-extract, "
+    "absent-path NULL contract) — complements ev_json_extract/"
+    "ev_variant_extract",
+)
+def f_json_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object / json_tuple over synthesized JSON documents.
+
+    Paths exercised: nested object ($.meta.lang), numeric leaf kept as
+    string ($.meta.n), array index ($.tags[1]), multi-field
+    json_tuple, and an absent path (NULL, never an error). Row-local
+    Column trees — the JSON log-extraction shape with zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    cls = F.when(F.col("n_chars") > 500, "long").otherwise("short")
+    j = F.concat(
+        F.lit('{"id": "'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "cls": "'),
+        cls,
+        F.lit('", "meta": {"lang": "'),
+        F.col("lang"),
+        F.lit('", "n": '),
+        F.col("n_chars").cast("string"),
+        F.lit('}, "tags": ["fixed", "'),
+        F.col("source"),
+        F.lit('"]}'),
+    )
+    raw = docs.select("doc_id", j.alias("j"))
+    tup = F.json_tuple(F.col("j"), "id", "cls")
+    return raw.select(
+        "doc_id",
+        F.get_json_object("j", "$.meta.lang").alias("path_lang"),
+        F.get_json_object("j", "$.meta.n").alias("path_n"),
+        F.get_json_object("j", "$.tags[1]").alias("path_tag1"),
+        tup,
+        F.get_json_object("j", "$.absent.path").alias("path_missing"),
+    ).toDF(
+        "doc_id",
+        "path_lang",
+        "path_n",
+        "path_tag1",
+        "tup_id",
+        "tup_cls",
+        "path_missing",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sliding windows (tumbling's overlapping sibling).
+# ---------------------------------------------------------------------------
+@query(
+    "w_sliding_window",
+    # every event lands in exactly size/slide = 4 overlapping windows;
+    # the oracle enumerates them arithmetically (start = aligned base
+    # minus j slides), Spark uses the native sliding window() operator
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, {_CENTS} AS cents
+      FROM events
+    ),
+    x AS (
+      SELECT (ep // 900) * 900 - j.j * 900 AS ws, cents
+      FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+    )
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+           make_timestamp((ws + 3600) * 1000000) AS window_end,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM x GROUP BY ws
+    """,
+    survey_ref="beyond-reference: batch SLIDING windows "
+    "(window(ts, '1 hour', '15 minutes')) — the overlapping-window "
+    "aggregation, tumbling's sibling (st_windowed_counts)",
+)
+def w_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min over the event stream.
+
+    The native window() generator replicates each row into its
+    size/slide = 4 windows map-side, then ONE combining groupBy —
+    identical cost shape to explode+agg, with the overlap factor as
+    the explicit map-side multiplier (×4 rows into the partial agg,
+    never ×4 shuffle width: partials combine per window first)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (
+        F.round(F.col("value").cast("decimal(12,4)") * 100, 0)
+        .cast("bigint")
+    )
+    return (
+        e.select("ts", cents.alias("cents"))
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "cents",
+        )
+    )

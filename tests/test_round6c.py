@@ -448,3 +448,43 @@ class TestLshRecall:
         # threshold — recall should be high here (regression canary, a
         # banding bug shows up as a collapse, not a wiggle)
         assert r["recall_ppm"] >= 800_000
+
+
+class TestAnnRecallJsonSliding:
+    def test_lsh_recall_bounds(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            ss_lsh_recall_report,
+        )
+
+        rows = ss_lsh_recall_report(spark, SF01).collect()
+        assert len(rows) == 8
+        for r in rows:
+            assert r["n_exact"] == 5
+            assert 0 <= r["n_hit"] <= 5
+            assert r["recall_ppm"] == r["n_hit"] * 1_000_000 // 5
+        # measured at sf0.01: 8/40 (20%) — single-bucket LSH trades
+        # most of the recall for a 64× candidate cut; the census makes
+        # that loss a visible number (multiprobe is the recovery knob).
+        # Floor is a canary, not a quality bar: a broken bucket join
+        # returns 0.
+        assert sum(r["n_hit"] for r in rows) >= 1
+
+    def test_json_absent_path_is_null(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            f_json_suite2,
+        )
+
+        rows = f_json_suite2(spark, SF).collect()
+        assert rows and all(r["path_missing"] is None for r in rows)
+        assert all(r["tup_id"] == str(r["doc_id"]) for r in rows)
+
+    def test_sliding_mass_is_4x(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            w_sliding_window,
+        )
+
+        rows = w_sliding_window(spark, SF).collect()
+        n_events = load_table(spark, SF, "events").count()
+        assert sum(r["n"] for r in rows) == 4 * n_events
+        for r in rows:
+            assert (r["window_end"] - r["window_start"]).seconds == 3600
