@@ -1608,16 +1608,34 @@ _QIDS = ", ".join(str(i) for i in QUERY_VEC_IDS)
         SELECT *, row_number() OVER (
           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
         FROM lsh_p) t WHERE rank <= 5
+    ),
+    mp_p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS} AS cosine
+      FROM b q JOIN b c
+        ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id != c.vec_id
+      WHERE q.vec_id IN ({_QIDS})
+    ),
+    mp_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM mp_p) t WHERE rank <= 5
     )
     SELECT e.query_id,
            CAST(count(*) AS BIGINT) AS n_exact,
            CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_hit,
            CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-                * 1000000 AS BIGINT) // count(*) AS recall_ppm
+                * 1000000 AS BIGINT) // count(*) AS recall_ppm,
+           CAST(sum(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit_multiprobe,
+           CAST(sum(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 AS BIGINT) // count(*) AS recall_mp_ppm
     FROM exact_top e
     LEFT JOIN lsh_top l
       ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+    LEFT JOIN mp_top m
+      ON e.query_id = m.query_id AND e.vec_id = m.vec_id
     GROUP BY e.query_id
     """,
     survey_ref="beyond-reference: ANN recall@5 census — hyperplane-LSH "
@@ -1643,9 +1661,18 @@ def ss_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh_bucketed_topk(emb, QUERY_VEC_IDS, k=5).select(
         F.col("query_id").alias("l_q"), F.col("vec_id").alias("l_v")
     )
+    from oroboro_dw_dbt_spark.similarity import lsh_multiprobe_topk
+
+    mp = lsh_multiprobe_topk(emb, QUERY_VEC_IDS, k=5).select(
+        F.col("query_id").alias("m_q"), F.col("vec_id").alias("m_v")
+    )
     j = exact.join(
         lsh,
         (exact.query_id == lsh.l_q) & (exact.vec_id == lsh.l_v),
+        "left",
+    ).join(
+        mp,
+        (exact.query_id == mp.m_q) & (exact.vec_id == mp.m_v),
         "left",
     )
     return (
@@ -1655,12 +1682,19 @@ def ss_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_v").isNotNull().cast("int"))
             .cast("bigint")
             .alias("n_hit"),
+            F.sum(F.col("m_v").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_hit_multiprobe"),
         )
         .select(
             "query_id",
             "n_exact",
             "n_hit",
             F.expr("n_hit * 1000000 div n_exact").alias("recall_ppm"),
+            "n_hit_multiprobe",
+            F.expr("n_hit_multiprobe * 1000000 div n_exact").alias(
+                "recall_mp_ppm"
+            ),
         )
     )
 

@@ -462,12 +462,16 @@ class TestAnnRecallJsonSliding:
             assert r["n_exact"] == 5
             assert 0 <= r["n_hit"] <= 5
             assert r["recall_ppm"] == r["n_hit"] * 1_000_000 // 5
-        # measured at sf0.01: 8/40 (20%) — single-bucket LSH trades
-        # most of the recall for a 64× candidate cut; the census makes
-        # that loss a visible number (multiprobe is the recovery knob).
-        # Floor is a canary, not a quality bar: a broken bucket join
+        # measured at sf0.01: single-bucket 8/40 (20%), multiprobe
+        # 14/40 (35%) — the census makes the recall/candidate-cut
+        # trade a visible number and shows the probing knob working.
+        # Floors are canaries, not quality bars: a broken bucket join
         # returns 0.
         assert sum(r["n_hit"] for r in rows) >= 1
+        # Hamming-1 probing strictly widens the candidate set, so
+        # multiprobe recall can never be BELOW single-bucket recall
+        for r in rows:
+            assert r["n_hit_multiprobe"] >= r["n_hit"]
 
     def test_json_absent_path_is_null(self, spark):
         from oroboro_dw_dbt_spark.operators.round6c_suite import (

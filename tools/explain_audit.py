@@ -44,6 +44,9 @@ from oroboro_dw_dbt_spark.session import get_spark  # noqa: E402
 # the same bounded |queries|×corpus pass as ss_bruteforce_topk)
 NESTED_LOOP_OK = {
     "ss_bruteforce_topk",
+    # the recall census's EXACT side is definitionally the same bounded
+    # |queries|×corpus brute-force baseline
+    "ss_lsh_recall_report",
     # same bounded |queries|×corpus baseline pass, through the MIPS
     # norm-augmentation (plus the 1-row max-norm broadcast)
     "ss_mips_topk",
