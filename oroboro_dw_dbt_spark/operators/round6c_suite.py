@@ -1817,3 +1817,112 @@ def w_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Observation metrics: the in-flight data-quality counter hook.
+# ---------------------------------------------------------------------------
+@query(
+    "p_observe_metrics",
+    # the observed counters are collected DURING one pass of a real
+    # query (no second scan); the oracle recomputes them as plain
+    # aggregates — the hash match proves observe() counts every row
+    # the query actually processed, exactly once
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_props,
+           CAST(sum({_CENTS}) AS BIGINT) AS cents
+    FROM events
+    """,
+    survey_ref="beyond-reference: df.observe() metric accumulators — "
+    "free in-flight data-quality counters on a production write path "
+    "(no second scan)",
+)
+def p_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect quality counters VIA observe() while a query runs.
+
+    The pattern every production pipeline wants: row counts, violation
+    counts and checksums accumulated during the write pass itself —
+    zero extra scans, exact under retries (observe metrics are
+    task-retry-consistent for deterministic aggregates). The entry
+    materializes the observed values as the result; a double-count or
+    dropped-partition bug in the hook breaks the hash."""
+    from pyspark.sql import Observation
+
+    e = load_table(spark, sf_dir, "events")
+    cents = (
+        F.round(F.col("value").cast("decimal(12,4)") * 100, 0)
+        .cast("bigint")
+    )
+    obs = Observation("quality")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((F.col("value") < 0).cast("int")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("props").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_null_props"),
+        F.sum(cents).cast("bigint").alias("cents"),
+    )
+    # drive the pass (a production job would be writing here)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_neg"], m["n_null_props"], m["cents"])],
+        "n_rows bigint, n_neg bigint, n_null_props bigint, cents bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# File provenance: the hidden _metadata column surface.
+# ---------------------------------------------------------------------------
+@query(
+    "eng_file_provenance",
+    # one file per day-partition by construction, so per-FILE counts
+    # (via the hidden _metadata column) must equal per-day counts — the
+    # oracle recomputes the latter straight from events
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+    survey_ref="S1 sources: hidden _metadata file-provenance columns — "
+    "per-file lineage (the audit trail for quarantining a bad ingest "
+    "file at 100 TB)",
+)
+def eng_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group a scan by its source FILE via the _metadata column.
+
+    Lands events one file per day-partition, reads back with
+    `_metadata.file_path`, recovers the day from the Hive partition
+    path, and counts per file. This is the quarantine primitive: when
+    one ingest file is bad, provenance turns 'rewrite the table' into
+    'drop one file'. Zero-cost column — populated from the scan's own
+    split metadata, no join."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="prov_") + "/t"
+    (
+        e.select(F.to_date("ts").alias("day"), "event_id")
+        .repartition("day")
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        F.col("_metadata.file_path").alias("fp")
+    )
+    return (
+        back.groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.to_date(
+                F.regexp_extract("fp", r"day=(\d{4}-\d{2}-\d{2})", 1)
+            ).alias("day"),
+            "n",
+        )
+    )

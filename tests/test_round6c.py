@@ -492,3 +492,27 @@ class TestAnnRecallJsonSliding:
         assert sum(r["n"] for r in rows) == 4 * n_events
         for r in rows:
             assert (r["window_end"] - r["window_start"]).seconds == 3600
+
+
+class TestObserveAndProvenance:
+    def test_observe_counts_match_direct_agg(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            p_observe_metrics,
+        )
+
+        r = p_observe_metrics(spark, SF).first()
+        e = load_table(spark, SF, "events")
+        assert r["n_rows"] == e.count()
+        assert r["n_neg"] == e.filter(F.col("value") < 0).count()
+
+    def test_provenance_one_file_per_day(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            eng_file_provenance,
+        )
+
+        rows = eng_file_provenance(spark, SF).collect()
+        days = [r["day"] for r in rows]
+        assert len(days) == len(set(days)) == 30
+        assert sum(r["n"] for r in rows) == load_table(
+            spark, SF, "events"
+        ).count()
