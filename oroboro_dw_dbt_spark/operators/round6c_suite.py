@@ -1926,3 +1926,181 @@ def eng_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained LSH index: signatures computed ONLY for the
+# ingest delta, index state == full rebuild.
+# ---------------------------------------------------------------------------
+from oroboro_dw_dbt_spark.operators.training_suite import (  # noqa: E402
+    _minhash_cte,
+)
+
+
+@query(
+    "dd_incremental_index",
+    # the oracle is the FULL-REBUILD band index over all documents;
+    # the entry builds the same state in two incremental runs where
+    # run 2 shingles/minhashes only the day-2 delta
+    oracle=f"""
+    WITH {_minhash_cte()}
+    SELECT doc_id, band, band_key FROM bands
+    """,
+    survey_ref="beyond-reference: incrementally-maintained LSH band "
+    "index — the production dedup-index lifecycle (signatures only "
+    "for the delta, never a corpus rescan; composes dd_incremental's "
+    "anti-join with the engine's incremental materialization)",
+)
+def dd_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the MinHash band index across two ingest days.
+
+    Day 1 indexes ⅔ of the corpus; day 2's run anti-joins the source
+    against the EXISTING index ({{this}} self-reference) so shingling
+    and minhashing — the expensive part — touch only the new docs; the
+    engine's delete+insert-by-key merge folds them in. The hash match
+    against the full-rebuild oracle certifies the maintained state is
+    EXACTLY the rebuild state. At 100 TB you never re-sign the corpus:
+    daily index cost is O(delta), and near-dup candidacy for new docs
+    is one band equi-join against this table."""
+    import tempfile
+
+    from oroboro_dw_dbt_spark.dedup.dedup import minhash_band_index
+    from oroboro_dw_dbt_spark.engine.dag import (
+        ModelGraph,
+        SourceRegistry,
+        model,
+    )
+
+    docs_all = load_table(spark, sf_dir, "documents")
+    state = {"day": 1}
+    sources = SourceRegistry()
+    sources.add_provider(
+        "documents",
+        lambda s: docs_all
+        if state["day"] == 2
+        else docs_all.filter(F.col("doc_id") % 3 != 0),
+    )
+
+    @model(
+        name="band_index",
+        materialized="incremental",
+        unique_key=("doc_id", "band"),
+    )
+    def band_index(documents, this):
+        delta = documents
+        if this is not None:
+            seen = this.select("doc_id").distinct()
+            delta = documents.join(seen, "doc_id", "left_anti")
+        return minhash_band_index(delta).withColumn(
+            "band", F.col("band").cast("int")
+        )
+
+    graph = ModelGraph(
+        sources, warehouse_dir=tempfile.mkdtemp(prefix="lshidx_"), threads=1
+    )
+    graph.add(band_index)
+    graph.run(spark, select=["band_index"], run_tests=False)
+    state["day"] = 2
+    graph.run(spark, select=["band_index"], run_tests=False)
+    return graph.frame("band_index")
+
+
+# ---------------------------------------------------------------------------
+# Degree statistics: the graph-shape profile.
+# ---------------------------------------------------------------------------
+@query(
+    "gr_degree_stats",
+    # same co-purchase edge construction as the graph suite's flavor:
+    # user pairs sharing an event hour — here we just profile degrees
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM (SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+            FROM events WHERE event_type = 'purchase') a
+      JOIN (SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+            FROM events WHERE event_type = 'purchase') b
+        ON a.hr = b.hr AND a.user_id < b.user_id
+    ),
+    deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT src AS u FROM edges UNION ALL SELECT dst FROM edges
+      ) GROUP BY u
+    )
+    SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d
+    """,
+    survey_ref="beyond-reference: degree-distribution profile — the "
+    "graph-shape diagnostic that sizes every iterative algorithm's "
+    "skew (hub detection before pagerank/CC)",
+)
+def gr_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph.
+
+    The pre-flight for every iterative graph job: the degree
+    distribution IS the skew forecast (a 10⁶-degree hub means the
+    edge⋈rank shuffle needs salting). Edges from an hour-bucket
+    self-join (equi-join, candidates only), then two combining
+    aggregates — node degrees, then the histogram."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("unix_timestamp(ts) div 3600").alias("hr"),
+        )
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("u")).unionAll(
+        edges.select(F.col("dst").alias("u"))
+    )
+    deg = nodes.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table-valued-function SQL surface: byte-identical text on both engines.
+# ---------------------------------------------------------------------------
+_TVF_SQL = """
+    SELECT t.id AS k,
+           v.name AS name,
+           CAST(t.id * v.mult AS BIGINT) AS scaled
+    FROM range(0, 10) AS t(id)
+    JOIN (VALUES ('a', 2), ('b', 3)) AS v(name, mult)
+      ON t.id % 2 = CASE v.name WHEN 'a' THEN 0 ELSE 1 END
+"""
+
+
+@query(
+    "sql_tvf_surface",
+    # the strongest dialect-parity statement: the oracle string IS the
+    # Spark query string, byte for byte (range() TVF + VALUES inline
+    # table + lateral-style aliasing)
+    oracle=_TVF_SQL,
+    survey_ref="beyond-reference: table-valued-function SQL surface "
+    "(range() TVF, VALUES inline tables, table aliases with column "
+    "lists) — identical SQL text on both engines, zero translation",
+)
+def sql_tvf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range() + VALUES through spark.sql, byte-identical to the oracle.
+
+    Generator TVFs are how tests, calendars and probe grids enter SQL
+    pipelines without a source table; certifying the same text on both
+    engines pins the surface exactly (the sql_recursive_cte /
+    sql_lateral_topn pattern, third instalment)."""
+    return spark.sql(_TVF_SQL)

@@ -516,3 +516,45 @@ class TestObserveAndProvenance:
         assert sum(r["n"] for r in rows) == load_table(
             spark, SF, "events"
         ).count()
+
+
+class TestIncrementalIndexDegreeTvf:
+    def test_incremental_index_equals_rebuild(self, spark):
+        from oroboro_dw_dbt_spark.dedup.dedup import minhash_band_index
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            dd_incremental_index,
+        )
+
+        got = sorted(
+            map(tuple, dd_incremental_index(spark, SF).collect())
+        )
+        full = sorted(
+            map(
+                tuple,
+                minhash_band_index(load_table(spark, SF, "documents"))
+                .withColumn("band", F.col("band").cast("int"))
+                .select("doc_id", "band", "band_key")
+                .collect(),
+            )
+        )
+        got3 = sorted((r[0], r[1], r[2]) for r in got)
+        assert got3 == full
+
+    def test_degree_mass(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            gr_degree_stats,
+        )
+
+        rows = gr_degree_stats(spark, SF).collect()
+        assert rows and all(r["degree"] >= 1 for r in rows)
+
+    def test_tvf_rows(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            sql_tvf_surface,
+        )
+
+        rows = sorted(map(tuple, sql_tvf_surface(spark, SF).collect()))
+        assert len(rows) == 10
+        for k, name, scaled in rows:
+            assert scaled == k * (2 if name == "a" else 3)
+            assert (k % 2 == 0) == (name == "a")
