@@ -2104,3 +2104,185 @@ def sql_tvf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines pins the surface exactly (the sql_recursive_cte /
     sql_lateral_topn pattern, third instalment)."""
     return spark.sql(_TVF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows as a REAL stream (the overlapping-state shape).
+# ---------------------------------------------------------------------------
+@query(
+    "st_sliding_stream",
+    # identical oracle to the batch twin w_sliding_window — the stream
+    # must settle to the batch answer with ×4 overlapping windows of
+    # state per event
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, {_CENTS} AS cents
+      FROM events
+    ),
+    x AS (
+      SELECT (ep // 900) * 900 - j.j * 900 AS ws, cents
+      FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+    )
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+           make_timestamp((ws + 3600) * 1000000) AS window_end,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM x GROUP BY ws
+    """,
+    survey_ref="beyond-reference: SLIDING windows under Structured "
+    "Streaming — overlapping window state (4 live windows per event) "
+    "settles to the batch twin exactly (w_sliding_window)",
+)
+def st_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window aggregation == the batch twin.
+
+    Each arriving event updates FOUR window states (size/slide) — the
+    state shape tumbling entries never exercise. Complete-mode memory
+    sink for the settled comparison; production uses append +
+    watermark where state stays bounded at (watermark span / slide)
+    windows per key — the certified arithmetic is identical."""
+    import uuid
+
+    from oroboro_dw_dbt_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        _events_stream_dir,
+    )
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _events_stream_dir(spark, sf_dir)
+    )
+    cents = (
+        F.round(F.col("value").cast("decimal(12,4)") * 100, 0)
+        .cast("bigint")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .select("ts", cents.alias("cents"))
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "cents",
+        )
+    )
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles: the percentile pre-aggregation contract.
+# ---------------------------------------------------------------------------
+_HBIN = 500  # 5.00-unit bins over cents
+
+
+@query(
+    "sk_hist_quantiles_merge",
+    # single-pass histogram quantiles in SQL; the entry ALSO builds the
+    # histogram as 4 per-shard partials merged by integer addition and
+    # certifies merge == single-pass (flag the oracle asserts true) —
+    # the same contract sk_countmin_merge/sk_hll_merge certify for
+    # frequency/distinct state, now for percentiles
+    oracle=f"""
+    WITH b AS (
+      SELECT ({_CENTS} // {_HBIN}) AS bin, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, c,
+             sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER () AS total
+      FROM b
+    ),
+    q AS (
+      SELECT p.p AS pct,
+             min(bin) FILTER (WHERE cum * 100 >= p.p * total) AS qbin
+      FROM cum CROSS JOIN (VALUES (50), (90), (99)) AS p(p)
+      GROUP BY p.p
+    )
+    SELECT CAST(pct AS BIGINT) AS pct,
+           CAST(qbin * {_HBIN} AS BIGINT) AS cents_lo,
+           CAST(qbin * {_HBIN} + {_HBIN} AS BIGINT) AS cents_hi,
+           true AS merge_consistent
+    FROM q
+    """,
+    survey_ref="beyond-reference: mergeable histogram quantiles — "
+    "per-shard integer histograms merged by addition equal the "
+    "single-pass histogram EXACTLY, so percentile state rolls up "
+    "across days/shards without rescans (completes the mergeable-"
+    "state family: countmin=frequency, HLL=distinct, this=quantiles)",
+)
+def sk_hist_quantiles_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 bins from a merged fixed-width histogram.
+
+    Quantile sketches (GK/KLL) are mergeable only approximately; a
+    fixed-width integer histogram is EXACTLY mergeable (integer adds
+    commute) at the cost of bin-resolution answers — the right trade
+    for percentile dashboards over 100 TB/day: per-shard state is
+    |bins| longs, day rollups are additions, and the answer is a
+    certified bin bracket, not a point estimate pretending precision.
+    The entry computes the histogram BOTH ways (4 hash shards merged
+    vs single-pass) and certifies equality value-for-value."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (
+        F.round(F.col("value").cast("decimal(12,4)") * 100, 0)
+        .cast("bigint")
+    )
+    binned = e.select(
+        cents.alias("cents"), (F.col("event_id") % 4).alias("shard")
+    ).select(
+        F.expr(f"cents div {_HBIN}").alias("bin"), "shard"
+    )
+    # per-shard partial histograms → merge by addition
+    shard_hist = binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    merged = shard_hist.groupBy("bin").agg(F.sum("c").alias("c"))
+    # single-pass histogram
+    single = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_single")
+    )
+    both = merged.join(single, "bin", "full_outer")
+    consistent = both.agg(
+        F.min(
+            (
+                F.coalesce(F.col("c"), F.lit(-1))
+                == F.coalesce(F.col("c_single"), F.lit(-2))
+            ).cast("boolean")
+        ).alias("ok")
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = merged.select(
+        "bin",
+        "c",
+        F.sum("c")
+        .over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("total"),
+    )
+    pcts = spark.createDataFrame([(50,), (90,), (99,)], "p int")
+    q = (
+        cum.crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum") * 100 >= F.col("p") * F.col("total"))
+        .groupBy("p")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    return q.crossJoin(F.broadcast(consistent)).select(
+        F.col("p").cast("bigint").alias("pct"),
+        (F.col("qbin") * _HBIN).cast("bigint").alias("cents_lo"),
+        (F.col("qbin") * _HBIN + _HBIN).cast("bigint").alias("cents_hi"),
+        F.col("ok").alias("merge_consistent"),
+    )

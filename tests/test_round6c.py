@@ -558,3 +558,42 @@ class TestIncrementalIndexDegreeTvf:
         for k, name, scaled in rows:
             assert scaled == k * (2 if name == "a" else 3)
             assert (k % 2 == 0) == (name == "a")
+
+
+class TestSlidingStreamHistQuantiles:
+    def test_stream_equals_batch_sliding(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            st_sliding_stream,
+            w_sliding_window,
+        )
+
+        a = sorted(map(tuple, st_sliding_stream(spark, SF).collect()))
+        b = sorted(map(tuple, w_sliding_window(spark, SF).collect()))
+        assert a == b
+
+    def test_quantile_brackets_contain_exact(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            sk_hist_quantiles_merge,
+        )
+
+        rows = {
+            r["pct"]: (r["cents_lo"], r["cents_hi"])
+            for r in sk_hist_quantiles_merge(spark, SF01).collect()
+        }
+        assert set(rows) == {50, 90, 99}
+        assert all(
+            r["merge_consistent"]
+            for r in sk_hist_quantiles_merge(spark, SF01).collect()
+        )
+        # the bin bracket must contain the true percentile
+        e = load_table(spark, SF01, "events")
+        cents = (
+            F.round(F.col("value").cast("decimal(12,4)") * 100, 0)
+            .cast("bigint")
+        )
+        vals = sorted(r[0] for r in e.select(cents).collect())
+        import math
+
+        for pct, (lo, hi) in rows.items():
+            exact = vals[math.ceil(pct / 100 * len(vals)) - 1]
+            assert lo <= exact < hi
