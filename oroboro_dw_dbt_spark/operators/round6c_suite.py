@@ -2286,3 +2286,101 @@ def sk_hist_quantiles_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("qbin") * _HBIN + _HBIN).cast("bigint").alias("cents_hi"),
         F.col("ok").alias("merge_consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiclass classification report: the lang-ID model evaluated.
+# ---------------------------------------------------------------------------
+from oroboro_dw_dbt_spark.operators.training_suite import (  # noqa: E402
+    _hits_sql,
+)
+
+_LANG_PRED_SQL = f"""CASE
+      WHEN {_hits_sql('en')} + {_hits_sql('de')} + {_hits_sql('fr')}
+           + {_hits_sql('es')} = 0 THEN 'und'
+      WHEN {_hits_sql('en')} >= {_hits_sql('de')}
+           AND {_hits_sql('en')} >= {_hits_sql('fr')}
+           AND {_hits_sql('en')} >= {_hits_sql('es')} THEN 'en'
+      WHEN {_hits_sql('de')} >= {_hits_sql('fr')}
+           AND {_hits_sql('de')} >= {_hits_sql('es')} THEN 'de'
+      WHEN {_hits_sql('fr')} >= {_hits_sql('es')} THEN 'fr'
+      ELSE 'es' END"""
+
+
+@query(
+    "ml_multiclass_report",
+    # a REAL model evaluated on REAL labels: the text family's lang-ID
+    # heuristic (t_text_profile's lang_pred) scored against the corpus
+    # lang column — per-class support/precision/recall from one
+    # confusion pass, integer-exact with ppm fixed-point ratios
+    oracle=f"""
+    WITH p AS (
+      SELECT lang AS truth, {_LANG_PRED_SQL} AS pred FROM documents
+    ),
+    cells AS (
+      SELECT truth, pred, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    ),
+    per_truth AS (
+      SELECT truth AS lang,
+             CAST(sum(n) AS BIGINT) AS support,
+             CAST(sum(CASE WHEN pred = truth THEN n ELSE 0 END) AS BIGINT)
+               AS tp
+      FROM cells GROUP BY 1
+    ),
+    per_pred AS (
+      SELECT pred AS lang, CAST(sum(n) AS BIGINT) AS pred_n
+      FROM cells GROUP BY 1
+    )
+    SELECT t.lang, support, tp,
+           CAST(coalesce(pred_n, 0) AS BIGINT) AS pred_n,
+           CASE WHEN coalesce(pred_n, 0) = 0 THEN NULL
+                ELSE tp * 1000000 // pred_n END AS precision_ppm,
+           tp * 1000000 // support AS recall_ppm
+    FROM per_truth t LEFT JOIN per_pred USING (lang)
+    """,
+    survey_ref="beyond-reference: multiclass classification report — "
+    "per-class precision/recall of the text family's lang-ID model "
+    "against corpus labels (composes text analysis with ml_eval; the "
+    "binary confusion entry's k-class sibling)",
+)
+def ml_multiclass_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall of lang-ID, from ONE confusion pass.
+
+    The full k×k confusion matrix collapses to |classes|² cells in a
+    single combining groupBy; per-class tp/support/pred_n come from
+    conditional sums over that KB-sized table, never a second corpus
+    scan. precision is NULL (not 0) for never-predicted classes —
+    the honest spelling. This is the eval loop every curation
+    classifier (lang, quality, toxicity) runs after retraining."""
+    from oroboro_dw_dbt_spark.text.analysis import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        F.col("lang").alias("truth"), lang_id("text").alias("pred")
+    )
+    cells = p.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_truth = cells.groupBy(F.col("truth").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("support"),
+        F.sum(F.when(F.col("pred") == F.col("truth"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    per_pred = cells.groupBy(F.col("pred").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("pred_n")
+    )
+    m = per_truth.join(per_pred, "lang", "left").na.fill({"pred_n": 0})
+    return m.select(
+        "lang",
+        "support",
+        "tp",
+        "pred_n",
+        F.when(
+            F.col("pred_n") == 0, F.lit(None).cast("bigint")
+        )
+        .otherwise(F.expr("tp * 1000000 div pred_n"))
+        .alias("precision_ppm"),
+        F.expr("tp * 1000000 div support").alias("recall_ppm"),
+    )

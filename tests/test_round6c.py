@@ -597,3 +597,23 @@ class TestSlidingStreamHistQuantiles:
         for pct, (lo, hi) in rows.items():
             exact = vals[math.ceil(pct / 100 * len(vals)) - 1]
             assert lo <= exact < hi
+
+
+class TestMulticlassReport:
+    def test_report_invariants(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            ml_multiclass_report,
+        )
+
+        rows = ml_multiclass_report(spark, SF01).collect()
+        docs = load_table(spark, SF01, "documents").count()
+        assert sum(r["support"] for r in rows) == docs
+        for r in rows:
+            assert 0 <= r["tp"] <= min(r["support"], max(r["pred_n"], 0))
+            if r["pred_n"] == 0:
+                assert r["precision_ppm"] is None
+            else:
+                assert (
+                    r["precision_ppm"]
+                    == r["tp"] * 1_000_000 // r["pred_n"]
+                )

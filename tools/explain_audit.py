@@ -56,6 +56,10 @@ NESTED_LOOP_OK = {
     "ss_ivf_topk",
     # 1-row broadcast cross join attaching the scalar n_docs — O(n)
     "t_tfidf_top_terms",
+    # two KB-scale broadcast cross joins by design: the 3-row pct grid
+    # against the |bins| cumulative histogram, and the 1-row
+    # merge-consistency flag
+    "sk_hist_quantiles_merge",
     # same shape: the decorrelated global-average scalar is a 1-row
     # broadcast cross join (TPC-H Q22's uncorrelated scalar subquery)
     "q22_idle_customer_balance",
