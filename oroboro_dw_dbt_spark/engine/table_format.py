@@ -116,6 +116,38 @@ class ManifestParquetFormat:
             if (v := int(p.stem.split("-")[1])) <= cur
         )
 
+    def history(self, path: Path) -> list[dict]:
+        """DESCRIBE HISTORY: one record per committed version, op kind
+        inferred from the snapshot metadata (the manifest is the audit
+        log — no separate journal to drift out of sync):
+        write / delete / restore / clone, plus delete-vector presence
+        and the referenced data dir. Driver-side JSON only."""
+        path = Path(path)
+        out: list[dict] = []
+        prev_deletes = 0
+        for v in self.versions(path):
+            meta = self._snapshot_meta(path, v)
+            n_del = len(meta.get("delete_files", []))
+            if "restored_from" in meta:
+                op = "restore"
+            elif "cloned_from" in meta:
+                op = "clone"
+            elif n_del > prev_deletes:
+                op = "delete"
+            else:
+                op = "write"
+            out.append(
+                {
+                    "version": v,
+                    "op": op,
+                    "n_delete_files": n_del,
+                    "data_dir": meta.get("external_data_dir")
+                    or meta["data_dir"],
+                }
+            )
+            prev_deletes = n_del
+        return out
+
     def _snapshot_meta(self, path: Path, version: int) -> dict:
         return json.loads(
             (self._manifest_dir(path) / f"snap-{version:06d}.json").read_text()

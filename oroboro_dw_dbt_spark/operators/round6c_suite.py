@@ -2384,3 +2384,203 @@ def ml_multiclass_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("precision_ppm"),
         F.expr("tp * 1000000 div support").alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with a match tolerance (the merge_asof tolerance knob).
+# ---------------------------------------------------------------------------
+_TOL_S = 6 * 3600
+
+
+@query(
+    "tj_asof_tolerance",
+    # DuckDB ASOF finds the unbounded backward match; the tolerance is
+    # then a NULL-out of matches older than the bound — the exact
+    # pandas merge_asof(tolerance=...) contract
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts)
+                     <= CAST({_TOL_S} AS BIGINT) * 1000000
+                THEN c.ts END AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    survey_ref="beyond-reference: as-of join with tolerance — stale "
+    "matches become NULL, never a silently-ancient enrichment "
+    "(pandas merge_asof tolerance semantics; completes the as-of "
+    "family: backward/forward/nearest/point-in-time/tolerance)",
+)
+def tj_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of where matches older than 6 h are discarded.
+
+    The production failure this prevents: a feature-store lookup
+    silently enriching from a week-stale snapshot. Same one-shuffle
+    union plan as tj_asof_join; tolerance is a row-local NULL-out
+    AFTER the running last() — exact integer-µs comparison (epoch
+    doubles lose ulps at 2024 scale)."""
+    from oroboro_dw_dbt_spark.ops.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    j = asof_join(purchases, clicks, key="user_id")
+    within = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))
+        <= _TOL_S * 1_000_000
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("asof_ts")).alias("asof_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE HISTORY: the manifest as an audit log.
+# ---------------------------------------------------------------------------
+@query(
+    "eng_describe_history",
+    # the lifecycle script is fixed (write → write → delete → restore),
+    # so the oracle states the expected audit rows literally
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'write',   CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'write',   CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'delete',  CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'restore', CAST(0 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(version, op, n_delete_files, data_version)
+    """,
+    survey_ref="engine: DESCRIBE HISTORY — the manifest queried as the "
+    "audit log (op kind, delete-vector presence, data-dir reference "
+    "per version; ManifestParquetFormat.history)",
+)
+def eng_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run a 4-step lifecycle, then query the table's own history.
+
+    write v1 → overwrite v2 → merge-on-read delete v3 → restore-to-v1
+    v4; history() infers each op from the manifest alone (no separate
+    journal to drift), and the restore row shows v4 re-referencing
+    v1's data dir — provenance of the rollback as data. KB-scale at
+    any table size."""
+    import tempfile
+    from pathlib import Path
+
+    from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+
+    table = Path(tempfile.mkdtemp(prefix="hist_wh_")) / "t"
+    fmt = ManifestParquetFormat()
+    base = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    fmt.write(base, table)  # v1
+    fmt.write(base.filter(F.col("user_id") % 2 == 0), table)  # v2
+    fmt.delete_keys(
+        spark, table, base.select("event_id").limit(5), "event_id"
+    )  # v3
+    fmt.restore(table, 1)  # v4
+    rows = [
+        (
+            h["version"],
+            h["op"],
+            h["n_delete_files"],
+            int(h["data_dir"].rsplit("-", 1)[1]),
+        )
+        for h in fmt.history(table)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version bigint, op string, n_delete_files bigint, "
+        "data_version bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: same LSH bucket, low similarity.
+# ---------------------------------------------------------------------------
+@query(
+    "sp_hard_negatives",
+    # candidates from the band index (the near-dup plan's buckets),
+    # kept only when exact Jaccard is LOW — confusable-but-different
+    # pairs, ranked per anchor by md5 for retry-stable selection
+    oracle=f"""
+    WITH {_minhash_cte()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS anchor, b.doc_id AS neg
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id <> b.doc_id
+    ),
+    scored AS (
+      SELECT anchor, neg
+      FROM cand
+      JOIN sh sa ON cand.anchor = sa.doc_id
+      JOIN sh sb ON cand.neg = sb.doc_id
+      WHERE len(list_filter(sa.shingles,
+                            x -> list_contains(sb.shingles, x))) * 1.0
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+            < 0.2
+    ),
+    ranked AS (
+      SELECT anchor, neg,
+             row_number() OVER (
+               PARTITION BY anchor
+               ORDER BY md5(anchor || '|' || neg), neg) AS rk
+      FROM scored
+    )
+    SELECT anchor, neg, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 2
+    """,
+    survey_ref="beyond-reference: hard-negative mining for contrastive "
+    "training — same-LSH-bucket, low-Jaccard pairs (confusable but "
+    "different), md5-ranked for retry-stable selection",
+)
+def sp_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≤2 hard negatives per document: bucket-collision, low overlap.
+
+    Random negatives are trivially easy; the pairs a contrastive model
+    learns from are the CONFUSABLE ones — and the LSH index already
+    computes confusability (bucket collision) as a by-product of
+    dedup. Exact-Jaccard < 0.2 guards against accidentally sampling a
+    true near-dup as a negative (a label error that poisons training).
+    Scale: candidates are O(bucket collisions); ranking is md5 order —
+    deterministic under retries, no rand()."""
+    from oroboro_dw_dbt_spark.dedup.dedup import minhash_band_index
+    from oroboro_dw_dbt_spark.text.analysis import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = minhash_band_index(docs)
+    a = bands.select(
+        F.col("doc_id").alias("anchor"), "band", "band_key"
+    )
+    b = bands.select(F.col("doc_id").alias("neg"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("anchor") != F.col("neg"))
+        .select("anchor", "neg")
+        .distinct()
+    )
+    sh = docs.select("doc_id", shingles("text").alias("sh"))
+    j = (
+        cand.join(sh.withColumnRenamed("doc_id", "anchor"), "anchor")
+        .withColumnRenamed("sh", "sh_a")
+        .join(sh.withColumnRenamed("doc_id", "neg"), "neg")
+        .withColumnRenamed("sh", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    scored = j.filter(inter * 1.0 / union < 0.2).select("anchor", "neg")
+    rk = F.row_number().over(
+        Window.partitionBy("anchor").orderBy(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("anchor").cast("string"),
+                    F.col("neg").cast("string"),
+                )
+            ),
+            "neg",
+        )
+    )
+    return scored.withColumn("rk", rk).filter(F.col("rk") <= 2)

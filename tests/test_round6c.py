@@ -617,3 +617,66 @@ class TestMulticlassReport:
                     r["precision_ppm"]
                     == r["tp"] * 1_000_000 // r["pred_n"]
                 )
+
+
+class TestToleranceHistoryNegatives:
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            _TOL_S,
+            tj_asof_tolerance,
+        )
+        from oroboro_dw_dbt_spark.ops.temporal import asof_join
+
+        ev = load_table(spark, SF, "events")
+        raw = asof_join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts"
+            ),
+            ev.filter(F.col("event_type") == "click"),
+            key="user_id",
+        )
+        raw_m = {r["event_id"]: r["asof_ts"] for r in raw.collect()}
+        tol = {
+            r["event_id"]: r["asof_ts"]
+            for r in tj_asof_tolerance(spark, SF).collect()
+        }
+        got_ts = {
+            r["event_id"]: r["ts"]
+            for r in tj_asof_tolerance(spark, SF).collect()
+        }
+        assert set(tol) == set(raw_m)
+        for eid, m in raw_m.items():
+            if m is None:
+                assert tol[eid] is None
+            elif (got_ts[eid] - m).total_seconds() <= _TOL_S:
+                assert tol[eid] == m
+            else:
+                assert tol[eid] is None
+
+    def test_history_after_clone(self, spark, tmp_path):
+        from oroboro_dw_dbt_spark.engine import ManifestParquetFormat
+
+        fmt = ManifestParquetFormat()
+        df = load_table(spark, SF, "events").select("event_id")
+        fmt.write(df, tmp_path / "src")
+        fmt.clone(tmp_path / "src", tmp_path / "c")
+        ops = [h["op"] for h in fmt.history(tmp_path / "c")]
+        assert ops == ["clone"]
+
+    def test_hard_negatives_are_not_near_dups(self, spark):
+        from oroboro_dw_dbt_spark.dedup.dedup import minhash_lsh_pairs
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            sp_hard_negatives,
+        )
+
+        docs = load_table(spark, SF01, "documents")
+        negs = {
+            (r["anchor"], r["neg"])
+            for r in sp_hard_negatives(spark, SF01).collect()
+        }
+        dups = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(docs).collect()
+        }
+        dups |= {(b, a) for a, b in dups}
+        assert negs and not (negs & dups)
