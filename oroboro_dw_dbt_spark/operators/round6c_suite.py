@@ -2584,3 +2584,200 @@ def sp_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.withColumn("rk", rk).filter(F.col("rk") <= 2)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the mergeable MEMBERSHIP sketch.
+# ---------------------------------------------------------------------------
+_BF_WORDS = 64  # 64 words × 63 bits = 4032-bit filter (≈ 0.5 KB)
+_BF_BITS = _BF_WORDS * 63
+_BF_K = 3
+
+
+def _bf_pos_sql(key_expr: str, j: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('bf|' || {j} || '|' || {key_expr}), 1, 8)"
+        f" AS BIGINT) % {_BF_BITS}"
+    )
+
+
+@query(
+    "sk_bloom_membership",
+    # the oracle recomputes the identical deterministic filter in SQL:
+    # zero false negatives is the INVARIANT (must be exactly 0), the
+    # false-positive count is the measured honesty number, and the
+    # 4-shard bit_or merge must equal the single-pass filter word for
+    # word (OR is associative — same contract as the countmin/HLL/
+    # histogram merges, now for membership)
+    oracle=f"""
+    WITH present AS (
+      SELECT CAST(c_custkey AS STRING) AS k FROM customer
+      WHERE c_custkey % 10 = 3
+    ),
+    pos AS (
+      SELECT k, {_bf_pos_sql('k', 'j.j')} AS pos
+      FROM present CROSS JOIN (SELECT unnest(range(0, {_BF_K})) AS j) j
+    ),
+    words AS (
+      SELECT pos // 63 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    probes AS (
+      SELECT CAST(c_custkey AS STRING) AS k, true AS is_present
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT CAST(c_custkey + 1000000000 AS STRING), false
+      FROM customer WHERE c_custkey % 10 = 3
+    ),
+    ppos AS (
+      SELECT k, is_present,
+             {_bf_pos_sql('k', 'j.j')} AS pos
+      FROM probes CROSS JOIN (SELECT unnest(range(0, {_BF_K})) AS j) j
+    ),
+    hits AS (
+      SELECT p.k, p.is_present,
+             bool_and(coalesce(
+               (w.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT)))
+                 <> 0, false)) AS member
+      FROM ppos p LEFT JOIN words w ON p.pos // 63 = w.word
+      GROUP BY p.k, p.is_present
+    )
+    SELECT
+      CAST(sum(CASE WHEN is_present THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_present,
+      CAST(sum(CASE WHEN is_present AND member THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_present_hit,
+      CAST(sum(CASE WHEN is_present AND NOT member THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_false_neg,
+      CAST(sum(CASE WHEN NOT is_present THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_absent,
+      CAST(sum(CASE WHEN NOT is_present AND member THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_false_pos,
+      true AS merge_consistent
+    FROM hits
+    """,
+    survey_ref="beyond-reference: Bloom-filter membership sketch — "
+    "md5-deterministic, zero-false-negative invariant as data, "
+    "measured false positives, 4-shard bit_or merge == single pass "
+    "(the mergeable-state family's membership member: countmin="
+    "frequency, HLL=distinct, histogram=quantiles, bloom=membership)",
+)
+def sk_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 0.5 KB Bloom filter built, merged, and probed — all certified.
+
+    The runtime-filter/semi-join-pushdown primitive: ship the 64-word
+    filter to the fact scan and drop rows whose keys cannot be in the
+    build side (never a row that IS — the zero-false-negative
+    invariant this entry certifies as a must-be-0 column). Per-shard
+    filters bit_or-merge into exactly the single-pass filter, so
+    membership state pre-aggregates map-side like every other sketch
+    in the family. Hashing is md5-only → identical across engines,
+    retries, and partitionings."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 == 3
+    )
+    present = cust.select(F.col("c_custkey").cast("string").alias("k"))
+
+    def positions(df: DataFrame, *extra: str) -> DataFrame:
+        p = df.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(_BF_K - 1))).alias("j")
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("bf"), F.col("j"), F.col("k"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return p.select(*(["k", *extra]), (h % _BF_BITS).alias("pos"))
+
+    def build(df: DataFrame) -> DataFrame:
+        return (
+            positions(df)
+            .groupBy(F.expr("pos div 63").alias("word"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(pos % 63 AS INT)))"
+                ).alias("bits")
+            )
+        )
+
+    single = build(present)
+    sharded = (
+        positions(present.withColumn("shard", F.crc32("k") % 4), "shard")
+        .groupBy(F.expr("pos div 63").alias("word"), "shard")
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(pos % 63 AS INT)))"
+            ).alias("bits")
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    consistent = (
+        single.withColumnRenamed("bits", "b1")
+        .join(sharded.withColumnRenamed("bits", "b2"), "word", "full_outer")
+        .agg(
+            F.min(
+                (
+                    F.coalesce(F.col("b1"), F.lit(-1))
+                    == F.coalesce(F.col("b2"), F.lit(-2))
+                ).cast("boolean")
+            ).alias("ok")
+        )
+    )
+    probes = present.withColumn("is_present", F.lit(True)).unionByName(
+        cust.select(
+            (F.col("c_custkey") + 1000000000).cast("string").alias("k")
+        ).withColumn("is_present", F.lit(False))
+    )
+    ppos = positions(probes, "is_present")
+    hit = (
+        ppos.join(
+            F.broadcast(single),
+            F.expr("pos div 63") == F.col("word"),
+            "left",
+        )
+        .select(
+            "k",
+            "is_present",
+            F.coalesce(
+                (
+                    F.expr(
+                        "bits & shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(pos % 63 AS INT))"
+                    )
+                    != 0
+                ),
+                F.lit(False),
+            ).alias("h"),
+        )
+        .groupBy("k", "is_present")
+        .agg(F.bool_and("h").alias("member"))
+    )
+    summary = hit.agg(
+        F.sum(F.col("is_present").cast("int")).cast("bigint").alias("n_present"),
+        F.sum((F.col("is_present") & F.col("member")).cast("int"))
+        .cast("bigint")
+        .alias("n_present_hit"),
+        F.sum((F.col("is_present") & ~F.col("member")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_neg"),
+        F.sum((~F.col("is_present")).cast("int")).cast("bigint").alias("n_absent"),
+        F.sum((~F.col("is_present") & F.col("member")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+    return summary.crossJoin(F.broadcast(consistent)).select(
+        "n_present",
+        "n_present_hit",
+        "n_false_neg",
+        "n_absent",
+        "n_false_pos",
+        F.col("ok").alias("merge_consistent"),
+    )

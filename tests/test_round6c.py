@@ -680,3 +680,25 @@ class TestToleranceHistoryNegatives:
         }
         dups |= {(b, a) for a, b in dups}
         assert negs and not (negs & dups)
+
+
+class TestBloomMembership:
+    def test_invariants_and_theory(self, spark):
+        import math
+
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            _BF_BITS,
+            _BF_K,
+            sk_bloom_membership,
+        )
+
+        r = sk_bloom_membership(spark, SF01).first()
+        # THE invariant: a Bloom filter never misses a present key
+        assert r["n_false_neg"] == 0
+        assert r["n_present_hit"] == r["n_present"]
+        assert r["merge_consistent"] is True
+        # fp rate ≈ (1 - e^{-kn/m})^k — allow wide slack, catch breakage
+        n = r["n_present"]
+        expect = (1 - math.exp(-_BF_K * n / _BF_BITS)) ** _BF_K
+        got = r["n_false_pos"] / r["n_absent"]
+        assert abs(got - expect) < 0.1
