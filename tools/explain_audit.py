@@ -60,6 +60,8 @@ NESTED_LOOP_OK = {
     # against the |bins| cumulative histogram, and the 1-row
     # merge-consistency flag
     "sk_hist_quantiles_merge",
+    # 1-row merge-consistency flag attached to the 1-row summary
+    "sk_bloom_membership",
     # same shape: the decorrelated global-average scalar is a 1-row
     # broadcast cross join (TPC-H Q22's uncorrelated scalar subquery)
     "q22_idle_customer_balance",
