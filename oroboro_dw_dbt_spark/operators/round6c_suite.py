@@ -2781,3 +2781,103 @@ def sk_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_pos",
         F.col("ok").alias("merge_consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom runtime filter applied to a real join, certified lossless.
+# ---------------------------------------------------------------------------
+@query(
+    "sk_bloom_join_prune",
+    # the oracle is the PLAIN join — the bloom prefilter must be
+    # invisible in the result (zero false negatives ⇒ lossless); what
+    # it changes is the fact rows reaching the shuffle
+    oracle="""
+    SELECT l.l_orderkey AS okey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem l
+    JOIN (SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+            AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    survey_ref="beyond-reference: Bloom runtime filter on a real join "
+    "— the 0.5 KB filter from the reduced build side drops fact rows "
+    "BEFORE the shuffle, certified lossless vs the plain join "
+    "(sk_bloom_membership put to work; the manual spelling of "
+    "spark.sql.optimizer.runtime.bloomFilter)",
+)
+def sk_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join lineitem to a 1%-selective order set through a Bloom gate.
+
+    The build side (urgent 1998+ orders) collapses to a 64-word filter;
+    the probe side evaluates 3 md5 bits per row — pure Column math, no
+    join, no shuffle — and only surviving rows (true matches + the
+    measured ~small false-positive slice) reach the equi-join. The
+    hash match against the plain join is the losslessness proof; at
+    100 TB this is the manual spelling of the optimizer's runtime
+    bloom filter, usable where the optimizer can't see the
+    opportunity (e.g. across a checkpoint or a table-format read)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = orders.select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+
+    def pos(col: F.Column, j: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("bf"), j, col)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BF_BITS
+        )
+
+    kp = keys.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(_BF_K - 1))).alias("j")
+    ).select(pos(F.col("k"), F.col("j")).alias("pos"))
+    words = kp.groupBy(F.expr("pos div 63").alias("word")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))"
+        ).alias("bits")
+    )
+    # the ≤64-row filter table broadcasts; each probe row checks its
+    # 3 bit positions via broadcast lookups — an absent word means no
+    # bits set there, so the inner join itself prunes those rows
+    lk = F.col("l_orderkey").cast("string")
+    pruned = li
+    for j in range(_BF_K):
+        pruned = pruned.withColumn(f"pos_{j}", pos(lk, F.lit(j)))
+    for j in range(_BF_K):
+        w = words.select(
+            F.col("word").alias(f"w_{j}"), F.col("bits").alias(f"bits_{j}")
+        )
+        pruned = pruned.join(
+            F.broadcast(w),
+            F.expr(f"pos_{j} div 63") == F.col(f"w_{j}"),
+            "inner",
+        ).filter(
+            F.expr(
+                f"bits_{j} & shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pos_{j} % 63 AS INT))"
+            )
+            != 0
+        )
+    joined = pruned.join(
+        F.broadcast(orders.select("o_orderkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("price_cents"),
+    )

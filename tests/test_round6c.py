@@ -702,3 +702,44 @@ class TestBloomMembership:
         expect = (1 - math.exp(-_BF_K * n / _BF_BITS)) ** _BF_K
         got = r["n_false_pos"] / r["n_absent"]
         assert abs(got - expect) < 0.1
+
+
+class TestBloomJoinPrune:
+    def test_prune_is_lossless_and_actually_prunes(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            sk_bloom_join_prune,
+        )
+
+        got = sorted(
+            map(tuple, sk_bloom_join_prune(spark, SF01).collect())
+        )
+        orders = load_table(spark, SF01, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (
+                F.col("o_orderdate")
+                >= F.lit("1998-01-01").cast("timestamp")
+            )
+        )
+        li = load_table(spark, SF01, "lineitem")
+        plain = sorted(
+            map(
+                tuple,
+                li.join(
+                    orders.select("o_orderkey"),
+                    li.l_orderkey == F.col("o_orderkey"),
+                )
+                .groupBy(F.col("l_orderkey").alias("okey"))
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                    F.sum(
+                        F.round(F.col("l_extendedprice") * 100, 0).cast(
+                            "bigint"
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("price_cents"),
+                )
+                .collect(),
+            )
+        )
+        assert got == plain
