@@ -2881,3 +2881,140 @@ def sk_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency: max overlapping intervals per key.
+# ---------------------------------------------------------------------------
+@query(
+    "ev_overlap_concurrency",
+    # classic sweep line: +1 at start, −1 after end, running sum in
+    # (time, delta) order = live-interval count; its max is the
+    # answer. Identical window program on both engines.
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey % 25 AS key,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + INTERVAL (o_orderkey % 14 + 1) DAY AS e
+      FROM orders
+    ),
+    pts AS (
+      SELECT key, s AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT key, e + INTERVAL 1 DAY, -1 FROM iv
+    ),
+    run AS (
+      SELECT key, d,
+             sum(delta) OVER (
+               PARTITION BY key ORDER BY d, delta
+               ROWS UNBOUNDED PRECEDING) AS live
+      FROM pts
+    )
+    SELECT CAST(key AS BIGINT) AS key,
+           CAST(max(live) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY key
+    """,
+    survey_ref="beyond-reference: sweep-line max concurrency — peak "
+    "overlapping intervals per key (capacity/occupancy analytics; the "
+    "aggregation sibling of j_interval_overlap's pairing)",
+)
+def ev_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous open orders per customer bucket.
+
+    The sweep line turns interval overlap counting from quadratic
+    pairing into O(n log n): two events per interval, one partitioned
+    running sum, one max. Tie order is pinned (delta ASC puts the −1
+    before the +1 at the same date, so back-to-back intervals — end+1
+    == next start — do NOT count as concurrent). At 100 TB this is
+    the occupancy-curve plan: one shuffle on key, windows reuse it."""
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        (F.col("o_custkey") % 25).alias("key"),
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.col("o_orderkey") % 14 + 1).cast("int"),
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "key", F.col("s").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "key", F.date_add("e", 1).alias("d"), F.lit(-1).alias("delta")
+        )
+    )
+    live = F.sum("delta").over(
+        Window.partitionBy("key")
+        .orderBy("d", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pts.withColumn("live", live)
+        .groupBy(F.col("key").cast("bigint").alias("key"))
+        .agg(F.max("live").cast("bigint").alias("max_concurrent"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary frequency-cutoff curve: corpus Zipf diagnostics.
+# ---------------------------------------------------------------------------
+from oroboro_dw_dbt_spark.operators.training_suite import _TOKS  # noqa: E402
+
+
+@query(
+    "t_frequency_cutoff_curve",
+    # token counts → histogram of counts → reverse-cumulative curve:
+    # for each observed frequency f, how many types and how much token
+    # mass survive a min-count ≥ f cutoff. One corpus pass; everything
+    # after runs on the |distinct counts| table.
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+    hist AS (
+      SELECT f, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(f) AS BIGINT) AS mass
+      FROM tf GROUP BY f
+    )
+    SELECT f AS min_count,
+           CAST(sum(n_types) OVER (ORDER BY f DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size,
+           CAST(sum(mass) OVER (ORDER BY f DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS token_mass
+    FROM hist
+    """,
+    survey_ref="beyond-reference: vocabulary frequency-cutoff curve — "
+    "vocab size and surviving token mass at EVERY min-count threshold "
+    "from one pass (the Zipf diagnostic behind t_vocab_build's cutoff "
+    "choice)",
+)
+def t_frequency_cutoff_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(min_count → vocab size, surviving token mass), all thresholds.
+
+    t_vocab_build picks ONE min-count; this is the curve you look at
+    to pick it — computed without picking: token counts collapse to a
+    count-of-counts histogram (KBs: |distinct frequencies| rows), and
+    a reverse-cumulative window answers every threshold at once. The
+    corpus is read once; the window runs on the histogram."""
+    from oroboro_dw_dbt_spark.text.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    hist = tf.groupBy("f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("f").cast("bigint").alias("mass"),
+    )
+    w = Window.orderBy(F.col("f").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        F.col("f").alias("min_count"),
+        F.sum("n_types").over(w).cast("bigint").alias("vocab_size"),
+        F.sum("mass").over(w).cast("bigint").alias("token_mass"),
+    )

@@ -743,3 +743,69 @@ class TestBloomJoinPrune:
             )
         )
         assert got == plain
+
+
+class TestConcurrencyAndCutoffCurve:
+    def test_max_concurrency_vs_naive(self, spark):
+        """Sweep-line answer == brute-force day-by-day census at
+        sf0.001."""
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            ev_overlap_concurrency,
+        )
+
+        iv = (
+            load_table(spark, SF, "orders")
+            .select(
+                (F.col("o_custkey") % 25).alias("key"),
+                F.to_date("o_orderdate").alias("s"),
+                F.date_add(
+                    F.to_date("o_orderdate"),
+                    (F.col("o_orderkey") % 14 + 1).cast("int"),
+                ).alias("e"),
+            )
+            .collect()
+        )
+        by_key: dict = {}
+        for r in iv:
+            by_key.setdefault(r["key"], []).append((r["s"], r["e"]))
+        expect = {}
+        for k, spans in by_key.items():
+            days: dict = {}
+            for s, e in spans:
+                d = s
+                while d <= e:
+                    days[d] = days.get(d, 0) + 1
+                    d = d + dt.timedelta(days=1)
+            expect[k] = max(days.values())
+        got = {
+            r["key"]: r["max_concurrent"]
+            for r in ev_overlap_concurrency(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_cutoff_curve_monotone_and_anchored(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            t_frequency_cutoff_curve,
+        )
+        from oroboro_dw_dbt_spark.text.analysis import tokens
+
+        rows = sorted(
+            t_frequency_cutoff_curve(spark, SF01).collect(),
+            key=lambda r: r["min_count"],
+        )
+        docs = load_table(spark, SF01, "documents")
+        total_mass = docs.select(
+            F.explode(tokens("text")).alias("t")
+        ).count()
+        total_vocab = (
+            docs.select(F.explode(tokens("text")).alias("t"))
+            .distinct()
+            .count()
+        )
+        # min_count = smallest observed f ⇒ whole vocabulary survives
+        assert rows[0]["vocab_size"] == total_vocab
+        assert rows[0]["token_mass"] == total_mass
+        # both curves decrease as the threshold rises
+        for a, b in zip(rows, rows[1:]):
+            assert a["vocab_size"] > b["vocab_size"]
+            assert a["token_mass"] > b["token_mass"]
