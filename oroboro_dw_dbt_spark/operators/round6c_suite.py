@@ -3018,3 +3018,121 @@ def t_frequency_cutoff_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_types").over(w).cast("bigint").alias("vocab_size"),
         F.sum("mass").over(w).cast("bigint").alias("token_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peeling): graph cleaning's workhorse.
+# ---------------------------------------------------------------------------
+_KCORE_K = 20
+_KCORE_PEELS = 4
+
+
+def _kcore_oracle() -> str:
+    peel = []
+    for i in range(1, _KCORE_PEELS + 1):
+        # AS MATERIALIZED: e{i-1} is referenced twice per peel; plain
+        # CTE inlining doubles the subtree each level (2^peels blowup —
+        # the same DuckDB trap the SSSP oracle hit)
+        peel.append(
+            f"""n{i} AS MATERIALIZED (
+      SELECT src AS u FROM e{i - 1} GROUP BY src
+      HAVING count(*) >= {_KCORE_K}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT src, dst FROM e{i - 1}
+      WHERE src IN (SELECT u FROM n{i}) AND dst IN (SELECT u FROM n{i})
+    )"""
+        )
+    peels = ",\n    ".join(peel)
+    return f"""
+    WITH base AS (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+            FROM events WHERE event_type = 'purchase') a
+      JOIN (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+            FROM events WHERE event_type = 'purchase') b
+        ON a.hr = b.hr AND a.user_id <> b.user_id
+    ),
+    e0 AS MATERIALIZED (SELECT src, dst FROM base),
+    {peels},
+    core AS (
+      SELECT src AS u, CAST(count(*) AS BIGINT) AS core_deg
+      FROM e{_KCORE_PEELS} GROUP BY src
+    )
+    SELECT n.u AS user_id,
+           CASE WHEN c.u IS NOT NULL THEN true ELSE false END AS in_core,
+           CAST(coalesce(c.core_deg, 0) AS BIGINT) AS core_deg
+    FROM (SELECT DISTINCT src AS u FROM e0) n
+    LEFT JOIN core c ON n.u = c.u
+    """
+
+
+@query(
+    "gr_kcore",
+    # peel cap is EQUAL on both sides (4), so the hash match certifies
+    # the peeling algorithm itself whether or not the cap reaches the
+    # fixpoint — the gr_bfs_distances equal-cap discipline, applied to
+    # the degree-peeling recursion
+    oracle=_kcore_oracle(),
+    survey_ref="beyond-reference: k-core decomposition (graph family "
+    "#7) — iterative degree peeling with symmetric-edge restriction, "
+    "vs the equal-cap unrolled-subquery oracle; the graph-cleaning "
+    "step before community/embedding jobs",
+)
+def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes surviving 4 peels at k=20 in the co-purchase graph.
+
+    Each peel: one degree aggregate + one semi-join restricting edges
+    to surviving endpoints — two shuffles per iteration, state is the
+    shrinking edge list (checkpointed to truncate lineage). k-core is
+    the standard graph-cleaning step (drop weakly-attached noise
+    before community detection / graph embeddings); the equal-cap
+    oracle makes the certification exact regardless of convergence,
+    and the pytest additionally witnesses the fixpoint at the gate
+    scale."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.expr("unix_timestamp(ts) div 3600").alias("hr")
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = edges.select(F.col("src").alias("u")).distinct()
+    cur = edges
+    for _ in range(_KCORE_PEELS):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("src").alias("u"))
+        )
+        cur = (
+            cur.join(keep, cur.src == keep.u, "left_semi")
+            .join(keep, cur.dst == keep.u, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    core = cur.groupBy(F.col("src").alias("u")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_deg")
+    )
+    return (
+        all_nodes.join(core.withColumnRenamed("u", "cu"),
+                       F.col("u") == F.col("cu"), "left")
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("cu").isNotNull().alias("in_core"),
+            F.coalesce("core_deg", F.lit(0)).cast("bigint").alias("core_deg"),
+        )
+    )

@@ -809,3 +809,23 @@ class TestConcurrencyAndCutoffCurve:
         for a, b in zip(rows, rows[1:]):
             assert a["vocab_size"] > b["vocab_size"]
             assert a["token_mass"] > b["token_mass"]
+
+
+class TestKCore:
+    def test_core_properties_and_fixpoint(self, spark):
+        from oroboro_dw_dbt_spark.operators.round6c_suite import (
+            _KCORE_K,
+            gr_kcore,
+        )
+
+        rows = gr_kcore(spark, SF01).collect()
+        survivors = {r["user_id"] for r in rows if r["in_core"]}
+        assert 0 < len(survivors) < len(rows)  # the peel did something
+        # fixpoint witness at the gate scale: within the surviving
+        # subgraph, every member's core degree still meets k — i.e. a
+        # 5th peel would remove nobody
+        for r in rows:
+            if r["in_core"]:
+                assert r["core_deg"] >= _KCORE_K
+            else:
+                assert r["core_deg"] == 0
