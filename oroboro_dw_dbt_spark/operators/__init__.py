@@ -22,4 +22,7 @@ from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     ml_eval_suite,
     drift_suite,
     round6c_suite,
+    round6d_suite,
+    feature_suite,
+    round6e_suite,
 )

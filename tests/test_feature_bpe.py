@@ -1,0 +1,145 @@
+"""Tests for the round-6 seventh/eighth waves: distributed BPE
+training (fold-kernel equivalence vs a plain-Python reference) and the
+feature-engineering + BM25 entries (semantic invariants, exactness of
+the integer-statistics route)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from oroboro_dw_dbt_spark.operators.feature_suite import (
+    fe_hashed_cross,
+    fe_onehot_topk,
+    fe_quantile_bins,
+    fe_scaler_suite,
+    t_bm25_topk,
+    ts_autocorr,
+)
+from oroboro_dw_dbt_spark.operators.round6d_suite import t_bpe_train
+from oroboro_dw_dbt_spark.sources.testdata import load_table
+from oroboro_dw_dbt_spark.text import bpe
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+class TestBpe:
+    def test_merges_match_python_reference(self, spark):
+        """The distributed merge loop (fold kernel + argmax collect)
+        reproduces a plain-Python BPE (Sennrich greedy semantics)
+        merge-for-merge, counts included."""
+        words = bpe.word_counts(spark, SF)
+        wf = {r["word"]: r["freq"] for r in words.collect()}
+        expected = bpe.learn_merges_py(wf)
+        got = bpe.learn_merges(words)
+        assert got == expected
+
+    def test_fold_kernel_greedy_overlap(self, spark):
+        """Greedy left-to-right non-overlap: 'aaa b' under merge (a,a)
+        segments to [aa, a, b] — the just-merged token must not match
+        again (the classic overlap trap)."""
+        df = spark.createDataFrame([("aaab",)], ["word"])
+        out = df.select(
+            bpe.apply_merge(bpe.base_symbols(F.col("word")), "a", "a").alias("s")
+        ).collect()[0]["s"]
+        assert out == "aa a b </w>"
+
+    def test_train_entry_shape(self, spark):
+        rows = t_bpe_train(spark, SF).collect()
+        assert len(rows) == bpe.N_MERGES
+        assert [r["step"] for r in rows] == list(range(1, bpe.N_MERGES + 1))
+        for r in rows:
+            assert r["merged"] == r["lhs"] + r["rhs"]
+            assert r["pair_count"] > 0
+
+    def test_pair_counts_nonincreasing_is_not_required_but_positive(self, spark):
+        """BPE pair counts need not decrease monotonically (merges can
+        create new frequent pairs), but every chosen pair must have
+        been the argmax of a positive count."""
+        rows = t_bpe_train(spark, SF).collect()
+        assert all(r["pair_count"] >= 1 for r in rows)
+
+
+class TestScalers:
+    def test_zscore_matches_python(self, spark):
+        """z_micro recomputed driver-side from the raw column with
+        ordinary float math agrees to ±1 micro (the fixed-point grid)."""
+        docs = load_table(spark, SF01, "documents").select("doc_id", "lang", "n_chars")
+        rows = docs.collect()
+        by_lang: dict = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+        out = {r["doc_id"]: r for r in fe_scaler_suite(spark, SF01).collect()}
+        assert len(out) == len(rows)
+        for r in rows:
+            xs = by_lang[r["lang"]]
+            m = sum(xs) / len(xs)
+            sd = math.sqrt(sum((x - m) ** 2 for x in xs) / (len(xs) - 1))
+            want = (r["n_chars"] - m) / sd * 1e6
+            assert abs(out[r["doc_id"]]["z_micro"] - want) <= 1
+
+    def test_minmax_bounds(self, spark):
+        vals = [r["mm_micro"] for r in fe_scaler_suite(spark, SF01).collect()]
+        assert min(vals) == 0 and max(vals) == 1_000_000
+
+    def test_bins_partition_the_corpus(self, spark):
+        rows = fe_quantile_bins(spark, SF01).collect()
+        assert sum(r["n_docs"] for r in rows) == 500
+        assert {r["bin"] for r in rows} <= set(range(1, 11))
+        # bins are ordered and non-overlapping in value space
+        by_bin = sorted(rows, key=lambda r: r["bin"])
+        for a, b in zip(by_bin, by_bin[1:]):
+            assert a["max_chars"] <= b["min_chars"]
+
+    def test_onehot_flags_sum_to_one(self, spark):
+        for r in fe_onehot_topk(spark, SF01).collect():
+            assert r["f_top1"] + r["f_top2"] + r["f_top3"] + r["f_other"] == 1
+
+    def test_hashed_cross_buckets_cover_rows(self, spark):
+        rows = fe_hashed_cross(spark, SF01).collect()
+        assert sum(r["n_rows"] for r in rows) == 500
+        assert all(0 <= r["bucket"] < 64 for r in rows)
+        assert all(r["n_crosses"] >= 1 for r in rows)
+
+
+class TestAutocorrBm25:
+    def test_autocorr_bounded_and_lags_present(self, spark):
+        rows = ts_autocorr(spark, SF01).collect()
+        assert {r["lag_k"] for r in rows} == {1, 7}
+        for r in rows:
+            if r["r_micro"] is not None:
+                assert -1_000_000 <= r["r_micro"] <= 1_000_000
+            assert r["n_pairs"] > 0
+
+    def test_bm25_matches_python(self, spark):
+        """Driver-side BM25 recompute (float route) agrees with the
+        fixed-point integer-sum route to ±3 nano per term."""
+        docs = load_table(spark, SF01, "documents").select("doc_id", "text").collect()
+        toks = {r["doc_id"]: [t for t in r["text"].split() if t] for r in docs}
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        terms = ("join", "hash", "scan")
+        df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+        scores = {}
+        for d, v in toks.items():
+            s = 0.0
+            for t in terms:
+                tf = v.count(t)
+                if not tf:
+                    continue
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += round(
+                    idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(v) / avgdl)) * 1e9
+                )
+            if s:
+                scores[d] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = [
+            (r["doc_id"], r["score_nano"])
+            for r in t_bm25_topk(spark, SF01).orderBy("rnk").collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) <= 9

@@ -96,6 +96,20 @@ NESTED_LOOP_OK = {
     # 3-row annotator-pair table broadcast-crossed onto the 1-row
     # sufficient-statistics aggregate — pair fan-out off one full pass
     "lab_agreement",
+    # 1-row global stats (min/max/3 percentiles) broadcast-crossed onto
+    # the scan — the fitted-scaler-applied-as-literals shape
+    "fe_scaler_suite",
+    # 1-row decile-edge aggregate broadcast-crossed onto the scan
+    "fe_quantile_bins",
+    # 2-row lag grid (lag ∈ {1,7}) broadcast-crossed onto the KB-scale
+    # per-day rollup (never the fact) — one pass answers both lags
+    "ts_autocorr",
+    # 1-row corpus stats (N, total dl) broadcast-crossed onto the
+    # query-term postings (already filtered to 3 terms)
+    "t_bm25_topk",
+    # 1-row summed-thresholds scalar broadcast-crossed onto the ≤80-row
+    # merged candidate summary — never the fact table
+    "sk_topk_mergeable",
 }
 # streaming entries execute eagerly inside the builder; explain() on the
 # returned batch result reflects the memory sink, not the stream plan
