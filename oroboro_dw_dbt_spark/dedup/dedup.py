@@ -87,6 +87,15 @@ def _shingled(docs: DataFrame, n: int, materialize: bool) -> DataFrame:
     arrays once per reference (4× at sf0.1 ≈ 4 full md5 passes).
     localCheckpoint ≙ the persist-before-reuse a production pipeline
     does; storage is freed with the DataFrame."""
+    # Shingling + MinHash is compute-bound (md5 per shingle), so the
+    # stage must be at least as wide as the executor cores. A small-SF
+    # parquet file arrives as ONE split (openCost floor + single row
+    # group), serializing the whole md5 pipeline on one core (measured
+    # 3.1s → 0.7s at sf0.1 after widening). At cluster scale the scan
+    # already has thousands of splits and this is a no-op.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     sh = docs.select("doc_id", shingles("text", n).alias("sh"))
     # EAGER: a lazy checkpoint is not reliably shared between the
     # branches of the downstream self-join inside a single job — each
