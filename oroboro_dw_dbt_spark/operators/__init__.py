@@ -25,4 +25,5 @@ from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     round6d_suite,
     feature_suite,
     round6e_suite,
+    round6f_suite,
 )

@@ -110,6 +110,9 @@ NESTED_LOOP_OK = {
     # 1-row summed-thresholds scalar broadcast-crossed onto the ≤80-row
     # merged candidate summary — never the fact table
     "sk_topk_mergeable",
+    # three 1-row aggregates merged by broadcast cross joins — the
+    # dataset card IS a 1-row artifact
+    "ch_dataset_card",
 }
 # streaming entries execute eagerly inside the builder; explain() on the
 # returned batch result reflects the memory sink, not the stream plan
