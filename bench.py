@@ -87,6 +87,11 @@ HEADLINE = [
     # round 6 sixth wave: MATCH_RECOGNIZE-shape sequence detection
     # (two stacked RANGE windows over one per-user sort)
     "ev_sequence_match",
+    # round 6 continuation: distributed BPE training (one corpus
+    # shuffle + the type-table merge loop) and SemDeDup semantic dedup
+    # (LSH-cell dominance anti-join)
+    "t_bpe_train",
+    "dd_semdedup",
 ]
 
 

@@ -26,4 +26,5 @@ from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     feature_suite,
     round6e_suite,
     round6f_suite,
+    round6g_suite,
 )

@@ -27,10 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oroboro_dw_dbt_spark.operators.catalog import query
-from oroboro_dw_dbt_spark.operators.training_suite import _COS, _planes_dot_sql
+from oroboro_dw_dbt_spark.operators.training_suite import _planes_dot_sql
 from oroboro_dw_dbt_spark.similarity.search import (
     _as_double,
-    cosine_similarity,
     hyperplane_bucket,
     lsh_planes,
 )
@@ -43,14 +42,19 @@ _SEM_DIM = 64
 
 @query(
     "dd_semdedup",
+    # Norms are hoisted per VECTOR (nrm column), not recomputed per
+    # pair: dot/(a.nrm*b.nrm) is bit-identical to the _COS spelling
+    # dot/(sqrt(aa)*sqrt(bb)) — same sqrt inputs, same product — and
+    # turns the per-pair cost from 3 folds into 1.
     oracle=f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {_planes_dot_sql('b0')} AS bucket
+    b AS (SELECT vec_id, v, sqrt(list_dot_product(b0.v, b0.v)) AS nrm,
+                 {_planes_dot_sql('b0')} AS bucket
           FROM v b0),
     dom AS (
       SELECT c.vec_id AS victim, CAST(min(q.vec_id) AS BIGINT) AS removed_by
       FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
-      WHERE {_COS} >= {_SEM_TAU}
+      WHERE round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) >= {_SEM_TAU}
       GROUP BY c.vec_id
     )
     SELECT b.vec_id, CAST(b.bucket AS INT) AS bucket,
@@ -67,18 +71,37 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the only corpus-wide shuffle is the bucket equi-join (cells
     bound pair counts exactly as IVF cells do); dominance collapses to
     a per-victim min() — one aggregate, no connected-components
-    iteration, because the keep-lowest-id policy is order-free. At
-    100 TB the bucket id comes from a trained k-means assignment
-    (ss_ivf_topk's fit) with this same downstream plan."""
+    iteration, because the keep-lowest-id policy is order-free.
+    Pair work inside a cell is quadratic in OCCUPANCY, so the cell
+    count must grow with the corpus (planes ≈ log2(N/occupancy); the
+    10× probe measured 12.7× wall with the cell count held fixed —
+    the knob, not the plan, is what scales). At 100 TB the bucket id
+    comes from a trained k-means assignment (ss_ivf_topk's fit, cells
+    ∝ N) with this same downstream plan. Norms are hoisted per vector
+    (3 folds/pair → 1), bit-identical to the per-pair spelling."""
     planes = lsh_planes(_SEM_PLANES, _SEM_DIM)
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
     b = v.select(
-        "vec_id", "v", hyperplane_bucket(F.col("v"), planes).alias("bucket")
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        ).alias("nrm"),
+        hyperplane_bucket(F.col("v"), planes).alias("bucket"),
     ).localCheckpoint(eager=True)
     q, c = b.alias("q"), b.alias("c")
-    cos = F.round(cosine_similarity(F.col("q.v"), F.col("c.v")), 6)
+    dot = F.aggregate(
+        F.zip_with(F.col("q.v"), F.col("c.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cos = F.round(dot / (F.col("q.nrm") * F.col("c.nrm")), 6)
     dom = (
         q.join(
             c,
@@ -167,3 +190,60 @@ def ch_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("n") - 1).alias("n_exact_dups"))
     )
     return base.crossJoin(F.broadcast(toks)).crossJoin(F.broadcast(dups))
+
+
+@query(
+    "sp_dedup_aware_split",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE WHEN substr(md5('v1|' || md5(text)), 1, 4) < '1999'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ),
+    per AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_fps
+      FROM d GROUP BY split
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS fps_spanning
+      FROM (SELECT fp FROM d GROUP BY fp HAVING count(DISTINCT split) > 1)
+    )
+    SELECT per.split, per.n_docs, per.n_fps, leak.fps_spanning
+    FROM per CROSS JOIN leak
+    """,
+    survey_ref="beyond-reference: leakage-safe train/test split — the "
+    "split key is the CONTENT fingerprint, so exact duplicates can "
+    "never straddle the boundary; certified by a must-be-0 census",
+)
+def sp_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed train/test split with a leakage census.
+
+    Splitting on md5 of the document id leaks: two copies of the same
+    text can land on opposite sides and the eval set rehearses the
+    training data. Keying the ~10% test bucket on the content
+    fingerprint instead makes every exact copy fall together — no
+    dedup pass required first, zero extra shuffle (the census here is
+    the certificate, not part of the production plan). fps_spanning is
+    structurally 0; the driver hash check pins it."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    d = d.withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(F.concat(F.lit("v1|"), F.col("fp"))), 1, 4) < "1999",
+            F.lit("test"),
+        ).otherwise("train"),
+    )
+    per = d.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_fps")
+    )
+    leak = (
+        d.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count("*").alias("fps_spanning"))
+    )
+    return per.crossJoin(F.broadcast(leak))

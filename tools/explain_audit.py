@@ -113,6 +113,12 @@ NESTED_LOOP_OK = {
     # three 1-row aggregates merged by broadcast cross joins — the
     # dataset card IS a 1-row artifact
     "ch_dataset_card",
+    # 1-row leakage census (must-be-0) broadcast-crossed onto the
+    # 2-row per-split summary
+    "sp_dedup_aware_split",
+    # 1-row corpus totals (N_uni, N_bi) broadcast-crossed onto the
+    # min-support-filtered bigram table
+    "ml_cooccurrence_pmi",
 }
 # streaming entries execute eagerly inside the builder; explain() on the
 # returned batch result reflects the memory sink, not the stream plan
