@@ -100,29 +100,34 @@ def _driver_history(
 # IS the driver record. Everything else certifies next round; all
 # entries pass the local mirror either way.
 FRESH_PRIORITY: tuple[str, ...] = (
-    # TPC-H completion (the 22/22 claim)
-    "q2_min_cost_supplier", "q4_priority_followup", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "q10_returned_revenue", "q11_important_parts", "q12_priority_lines",
-    "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_variety", "q19_disjunctive_revenue", "q20_excess_shipments",
-    "q21_sole_supplier_delays", "q17_small_qty_revenue",
-    "q22_idle_customer_balance",
-    # storage / table format
-    "eng_acid_commit", "eng_delete_vectors", "eng_zorder_layout",
-    "eng_incremental_agg", "eng_bucketed_join", "eng_partitioned_prune",
-    # graph family
-    "gr_pagerank", "gr_triangle_count", "gr_label_propagation",
-    "gr_bfs_distances", "gr_hierarchy_closure",
-    # streaming / semantics certifications
-    "st_late_data_drop", "st_python_stream_source", "m_cast_matrix",
-    "sql_dialect_surface", "w_rank_twophase",
-    # ANN / dedup terminals
-    "ss_mips_topk", "ss_pq_adc_topk", "ss_ivfpq_topk", "dd_keep_best",
-    "t_winnowing_fingerprints", "dd_winnow_overlap",
-    # engine surfaces
-    "eng_python_datasource", "eng_constraint_report", "eng_profile_stats",
-    "mm_decode_meta", "tj_point_in_time", "w_trailing_distinct",
+    # --- the 23 round-5 registrations that postdated the r05 window fill
+    # (VERDICT r05 "What's missing" #1) — certify these first
+    "t_vocab_build", "t_length_outliers", "t_dedup_paragraphs",
+    "t_bigram_novelty", "sk_hll_merge", "sk_countmin_merge",
+    "ch_pack_shards_banded", "tj_asof_nearest", "ts_ohlc_bars",
+    "ev_funnel", "ev_markov_transitions", "ev_variant_extract",
+    "j_full_outer_reconcile", "j_null_safe_join", "eng_schema_merge",
+    "sp_temperature_weights", "sp_time_folds", "udtf_polymorphic_tokens",
+    "w_ntile_distribution", "a_grouped_agg_pandas", "a_string_agg_ordered",
+    "d_interval_suite", "f_array_suite",
+    # --- round-6 headline families, filling the remaining window slots:
+    # failure-recovery + lifecycle verbs
+    "st_restart_recovery", "eng_time_travel", "eng_restore_version",
+    "eng_shallow_clone", "eng_describe_history", "eng_cdc_apply",
+    # Bloom / mergeable-sketch family
+    "sk_bloom_membership", "sk_bloom_join_prune", "sk_topk_mergeable",
+    "sk_hist_quantiles_merge",
+    # tokenizer + semantic-dedup training-data headliners
+    "t_bpe_train", "t_bpe_encode", "dd_semdedup", "t_bm25_topk",
+    "sp_hard_negatives", "dd_incremental_index",
+    # recall censuses (the quality-vs-cost evidence)
+    "dd_lsh_recall_report", "ss_lsh_recall_report",
+    # graph + SQL surface completions
+    "gr_kcore", "gr_sssp_weighted", "sql_recursive_cte", "sql_lateral_topn",
+    # streaming completions
+    "st_stream_join_outer", "st_sliding_stream", "w_session_window",
+    # ML-eval family representative
+    "ml_auc_rank",
 )
 
 
