@@ -224,14 +224,25 @@ def fe_onehot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
         .collect()
     ]
+    # Degenerate corpora (<3 distinct sources): pad with None so the
+    # missing-rank flags are NULL, matching the oracle's empty-scalar
+    # subquery semantics instead of raising IndexError (ADVICE r06 #3).
+    present = list(top)
+    top += [None] * (3 - len(top))
     s = F.col("source")
+
+    def flag(tok):
+        if tok is None:
+            return F.lit(None).cast("int")
+        return (s == tok).cast("int")
+
     return d.select(
         "doc_id",
         "source",
-        (s == top[0]).cast("int").alias("f_top1"),
-        (s == top[1]).cast("int").alias("f_top2"),
-        (s == top[2]).cast("int").alias("f_top3"),
-        (~s.isin(top)).cast("int").alias("f_other"),
+        flag(top[0]).alias("f_top1"),
+        flag(top[1]).alias("f_top2"),
+        flag(top[2]).alias("f_top3"),
+        (~s.isin(present)).cast("int").alias("f_other"),
     )
 
 

@@ -274,8 +274,8 @@ _B = 32
            CAST(sum(w) AS BIGINT) AS n_w,
            CAST(sum(CASE WHEN pred = label THEN w ELSE 0 END) AS BIGINT)
              AS correct_w,
-           CAST(sum(CASE WHEN pred = label THEN w ELSE 0 END) * 1000000
-                AS BIGINT) // sum(w) AS acc_ppm
+           CAST(CAST(sum(CASE WHEN pred = label THEN w ELSE 0 END) * 1000000
+                     AS BIGINT) // sum(w) AS BIGINT) AS acc_ppm
     FROM w GROUP BY b
     """,
     survey_ref="beyond-reference: Poisson-bootstrap confidence "
@@ -1500,9 +1500,10 @@ from oroboro_dw_dbt_spark.operators.training_suite import (  # noqa: E402
       CAST(sum(CASE WHEN cls = 'fn' THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
       CAST(sum(CASE WHEN cls = 'extra' THEN 1 ELSE 0 END) AS BIGINT)
         AS n_extra,
-      CAST(sum(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) * 1000000
+      CAST(CAST(sum(CASE WHEN cls = 'tp' THEN 1 ELSE 0 END) * 1000000
+                AS BIGINT)
+           // sum(CASE WHEN cls IN ('tp', 'fn') THEN 1 ELSE 0 END)
            AS BIGINT)
-        // sum(CASE WHEN cls IN ('tp', 'fn') THEN 1 ELSE 0 END)
         AS recall_ppm
     FROM j
     """,

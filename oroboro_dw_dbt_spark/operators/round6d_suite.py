@@ -69,7 +69,8 @@ p{k} AS MATERIALIZED (
 b{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
 s{k} AS MATERIALIZED (
   SELECT word, freq, list_reduce(string_split(s, ' '), (acc, x) -> CASE
-    WHEN x = bb.r AND (acc = bb.l OR acc LIKE '% ' || bb.l)
+    WHEN x = bb.r AND (acc = bb.l
+                       OR right(acc, length(bb.l) + 1) = ' ' || bb.l)
     THEN acc || x ELSE acc || ' ' || x END) AS s
   FROM {prev} CROSS JOIN b{k} bb
 )"""

@@ -45,7 +45,8 @@ _PMI_TOPK = 20
     WITH daily AS (
       SELECT date_diff('day', DATE '{_EPOCH}', CAST(o_orderdate AS DATE))
                AS day_idx,
-             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(14,4)) * 100, 0)
+                           AS BIGINT)) AS BIGINT)
                AS revenue_cents
       FROM orders GROUP BY 1
     )
@@ -69,7 +70,10 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |days|-row result — KB forever. A LAG window would be one
     sort cheaper but silently lags across gaps; the explicit offset
     join is the correct-by-construction spelling."""
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = (
+        F.round(F.col("o_totalprice").cast("decimal(14,4)") * 100, 0)
+        .cast("long")
+    )
     daily = (
         load_table(spark, sf_dir, "orders")
         .select(

@@ -41,6 +41,95 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     return h, len(rows)
 
 
+def oracle_dtype_class(series) -> str | None:
+    """Classify a DuckDB ``fetchdf`` column the way the driver's pandas
+    hasher will stringify it. Returns None when undecidable (all-NULL)."""
+    import datetime
+    import decimal
+
+    import pandas.api.types as pt
+
+    if pt.is_bool_dtype(series):
+        return "b"
+    if pt.is_integer_dtype(series):
+        return "i"
+    if pt.is_float_dtype(series):
+        return "f"
+    if pt.is_datetime64_any_dtype(series):
+        return "dt"
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, bool):
+            return "b"
+        if isinstance(v, int):
+            return "i"
+        if isinstance(v, float):
+            return "f"
+        if isinstance(v, decimal.Decimal):
+            return "dec"
+        if isinstance(v, str):
+            return "s"
+        if isinstance(v, (bytes, bytearray)):
+            return "bin"
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return "dt"
+        return "obj"
+    return None
+
+
+def spark_dtype_class(field, has_null: bool) -> str:
+    """Driver-side pandas class of a Spark result column.
+
+    Nullable integer columns arrive at the driver's pandas frame as
+    float64 (Arrow → pandas widens int-with-NULL), so an int column
+    WITH observed NULLs is class 'f' — matching the oracle's
+    NaN-induced float64, which is why NULL-y BIGINT columns are not
+    hazards while DuckDB HUGEINT `//` results (float64 with zero
+    NaNs) are (VERDICT r06 What's-wrong #1)."""
+    t = field.dataType.typeName()
+    if t in ("byte", "short", "integer", "long"):
+        return "f" if has_null else "i"
+    if t in ("float", "double"):
+        return "f"
+    if t.startswith("decimal"):
+        return "dec"
+    if t == "boolean":
+        return "b"
+    if t == "string":
+        return "s"
+    if t in ("date", "timestamp", "timestamp_ntz"):
+        return "dt"
+    if t == "binary":
+        return "bin"
+    return "obj"
+
+
+# Classes whose *string forms* diverge at a dtype-faithful hasher:
+# "1000000" (i) vs "1000000.0" (f) vs "1.2500" (dec) vs "True" (b).
+# dt-vs-s and similar are canonicalized by the driver (date suites have
+# been green since r01), so only numeric/bool class splits are hazards.
+_NUMERIC_CLASSES = {"i", "f", "dec", "b"}
+
+
+def dtype_hazards(
+    sfields, s_has_null: dict[str, bool], odf
+) -> list[tuple[str, str, str]]:
+    """(column, spark_class, oracle_class) pairs that the driver's
+    dtype-faithful hasher would stringify differently on the two
+    engines even when the values are numerically identical."""
+    out = []
+    oclasses = {c: oracle_dtype_class(odf[c]) for c in odf.columns}
+    for fld in sfields:
+        sc = spark_dtype_class(fld, s_has_null.get(fld.name, False))
+        oc = oclasses.get(fld.name)
+        if oc is None:
+            continue
+        if sc != oc and sc in _NUMERIC_CLASSES and oc in _NUMERIC_CLASSES:
+            out.append((fld.name, sc, oc))
+    return out
+
+
 def complex_cols(cols: list[str], rows: list[tuple]) -> list[str]:
     """Columns whose cells the DRIVER's pandas canonicalizer cannot hash.
 
@@ -105,8 +194,25 @@ def main() -> int:
             ocur = con.execute(spec.oracle)
             ocols = [d[0] for d in ocur.description]
             orows = ocur.fetchall()
+            odf = con.execute(spec.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        # dtype parity: the driver hashes pandas frames dtype-faithfully,
+        # so an int/float/decimal/bool class split reds at the gate even
+        # when fetchall()-level values match (r06's dd_lsh_recall_report).
+        s_has_null = {
+            c: any(r[i] is None for r in srows)
+            for i, c in enumerate(scols)
+        }
+        haz = dtype_hazards(sdf.schema.fields, s_has_null, odf)
+        if haz:
+            print(
+                f"FAIL {name}: driver dtype hazard {haz} "
+                "(spark vs DuckDB-pandas class — the value hash below may "
+                "still match at fetchall level; the driver's will not)"
+            )
             failures.append(name)
             continue
         sh, sn = table_hash(scols, srows)
