@@ -27,4 +27,5 @@ from oroboro_dw_dbt_spark.operators import (  # noqa: F401,E402
     round6e_suite,
     round6f_suite,
     round6g_suite,
+    round7_suite,
 )
