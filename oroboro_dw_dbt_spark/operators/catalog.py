@@ -94,40 +94,63 @@ def _driver_history(
 
 
 # When more new entries exist than one driver window certifies, these
-# families go first (order within the list is the order used): the
-# headline claims of the round — the TPC-H completion, the storage/ACID
-# family, the graph suite, and the semantics certifications whose value
-# IS the driver record. Everything else certifies next round; all
-# entries pass the local mirror either way.
+# families go first (order within the list is the order used). Round-7
+# rule (VERDICT r06 Next #2): the list below IS the entire 73-entry
+# backlog — 72 r06 registrations plus dd_semdedup_ivf, the round's ONE
+# new entry — in certification-value order, and registrations are
+# FROZEN until the backlog fits inside a single driver window (~50).
+# The stuck tier (dd_lsh_recall_report, oracle CAST fixed this round)
+# front-runs everything via catalog_order().
 FRESH_PRIORITY: tuple[str, ...] = (
-    # --- the 23 round-5 registrations that postdated the r05 window fill
-    # (VERDICT r05 "What's missing" #1) — certify these first
-    "t_vocab_build", "t_length_outliers", "t_dedup_paragraphs",
-    "t_bigram_novelty", "sk_hll_merge", "sk_countmin_merge",
-    "ch_pack_shards_banded", "tj_asof_nearest", "ts_ohlc_bars",
-    "ev_funnel", "ev_markov_transitions", "ev_variant_extract",
-    "j_full_outer_reconcile", "j_null_safe_join", "eng_schema_merge",
-    "sp_temperature_weights", "sp_time_folds", "udtf_polymorphic_tokens",
-    "w_ntile_distribution", "a_grouped_agg_pandas", "a_string_agg_ordered",
-    "d_interval_suite", "f_array_suite",
-    # --- round-6 headline families, filling the remaining window slots:
-    # failure-recovery + lifecycle verbs
-    "st_restart_recovery", "eng_time_travel", "eng_restore_version",
-    "eng_shallow_clone", "eng_describe_history", "eng_cdc_apply",
-    # Bloom / mergeable-sketch family
-    "sk_bloom_membership", "sk_bloom_join_prune", "sk_topk_mergeable",
-    "sk_hist_quantiles_merge",
-    # tokenizer + semantic-dedup training-data headliners
-    "t_bpe_train", "t_bpe_encode", "dd_semdedup", "t_bm25_topk",
-    "sp_hard_negatives", "dd_incremental_index",
-    # recall censuses (the quality-vs-cost evidence)
-    "dd_lsh_recall_report", "ss_lsh_recall_report",
-    # graph + SQL surface completions
-    "gr_kcore", "gr_sssp_weighted", "sql_recursive_cte", "sql_lateral_topn",
-    # streaming completions
-    "st_stream_join_outer", "st_sliding_stream", "w_session_window",
-    # ML-eval family representative
-    "ml_auc_rank",
+    # --- bench headliners with public wall times but no driver record
+    # (VERDICT r06 Next #5: a timed-but-untested query is the wrong
+    # risk profile) — these four go first
+    "st_drift_monitor", "ev_last_touch", "ev_sequence_match",
+    "ts_interpolate",
+    # --- the two entries whose oracles were repaired this round: the
+    # repaired dtype class must earn a driver record immediately
+    "ml_bootstrap_ci",
+    # (dd_lsh_recall_report is in the stuck tier, ahead of all of these)
+    # --- the round-7 headline: trained-cell SemDeDup (Next #7)
+    "dd_semdedup_ivf",
+    # --- dedup / split completions (training-data pipeline core)
+    "dd_url_canonical", "dd_containment", "sp_dedup_aware_split",
+    # --- storage/lifecycle verbs (r06 headline claims)
+    "eng_wap_publish", "eng_branch_publish", "eng_snapshot_diff",
+    "eng_stats_skipping", "eng_dynamic_partition_overwrite",
+    "eng_metadata_count", "eng_file_provenance", "eng_text_source",
+    # --- graph completions
+    "gr_degree_stats", "gr_bipartite_projection", "gr_jaccard_neighbors",
+    # --- ML-eval / calibration / drift family (the largest r06 wave)
+    "ml_confusion_threshold", "ml_calibration_bins", "ml_brier_logloss",
+    "ml_ndcg_at_k", "ml_pr_curve", "ml_chi_square", "ml_ks_drift",
+    "ml_psi_drift", "ml_regression_metrics", "ml_ab_proportions",
+    "ml_multiclass_report", "ml_lift_gains", "ml_cooccurrence_pmi",
+    # --- labeling / preference-data ops
+    "lab_majority_vote", "lab_agreement", "lab_pref_pairs",
+    # --- feature engineering
+    "fe_target_encode", "fe_scaler_suite", "fe_quantile_bins",
+    "fe_onehot_topk", "fe_hashed_cross",
+    # --- time series
+    "ts_ewma_trailing", "ts_time_weighted_avg", "ts_autocorr",
+    "ts_period_over_period",
+    # --- events
+    "ev_rfm_segments", "ev_overlap_concurrency", "ev_attribution_credit",
+    # --- joins / sketch composition / chunking / text
+    "j_interval_overlap", "tj_asof_tolerance", "sk_bucket_prefilter_join",
+    "ch_dataset_card", "t_frequency_cutoff_curve",
+    # --- multimodal
+    "mm_resize_blocks", "mm_audio_energy", "mm_scene_cuts",
+    # --- SQL surface / generators / observability
+    "sql_tvf_surface", "p_observe_metrics", "p_generator_suite",
+    # --- aggregates and windows
+    "a_mode_exact", "a_weighted_percentile", "a_gini_impurity",
+    "a_bool_agg_suite", "w_value_suite", "w_streak_lengths",
+    "w_sliding_window",
+    # --- scalar-function suites (lowest certification risk, so last:
+    # these are the ones that can safely wait for the r08 window)
+    "f_regex_suite", "f_bitwise_suite", "f_url_suite", "f_string_suite2",
+    "f_json_suite2", "m_decimal_suite", "m_try_suite",
 )
 
 

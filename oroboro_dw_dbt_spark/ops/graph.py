@@ -363,25 +363,38 @@ def sssp(
         F.when(F.col("node") == source, F.lit(0)).cast("bigint"),
     )
     for i in range(rounds):
-        relax = (
-            ew.join(dist, ew.src == dist.node)
-            .filter(F.col("dist").isNotNull())
-            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
-            .groupBy("node")
-            .agg(F.min("nd").alias("nd"))
-        )
-        # explicit NULL-aware min (NULL = infinity) — spelled as CASE on
-        # both engines rather than trusting least()'s NULL semantics
-        dist = (
-            dist.join(relax, "node", "left")
-            .select(
-                "node",
-                F.when(F.col("nd").isNull(), F.col("dist"))
-                .when(F.col("dist").isNull() | (F.col("nd") < F.col("dist")), F.col("nd"))
-                .otherwise(F.col("dist"))
-                .cast("bigint")
-                .alias("dist"),
+        # One read of dist per round. The naive spelling (relax built
+        # FROM dist, then dist.join(relax)) references the previous
+        # round's frame TWICE, so the plan doubles per round — 2^k
+        # growth between checkpoints (the r07 plan test caught 3/8/18
+        # Exchanges for rounds 1/2/3). Instead: one LEFT join against
+        # the edge list emits, per joined row, both the node's own
+        # (node, dist) and the relaxed (dst, dist + w); the self row is
+        # duplicated once per out-edge, which min() absorbs. NULL stays
+        # infinity: an unreached node contributes d = NULL to its own
+        # group (min of all-NULL is NULL) and NULL + w is NULL for its
+        # neighbors — exactly the CASE arithmetic the oracle unrolls.
+        j = dist.join(ew, dist.node == ew.src, "left")
+        pairs = (
+            j.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("node").alias("n"),
+                            F.col("dist").alias("d"),
+                        ),
+                        F.struct(
+                            F.col("dst").alias("n"),
+                            (F.col("dist") + F.col("w")).alias("d"),
+                        ),
+                    )
+                ).alias("p")
             )
+            .select(F.col("p.n").alias("node"), F.col("p.d").alias("d"))
+            .where(F.col("node").isNotNull())
+        )
+        dist = pairs.groupBy("node").agg(
+            F.min("d").cast("bigint").alias("dist")
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
             dist = dist.localCheckpoint(eager=True)

@@ -362,3 +362,55 @@ class TestRound6cPlanShapes:
         assert plan.count("Exchange") == 1, plan.count("Exchange")
         body = plan.split("Exchange", 1)[1]
         assert "HashAggregate" in body, "no map-side partial aggregate"
+
+    # --- round-7 additions (VERDICT r06 Next #6) -----------------------
+
+    def test_bpe_step_plan_constant_under_checkpoint(self, spark):
+        """text/bpe.py:train localCheckpoints the segmentation each
+        merge step so the plan of step k is a checkpoint scan plus ONE
+        apply_merge expression — NOT a 3^k nested fold. Asserted as:
+        the final segmentation's physical plan after 6 merges is no
+        larger than after 2 (both are scans of the last checkpoint)."""
+        from oroboro_dw_dbt_spark.text import bpe
+
+        words = bpe.word_counts(spark, SF)
+        _, seg2 = bpe.train(words, n_merges=2)
+        _, seg6 = bpe.train(words, n_merges=6)
+        p2 = seg2._jdf.queryExecution().executedPlan().toString()
+        p6 = seg6._jdf.queryExecution().executedPlan().toString()
+        assert len(p6.splitlines()) == len(p2.splitlines()), (p2, p6)
+        # and the segmentation really is pinned: no corpus scan remains
+        assert "parquet" not in p6.lower(), p6
+
+    def test_sssp_constant_exchanges_per_round(self, spark):
+        """Bellman-Ford must add the SAME bounded Exchange set per
+        relaxation round (edge⋈dist join + min aggregate + rebuild) —
+        mirrors the pagerank discipline; accelerating growth means the
+        loop re-references prior rounds."""
+        from oroboro_dw_dbt_spark.ops.graph import sssp
+
+        edges = TestIterativeAndAnnPlanShapes._pr_edges(spark).selectExpr(
+            "src", "dst", "w"
+        )
+
+        def n_ex(rounds):
+            df = sssp(edges, source=1, rounds=rounds, checkpoint_every=100)
+            return (
+                df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+            )
+
+        e1, e2, e3 = n_ex(1), n_ex(2), n_ex(3)
+        assert e2 - e1 == e3 - e2, (e1, e2, e3)
+        assert 1 <= e2 - e1 <= 6, (e1, e2, e3)
+
+    def test_semdedup_is_bucketed_never_all_pairs(self, spark):
+        """Both semantic-dedup entries: the dominance stage must ride
+        the cell grouping (one hash Exchange into the per-cell GEMM
+        kernel) — no CartesianProduct / BroadcastNestedLoopJoin
+        anywhere in either plan."""
+        for name in ("dd_semdedup", "dd_semdedup_ivf"):
+            df = QUERIES[name].builder(spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan, (name, plan)
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+            assert "FlatMapGroupsInPandas" in plan, (name, plan)
