@@ -92,7 +92,34 @@ HEADLINE = [
     # (LSH-cell dominance anti-join)
     "t_bpe_train",
     "dd_semdedup",
+    # round 7: trained-cell SemDeDup (fixed-point Lloyd + per-cell GEMM)
+    "dd_semdedup_ivf",
 ]
+
+
+def _await_quiet_host() -> dict:
+    """Steal-gate (VERDICT r06 Next #4): sample the hypervisor steal
+    rate and wait (bounded) for a quiet window before timing anything.
+    r05's clean artifact ran at ~0.3 steal-jiffies/s; r06's
+    contaminated one at ~15/s. Returns the gate record for the
+    artifact so the judge can see what the box looked like."""
+    rate_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RATE_MAX", "8"))
+    max_waits = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAITS", "10"))
+    gate = {"waits": 0, "rate_max": rate_max, "steal_rate": None}
+    rate = 0.0
+    for _ in range(max_waits + 1):
+        a = _host_load()
+        time.sleep(2.0)
+        b = _host_load()
+        if "steal_jiffies" not in a or "steal_jiffies" not in b:
+            break
+        rate = (b["steal_jiffies"] - a["steal_jiffies"]) / 2.0
+        gate["steal_rate"] = rate
+        if rate <= rate_max:
+            break
+        gate["waits"] += 1
+        time.sleep(28.0)
+    return gate
 
 
 def main() -> None:
@@ -104,6 +131,7 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     headline = [q for q in HEADLINE if q in only.split(",")] if only else HEADLINE
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    gate = _await_quiet_host()
     load_before = _host_load()
     spark = get_spark("bench")
 
@@ -159,14 +187,25 @@ def main() -> None:
         # passes, not headline minima, across that boundary
         "metric_note": "min-of-2 since r05; r01-r04 artifacts are single-pass",
         "queries": timings,
-        "passes_raw": passes_raw,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "steal_gate": gate,
         "load": {
             "before": load_before,
             "after": load_after,
             "steal_jiffies_delta": steal_delta,
         },
     }
+    # Full artifact (incl. per-pass raw times) goes to a file: r06's
+    # driver record had "parsed": null because the bulky passes_raw
+    # pushed the stdout line past the driver's tail capture. The
+    # printed line stays compact and parseable; BENCH_LAST.json keeps
+    # the full per-pass record for cross-round drift analysis.
+    full = dict(out, passes_raw=passes_raw)
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LAST.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(out))
 
 
