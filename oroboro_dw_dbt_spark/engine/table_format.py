@@ -25,6 +25,7 @@ that destroys the existing table. This seam isolates that concern:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -33,6 +34,33 @@ from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextlib.contextmanager
+def _stats_bearing_writes(df: DataFrame):
+    """Pin ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS``
+    around a parquet write, restoring the caller's value after.
+
+    The manifest's zone maps are read back from parquet FOOTERS
+    (:meth:`ManifestParquetFormat._collect_file_stats`), and whether a
+    timestamp column *has* footer min/max depends on its physical type:
+    INT96 — Spark's legacy default — is written with no statistics at
+    all, so under an unconfigured caller session every file would lack
+    timestamp bounds and ``stats_summary`` would honestly refuse. The
+    conf is a runtime SQL conf, so pinning it here (not in a session
+    factory the caller may never use) makes the table format
+    self-sufficient under ANY SparkSession."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = conf.get(key, None)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
 
 
 class LocalParquetFormat:
@@ -207,7 +235,8 @@ class ManifestParquetFormat:
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(str(data_dir))
+        with _stats_bearing_writes(df):
+            w.parquet(str(data_dir))
         meta = {
             "version": version,
             "data_dir": data_dir.name,
@@ -511,7 +540,8 @@ class ManifestParquetFormat:
                 "(read path uses non-null-safe equality) — filter NULLs "
                 "out or delete by a non-nullable key"
             )
-        key_set.write.mode("overwrite").parquet(str(path / delete_file))
+        with _stats_bearing_writes(key_set):
+            key_set.write.mode("overwrite").parquet(str(path / delete_file))
         new_meta = {
             "version": version,
             "data_dir": meta["data_dir"],

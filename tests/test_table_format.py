@@ -329,6 +329,39 @@ class TestStatsTypes:
         )
         assert got.count() == 6  # hours 0..5 inclusive
 
+    def test_timestamp_stats_survive_an_int96_caller_session(
+        self, spark, tmp_path
+    ):
+        """The r07 driver red (`eng_metadata_count`): a caller session
+        left at Spark's INT96 default writes timestamp columns with NO
+        parquet footer statistics, so the manifest had no ts bounds and
+        ``stats_summary`` refused. The write path must pin
+        outputTimestampType itself (and restore the caller's value)."""
+        fmt = ManifestParquetFormat()
+        table = tmp_path / "ts_int96_caller"
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "INT96")  # the driver's bare-session default
+        try:
+            df = spark.sql(
+                "SELECT timestampadd(HOUR, CAST(id AS INT),"
+                " timestamp'2024-01-01 00:00:00') AS t, id AS k"
+                " FROM range(48)"
+            )
+            fmt.write(df.repartition(4), table, stats_cols=("t", "k"))
+            # the caller's conf must be untouched after the write
+            assert spark.conf.get(key) == "INT96"
+            s = fmt.stats_summary(table, cols=("t", "k"))
+            assert s["n_rows"] == 48
+            assert s["t"][0].startswith("2024-01-01 00:00:00")
+            assert s["t"][1].startswith("2024-01-02 23:00:00")
+            assert [int(s["k"][0]), int(s["k"][1])] == [0, 47]
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
 
 class TestBranches:
     def test_branch_isolation_and_fast_forward(self, spark, tmp_path):

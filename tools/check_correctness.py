@@ -4,7 +4,14 @@ Runs every catalog query on Spark and its oracle on DuckDB at the given
 sf dir, then compares row count, column names, and an order-insensitive
 value hash (columns sorted by name, rows sorted, values stringified).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--bare] [sf_dir] [query ...]
+
+``--bare`` runs the Spark side under a deliberately UNCONFIGURED
+SparkSession (no factory confs: INT96 timestamps, default timezone,
+default shuffle partitions) — the driver's environment. An entry that
+is green under the factory session but red under --bare has a hidden
+session-conf dependence (r07's `eng_metadata_count`: zone maps missing
+because INT96 footers carry no timestamp statistics).
 """
 
 from __future__ import annotations
@@ -152,23 +159,71 @@ def complex_cols(cols: list[str], rows: list[tuple]) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    bare = "--bare" in argv
+    argv = [a for a in argv if a != "--bare"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from oroboro_dw_dbt_spark.operators import QUERIES
-    from oroboro_dw_dbt_spark.session import get_spark
     from oroboro_dw_dbt_spark.sources.testdata import TABLES
 
-    spark = get_spark("correctness_check")
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("correctness_check_bare")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate()
+        )
+        print(
+            "BARE session: outputTimestampType="
+            f"{spark.conf.get('spark.sql.parquet.outputTimestampType')} "
+            f"tz={spark.conf.get('spark.sql.session.timeZone')}"
+        )
+    else:
+        from oroboro_dw_dbt_spark.session import get_spark
+
+        spark = get_spark("correctness_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    # corpus-derived SemDeDup parameters match the oracle's PINNED
+    # constants only up to the SF where the derived count leaves the
+    # floor (N > 2048 for both 6 planes and 16 cells); past that the
+    # Spark side uses more cells than the oracle SQL and a hash
+    # mismatch here is a false red, not a bug (ADVICE r07).
+    _derived_param_entries = ("dd_semdedup", "dd_semdedup_ivf")
+    n_emb = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    from oroboro_dw_dbt_spark.operators.round6f_suite import (
+        _SEM_PLANES,
+        sem_planes_for,
+    )
+    from oroboro_dw_dbt_spark.operators.round7_suite import (
+        _IVF_CELLS,
+        ivf_cells_for,
+    )
+
+    out_of_contract = (
+        sem_planes_for(n_emb) > _SEM_PLANES
+        or ivf_cells_for(n_emb) > _IVF_CELLS
+    )
+
     failures = []
     for name, spec in QUERIES.items():
         if only and name not in only:
+            continue
+        if name in _derived_param_entries and out_of_contract:
+            print(
+                f"skip {name}: corpus-derived cell count exceeds the "
+                f"oracle's pinned constant at N={n_emb} — out of oracle "
+                "contract at this SF (certify at sf0.01)"
+            )
             continue
         try:
             sdf = spec.builder(spark, sf_dir)
