@@ -107,7 +107,10 @@ def _await_quiet_host() -> dict:
     max_waits = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAITS", "10"))
     gate = {"waits": 0, "rate_max": rate_max, "steal_rate": None}
     rate = 0.0
-    for _ in range(max_waits + 1):
+    for attempt in range(max_waits + 1):
+        if attempt:  # sleep FIRST so every sleep is followed by a
+            time.sleep(28.0)  # re-measurement (the recorded rate is
+            # always from the most recent sample, ADVICE r07)
         a = _host_load()
         time.sleep(2.0)
         b = _host_load()
@@ -118,7 +121,6 @@ def _await_quiet_host() -> dict:
         if rate <= rate_max:
             break
         gate["waits"] += 1
-        time.sleep(28.0)
     return gate
 
 
@@ -143,11 +145,20 @@ def main() -> None:
 
     RETRY_ABOVE_SEC = 20.0
 
-    def run_once(name: str) -> float:
+    def run_once(name: str) -> tuple[float, int | None]:
+        """(wall seconds, steal-jiffies landed DURING this query).
+
+        The start-of-run gate can pass while a steal window opens
+        mid-run (r07: gate said 0.0, 3393 jiffies arrived during the
+        46 s run), so per-query deltas are the only way to tell a
+        quiet measurement from a stolen one across rounds."""
+        s0 = _host_load().get("steal_jiffies")
         t0 = time.monotonic()
         df = QUERIES[name].builder(spark, sf_dir)
         assert df.count() >= 0
-        return round(time.monotonic() - t0, 3)
+        t = round(time.monotonic() - t0, 3)
+        s1 = _host_load().get("steal_jiffies")
+        return t, (s1 - s0 if s0 is not None and s1 is not None else None)
 
     # two full passes, min per query: this box shows intermittent CPU
     # steal (BASELINE.md: identical code 6 s vs 367 s), and a steal
@@ -159,18 +170,25 @@ def main() -> None:
     # cross-round analysis can tell steal spikes from real drift without
     # re-running.
     timings: dict[str, float] = {}
+    steal_of_min: dict[str, int | None] = {}
     passes_raw: dict[str, list[float]] = {}
+    steal_raw: dict[str, list[int | None]] = {}
     for _pass in range(n_passes):
         for name in headline:
             if name not in QUERIES:
                 continue
-            t = run_once(name)
+            t, st = run_once(name)
             passes_raw.setdefault(name, []).append(t)
+            steal_raw.setdefault(name, []).append(st)
             if t > RETRY_ABOVE_SEC:
-                t2 = run_once(name)
+                t2, st2 = run_once(name)
                 passes_raw[name].append(t2)
-                t = min(t, t2)
-            timings[name] = min(t, timings.get(name, t))
+                steal_raw[name].append(st2)
+                if t2 < t:
+                    t, st = t2, st2
+            if name not in timings or t < timings[name]:
+                timings[name] = t
+                steal_of_min[name] = st
 
     load_after = _host_load()
     steal_delta = (
@@ -187,6 +205,10 @@ def main() -> None:
         # passes, not headline minima, across that boundary
         "metric_note": "min-of-2 since r05; r01-r04 artifacts are single-pass",
         "queries": timings,
+        # steal-jiffies that landed during the pass each recorded time
+        # came from: 0 → trust the number; large → treat as an upper
+        # bound and compare passes_raw/steal_raw in BENCH_LAST.json
+        "queries_steal": steal_of_min,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "steal_gate": gate,
         "load": {
@@ -200,7 +222,7 @@ def main() -> None:
     # pushed the stdout line past the driver's tail capture. The
     # printed line stays compact and parseable; BENCH_LAST.json keeps
     # the full per-pass record for cross-round drift analysis.
-    full = dict(out, passes_raw=passes_raw)
+    full = dict(out, passes_raw=passes_raw, steal_raw=steal_raw)
     try:
         with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LAST.json"), "w") as f:
             json.dump(full, f, indent=1)

@@ -220,7 +220,11 @@ def fe_onehot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["source"]
         for r in d.groupBy("source")
         .count()
-        .orderBy(F.desc("count"), "source")
+        # asc_nulls_last pins the tie-break to the oracle's ORDER BY
+        # source (DuckDB default NULLS LAST); Spark's bare asc sorts
+        # NULLs FIRST, which would pick a different vocabulary if a
+        # NULL-source group ever tied at the top-3 boundary (ADVICE r07)
+        .orderBy(F.desc("count"), F.asc_nulls_last("source"))
         .limit(3)
         .collect()
     ]

@@ -65,6 +65,45 @@ class TestSemDedup:
         }
         assert got == exp
 
+    def test_gemm_fold_parity_and_boundary_margin(self):
+        """Structural guard for the GEMM kernel's 'no midpoints'
+        argument (ADVICE r07): at the certification SF, (a) GEMM
+        pairwise summation and the oracle's sequential left-fold give
+        IDENTICAL HALF_UP-6dp cosines for every pair, and (b) the
+        closest any |cos|·1e6 lands to a .5 rounding boundary is
+        orders of magnitude wider than the summation-order drift —
+        so a future corpus that drifts toward a boundary fails here
+        BEFORE it can flip a certified hash. No Spark involved: this
+        is the kernel's numerics, not its plan."""
+        import pyarrow.parquet as pq
+
+        from oroboro_dw_dbt_spark.functions.rounding import np_round_half_up
+
+        df = pq.read_table(f"{SF01}/embeddings.parquet").to_pandas()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        n = len(mat)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        cos = (mat @ mat.T) / np.outer(nrm, nrm)
+        # the oracle's spelling: strict left-to-right sequential folds
+        # (np.cumsum accumulates in order; last element IS the fold)
+        dots_seq = np.empty((n, n))
+        for i in range(n):
+            dots_seq[i] = np.cumsum(mat[i] * mat, axis=1)[:, -1]
+        nrm_seq = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        nrm_seq[nrm_seq == 0.0] = 1.0
+        cos_seq = dots_seq / np.outer(nrm_seq, nrm_seq)
+        assert np.array_equal(np_round_half_up(cos), np_round_half_up(cos_seq))
+        iu = np.triu_indices(n, 1)
+        margin = np.abs(np.abs(cos[iu]) * 1e6 % 1.0 - 0.5).min()
+        drift = np.abs(cos - cos_seq).max() * 1e6  # in scaled units
+        # measured at r08: margin 1.6e-6, drift 8.9e-10 — 1800×
+        assert margin > max(100.0 * drift, 1e-8), (
+            f"cosine within {margin} (scaled 1e6) of a .5 boundary while "
+            f"summation-order drift is {drift}: HALF_UP decisions are no "
+            "longer safely order-independent on this corpus"
+        )
+
     def test_some_removals_at_sf001(self, spark):
         rows = dd_semdedup(spark, SF01).collect()
         kept = sum(r["keep"] for r in rows)

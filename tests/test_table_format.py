@@ -362,6 +362,44 @@ class TestStatsTypes:
             else:
                 spark.conf.set(key, prev)
 
+    def test_metadata_count_entry_under_driver_like_confs(self, spark):
+        """End-to-end CI twin of the r08 bare-session sweep for the
+        catalog entry that went red at r07: `eng_metadata_count` must
+        produce numbers equal to a direct data scan even when the
+        session carries the driver's defaults (INT96 parquet
+        timestamps) rather than the factory's."""
+        from oroboro_dw_dbt_spark.operators import QUERIES
+
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "INT96")
+        try:
+            sf = "/root/testdata/sf0.001"
+            got = QUERIES["eng_metadata_count"].builder(spark, sf).collect()[0]
+            truth = (
+                spark.read.parquet(f"{sf}/events.parquet")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.min("ts").alias("lo"),
+                    F.max("ts").alias("hi"),
+                    F.min("user_id").alias("ulo"),
+                    F.max("user_id").alias("uhi"),
+                )
+                .collect()[0]
+            )
+            assert (
+                got["n_rows"],
+                got["ts_min"],
+                got["ts_max"],
+                got["user_min"],
+                got["user_max"],
+            ) == (truth["n"], truth["lo"], truth["hi"], truth["ulo"], truth["uhi"])
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
 
 class TestBranches:
     def test_branch_isolation_and_fast_forward(self, spark, tmp_path):
