@@ -344,6 +344,19 @@ def dd_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     n_cells = ivf_cells_for(v.count())
+    return semdedup_ivf_core(v, n_cells)
+
+
+def semdedup_ivf_core(
+    v: DataFrame, n_cells: int, tau: float = _IVF_TAU
+) -> DataFrame:
+    """The reusable trained-cell SemDeDup pipeline: seed → hierarchical
+    assign → exact integer Lloyd update → re-assign → per-cell GEMM
+    dominance. ``v`` must carry (vec_id, v array<double>, vi
+    array<long>); returns (vec_id, cell, keep, removed_by). The
+    catalog entry wraps this on the test embeddings; the end-to-end
+    pipeline probe (tools/pipeline_e2e.py) chains it between near-dup
+    removal and shard packing on the full corpus."""
     # ‖x‖² once per vector: both hierarchical assignments' pruning
     # bounds need it, and it checkpoints with the rest of the frame
     v = v.withColumn("xn", _int_dot(F.col("vi"), F.col("vi")))
@@ -383,7 +396,7 @@ def dd_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", "v")
         .localCheckpoint(eager=True)
     )
-    dom = dominance_pairs(b, "cell", _IVF_TAU)
+    dom = dominance_pairs(b, "cell", tau)
     return b.join(dom, F.col("vec_id") == F.col("victim"), "left").select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),

@@ -1,0 +1,142 @@
+"""End-to-end LLM training-data pipeline probe: ONE chained run.
+
+The per-entry probes certify stages in isolation; a real 100 TB user
+runs them as a chain where each stage consumes the previous stage's
+survivors. This tool runs that chain at any sf dir and records the
+per-stage wall + survivor counts (VERDICT r07 Next #7):
+
+  1. corpus build  — quality_filter over documents (scan-speed Column
+                     tree), keep-set joined back to the corpus
+  2. near-dup      — MinHash-LSH candidate pairs, exact-Jaccard
+                     verified; higher doc_id of each dup pair removed
+  3. semantic      — trained-cell SemDeDup (hierarchical assignment +
+                     per-cell GEMM dominance) over the embeddings of
+                     surviving docs; dominated vectors' docs removed
+  4. pack shards   — per-source token-budget shard assignment of the
+                     final corpus
+
+Stage boundaries are materialized with localCheckpoint so each stage's
+wall is its own (no lazy-evaluation bleed into the next timer).
+
+Usage: python tools/pipeline_e2e.py OUT.json [SF_DIR]
+Prints one JSON line; full record written to OUT.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import _host_load  # noqa: E402
+from oroboro_dw_dbt_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_pipeline_e2e.json"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from oroboro_dw_dbt_spark.dedup.dedup import minhash_lsh_pairs
+    from oroboro_dw_dbt_spark.operators.round7_suite import (
+        _IVF_FP,
+        ivf_cells_for,
+        semdedup_ivf_core,
+    )
+    from oroboro_dw_dbt_spark.similarity.search import _as_double
+    from oroboro_dw_dbt_spark.text.pipeline import pack_shards, quality_filter
+
+    spark = get_spark("pipeline_e2e")
+    spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
+
+    load_before = _host_load()
+    stages: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    t_all = time.monotonic()
+
+    # -- 1. corpus build ---------------------------------------------------
+    t0 = time.monotonic()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    q = quality_filter(docs)
+    corpus = (
+        docs.join(q.where("keep").select("doc_id"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    counts["corpus"] = corpus.count()
+    stages["quality_filter"] = round(time.monotonic() - t0, 3)
+
+    # -- 2. near-dup removal ----------------------------------------------
+    t0 = time.monotonic()
+    pairs = minhash_lsh_pairs(corpus)
+    victims = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    deduped = corpus.join(victims, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    counts["after_near_dup"] = deduped.count()
+    stages["minhash_lsh_dedup"] = round(time.monotonic() - t0, 3)
+
+    # -- 3. semantic dedup -------------------------------------------------
+    t0 = time.monotonic()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = (
+        emb.select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn(
+            "vi",
+            F.transform(
+                F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")
+            ),
+        )
+    )
+    n_cells = ivf_cells_for(v.count())
+    sem = semdedup_ivf_core(v, n_cells)
+    sem_victims = sem.where("keep = 0").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    final = deduped.join(sem_victims, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    counts["after_semantic"] = final.count()
+    stages["semdedup_ivf"] = round(time.monotonic() - t0, 3)
+
+    # -- 4. pack shards ----------------------------------------------------
+    t0 = time.monotonic()
+    shards = pack_shards(final, budget=2000)
+    summary = shards.agg(
+        F.countDistinct("source", "shard_id").alias("n_shards"),
+        F.sum("n_tokens").alias("total_tokens"),
+    ).collect()[0]
+    counts["n_shards"] = int(summary["n_shards"])
+    counts["total_tokens"] = int(summary["total_tokens"])
+    stages["pack_shards"] = round(time.monotonic() - t0, 3)
+
+    total = round(time.monotonic() - t_all, 3)
+    load_after = _host_load()
+    out = {
+        "metric": "pipeline_e2e_wall",
+        "value": total,
+        "unit": "sec",
+        "sf_dir": sf_dir,
+        "stages": stages,
+        "counts": counts,
+        "n_cells": n_cells,
+        "load": {
+            "before": load_before,
+            "after": load_after,
+            "steal_jiffies_delta": (
+                load_after.get("steal_jiffies", 0)
+                - load_before.get("steal_jiffies", 0)
+            ),
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
