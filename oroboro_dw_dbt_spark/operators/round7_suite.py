@@ -85,18 +85,62 @@ def hier_assign(v: DataFrame, cent_df: DataFrame, n_cells: int) -> DataFrame:
        inequality — the pruned groups PROVABLY contain no winner,
        and every tie of the winning score survives, so the lowest-id
        tie-break is preserved bit-for-bit);
-    3. equi-join the surviving (vec_id, group) pairs against the
-       group-keyed centroid table and take the exact BIGINT argmin —
-       the same (score, cell) min_by as the flat path.
+    3. cogroup the surviving (vec_id, group) pairs with the
+       group-keyed centroid table and score each group with ONE
+       int64 ``vi_mat @ c_mat.T`` (Arrow batches, exact integer
+       matmul — all values < 2⁶³, numpy integer matmul never leaves
+       int64); per-group winner = argmin over centroid columns
+       PRE-SORTED by cell id, so numpy's first-min rule IS the
+       lowest-id tie-break;
+    4. one map-side-combinable min_by folds the per-group winners
+       into the global (score, cell) argmin per vector.
 
     Bounds use double sqrt on EXACT integer squared distances (all
-    < 2⁵³), padded by ``_HIER_EPS``; the final compare never leaves
-    BIGINT, so the assignment — and the certified sf0.01 hash — is
-    identical to the flat crossJoin's by construction, at any C.
+    < 2⁵³), padded by ``_HIER_EPS``; the scoring never leaves BIGINT,
+    so the assignment — and the certified sf0.01 hash — is identical
+    to the flat crossJoin's by construction, at any C. The GEMM step
+    replaces a per-pair Catalyst ``aggregate(zip_with(...))`` fold
+    that allocated a 64-element array per (vector, centroid) pair —
+    the measured dominant term of the sf10 chained-pipeline run —
+    with the same Arrow/GEMM idiom as the dominance kernel
+    (dedup/semdedup.py).
     ``cent_df``: (cell, c array<long>, cn long). ``v`` must carry
     ``xn`` = vi·vi."""
-    scored = _hier_scored_candidates(v, cent_df, n_cells)
-    return scored.groupBy("vec_id").agg(
+    import numpy as np
+    import pandas as pd
+
+    cand, grouped = _hier_parts(v, cent_df, n_cells)
+
+    def kernel(pdf_v: pd.DataFrame, pdf_c: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf_v) == 0 or len(pdf_c) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="int64"),
+                    "cell": pd.Series([], dtype="int64"),
+                }
+            )
+        pdf_c = pdf_c.sort_values("cell")  # first-min argmin = lowest id
+        vm = np.stack(pdf_v["vi"].to_numpy()).astype(np.int64, copy=False)
+        cm = np.stack(pdf_c["c"].to_numpy()).astype(np.int64, copy=False)
+        cn = pdf_c["cn"].to_numpy(dtype=np.int64)
+        scores = cn[None, :] - 2 * (vm @ cm.T)  # exact int64 end-to-end
+        j = scores.argmin(axis=1)
+        rows = np.arange(len(vm))
+        return pd.DataFrame(
+            {
+                "vec_id": pdf_v["vec_id"].to_numpy(dtype=np.int64),
+                "score": scores[rows, j],
+                "cell": pdf_c["cell"].to_numpy(dtype=np.int64)[j],
+            }
+        )
+
+    per_group = (
+        cand.groupby("g")
+        .cogroup(grouped.select("g", "cell", "c", "cn").groupby("g"))
+        .applyInPandas(kernel, "vec_id long, score long, cell long")
+    )
+    return per_group.groupBy("vec_id").agg(
         F.min_by("cell", F.struct("score", "cell")).alias("cell")
     )
 
@@ -139,16 +183,20 @@ def _kcenter_pivots(cent_df: DataFrame, n_groups: int) -> DataFrame:
 
 
 def hier_candidate_count(v: DataFrame, cent_df: DataFrame, n_cells: int) -> int:
-    """(vector, centroid) pairs the probe actually scores — the flat
-    path always scores N·C; the gap is the measured pruning."""
-    return _hier_scored_candidates(v, cent_df, n_cells).count()
+    """(vector, centroid) pairs the probe actually scores (the GEMM
+    kernel performs Σ_g n_g·m_g multiplies — exactly this join's row
+    count) — the flat path always scores N·C; the gap is the measured
+    pruning."""
+    cand, grouped = _hier_parts(v, cent_df, n_cells)
+    return cand.join(grouped.select("g", "cell"), "g").count()
 
 
-def _hier_scored_candidates(
+def _hier_parts(
     v: DataFrame, cent_df: DataFrame, n_cells: int
-) -> DataFrame:
-    """The probe stage of :func:`hier_assign`: one exactly-scored row
-    per surviving (vec_id, cell) candidate."""
+) -> tuple[DataFrame, DataFrame]:
+    """The probe stage of :func:`hier_assign`: the surviving
+    (vec_id, vi, g) candidate frame and the group-keyed centroid
+    table (cell, c, cn, g, _d2)."""
     n_groups = max(2, math.isqrt(max(1, n_cells - 1)) + 1)  # ⌈√C⌉
     pivots = _kcenter_pivots(cent_df, n_groups)
     # group every centroid under its nearest pivot (exact integer
@@ -225,17 +273,11 @@ def _hier_scored_candidates(
         )
         .select("vec_id", "vi", F.col("_d.g").alias("g"))
     )
-    # surviving groups only: an equi-join on g (the probe), then the
-    # flat path's exact (score, cell) argmin over the candidates. NO
-    # broadcast hint here — the centroid table is O(C): AQE broadcasts
-    # it while it fits and falls back to a g-keyed shuffle join when a
-    # 100 TB corpus pushes C past the threshold (the flat crossJoin had
-    # no such fallback — that was exactly its scale ceiling)
-    return cand.join(grouped.select("g", "cell", "c", "cn"), "g").select(
-        "vec_id",
-        "cell",
-        (F.col("cn") - 2 * _int_dot(F.col("vi"), F.col("c"))).alias("score"),
-    )
+    # surviving groups only: candidates meet centroids in a g-keyed
+    # COGROUP (two hash exchanges on g, never an O(C) broadcast — the
+    # flat crossJoin's scale ceiling); scoring happens in hier_assign's
+    # per-group GEMM kernel
+    return cand, grouped
 
 
 @query(
