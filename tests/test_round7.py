@@ -156,6 +156,70 @@ class TestHierAssign:
         assert hier == flat
 
 
+class TestHierAssignRandomized:
+    def _check(self, spark, vi, ci):
+        import numpy as np
+
+        n, n_cells = len(vi), len(ci)
+        v = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in vi[i]], int((vi[i] * vi[i]).sum()))
+                for i in range(n)
+            ],
+            "vec_id long, vi array<long>, xn long",
+        ).localCheckpoint(eager=True)
+        cents = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in ci[i]], int((ci[i] * ci[i]).sum()))
+                for i in range(n_cells)
+            ],
+            "cell long, c array<long>, cn long",
+        ).localCheckpoint(eager=True)
+        # ground truth in numpy: exact integer scores, lowest-id ties
+        scores = (ci * ci).sum(axis=1)[None, :] - 2 * (vi @ ci.T)
+        expect = {i: int(scores[i].argmin()) for i in range(n)}
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in hier_assign(v, cents, n_cells).collect()
+        }
+        assert got == expect
+
+    def test_seeded_geometries(self, spark):
+        """Exactness across adversarial geometries: uniform (no
+        pruning possible), clustered (heavy pruning), duplicated
+        centroids (argmin ties everywhere), and a lattice corpus
+        (many exact score ties at cell boundaries). Ground truth is
+        an independent numpy argmin with first-index tie-break."""
+        import numpy as np
+
+        for seed in (1, 2, 3):
+            rng = np.random.default_rng(seed)
+            dim, n_cells, n = 8, 24, 150
+            # uniform
+            vi = rng.integers(-(10**6), 10**6, (n, dim)).astype(np.int64)
+            ci = rng.integers(-(10**6), 10**6, (n_cells, dim)).astype(
+                np.int64
+            )
+            self._check(spark, vi, ci)
+        # duplicated centroids: every cell appears twice → ties on
+        # every assignment, must resolve to the LOWER cell id
+        rng = np.random.default_rng(9)
+        base = rng.integers(-(10**5), 10**5, (12, 8)).astype(np.int64)
+        ci = np.vstack([base, base])
+        vi = rng.integers(-(10**5), 10**5, (80, 8)).astype(np.int64)
+        self._check(spark, vi, ci)
+        # lattice: points exactly mid-way between centroid pairs →
+        # exact integer score ties at boundaries
+        ci = (np.arange(16)[:, None] * np.ones(8, dtype=np.int64) * 1000).astype(
+            np.int64
+        )
+        vi = (
+            np.arange(0, 16000, 500)[:, None]
+            * np.ones(8, dtype=np.int64)
+        ).astype(np.int64)
+        self._check(spark, vi, ci)
+
+
 class TestSemDedupIvf:
     def test_keep_semantics_at_smoke_sf(self, spark):
         rows = dd_semdedup_ivf(spark, SF).collect()
