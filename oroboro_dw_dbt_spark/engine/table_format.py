@@ -29,6 +29,7 @@ import contextlib
 import json
 import os
 import shutil
+import threading
 import time
 from collections.abc import Callable
 from pathlib import Path
@@ -36,10 +37,23 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+_PIN_KEY = "spark.sql.parquet.outputTimestampType"
+_PIN_LOCK = threading.RLock()
+# id(session) -> [depth, original-value]: the pin is REFCOUNTED per
+# session so overlapping writers (the WAP/branch API invites them)
+# can't race each other's set/restore — the first enterer records the
+# caller's value, the last exiter restores it; everyone in between
+# only moves the count. No parquet per-write option exists for this
+# conf (ParquetWriteSupport reads SQLConf), so a session-global pin
+# is the only lever and it must be concurrency-safe.
+_PIN_STATE: dict[int, list] = {}
+
+
 @contextlib.contextmanager
 def _stats_bearing_writes(df: DataFrame):
     """Pin ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS``
-    around a parquet write, restoring the caller's value after.
+    around a parquet write, restoring the caller's value after the
+    LAST overlapping write exits.
 
     The manifest's zone maps are read back from parquet FOOTERS
     (:meth:`ManifestParquetFormat._collect_file_stats`), and whether a
@@ -50,17 +64,27 @@ def _stats_bearing_writes(df: DataFrame):
     conf is a runtime SQL conf, so pinning it here (not in a session
     factory the caller may never use) makes the table format
     self-sufficient under ANY SparkSession."""
-    conf = df.sparkSession.conf
-    key = "spark.sql.parquet.outputTimestampType"
-    prev = conf.get(key, None)
-    conf.set(key, "TIMESTAMP_MICROS")
+    session = df.sparkSession
+    conf = session.conf
+    sid = id(session)
+    with _PIN_LOCK:
+        state = _PIN_STATE.get(sid)
+        if state is None:
+            state = _PIN_STATE[sid] = [0, conf.get(_PIN_KEY, None)]
+            conf.set(_PIN_KEY, "TIMESTAMP_MICROS")
+        state[0] += 1
     try:
         yield
     finally:
-        if prev is None:
-            conf.unset(key)
-        else:
-            conf.set(key, prev)
+        with _PIN_LOCK:
+            state = _PIN_STATE[sid]
+            state[0] -= 1
+            if state[0] == 0:
+                del _PIN_STATE[sid]
+                if state[1] is None:
+                    conf.unset(_PIN_KEY)
+                else:
+                    conf.set(_PIN_KEY, state[1])
 
 
 class LocalParquetFormat:

@@ -165,6 +165,9 @@ def _kcenter_pivots(cent_df: DataFrame, n_groups: int) -> DataFrame:
     rows = (
         cent_df.orderBy("cell").limit(sample_n).select("cell", "c", "cn")
     ).collect()
+    spark = cent_df.sparkSession
+    if not rows:  # empty corpus: empty pivots → empty assignment
+        return spark.createDataFrame([], "g long, sg array<long>, sgn long")
     k = min(n_groups, len(rows))
     mat = np.array([r["c"] for r in rows], dtype=np.float64)
     chosen = [0]
@@ -175,7 +178,6 @@ def _kcenter_pivots(cent_df: DataFrame, n_groups: int) -> DataFrame:
         chosen.append(i)
         d = np.minimum(d, ((mat - mat[i]) ** 2).sum(axis=1))
         d[i] = -1.0
-    spark = cent_df.sparkSession
     return spark.createDataFrame(
         [(rows[i]["cell"], rows[i]["c"], rows[i]["cn"]) for i in chosen],
         "g long, sg array<long>, sgn long",

@@ -34,6 +34,34 @@ def _quantized(spark, sf_dir):
     return v
 
 
+def _flat_assign(v, cents):
+    """The reference spelling: broadcast EVERY centroid, exact BIGINT
+    (score, cell) argmin — the r07 flat path hier_assign must match
+    bit-for-bit. One copy, used by every parity test."""
+    return {
+        r["vec_id"]: r["cell"]
+        for r in v.crossJoin(
+            F.broadcast(
+                cents.select(
+                    "cell",
+                    F.col("c").alias("si"),
+                    F.col("cn").alias("sn"),
+                )
+            )
+        )
+        .select(
+            "vec_id",
+            "cell",
+            (F.col("sn") - 2 * _int_dot(F.col("vi"), F.col("si"))).alias(
+                "score"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.min_by("cell", F.struct("score", "cell")).alias("cell"))
+        .collect()
+    }
+
+
 class TestHierAssign:
     def test_identical_to_flat_argmin(self, spark):
         """The exactness claim, checked: the pruned two-level probe
@@ -48,28 +76,7 @@ class TestHierAssign:
                 F.col("vi").alias("c"),
                 F.col("xn").alias("cn"),
             )
-            flat = {
-                r["vec_id"]: r["cell"]
-                for r in v.crossJoin(
-                    F.broadcast(
-                        seeds.select(
-                            "cell",
-                            F.col("c").alias("si"),
-                            F.col("cn").alias("sn"),
-                        )
-                    )
-                )
-                .select(
-                    "vec_id",
-                    "cell",
-                    (
-                        F.col("sn") - 2 * _int_dot(F.col("vi"), F.col("si"))
-                    ).alias("score"),
-                )
-                .groupBy("vec_id")
-                .agg(F.min_by("cell", F.struct("score", "cell")).alias("cell"))
-                .collect()
-            }
+            flat = _flat_assign(v, seeds)
             hier = {
                 r["vec_id"]: r["cell"]
                 for r in hier_assign(v, seeds, n_cells).collect()
@@ -127,33 +134,11 @@ class TestHierAssign:
         # ≤ half of flat is the "meaningfully prunes" bar
         assert probed <= 0.5 * n * n_cells, (probed, n * n_cells)
 
-        flat = {
-            r["vec_id"]: r["cell"]
-            for r in v.crossJoin(
-                F.broadcast(
-                    cents.select(
-                        "cell",
-                        F.col("c").alias("si"),
-                        F.col("cn").alias("sn"),
-                    )
-                )
-            )
-            .select(
-                "vec_id",
-                "cell",
-                (F.col("sn") - 2 * _int_dot(F.col("vi"), F.col("si"))).alias(
-                    "score"
-                ),
-            )
-            .groupBy("vec_id")
-            .agg(F.min_by("cell", F.struct("score", "cell")).alias("cell"))
-            .collect()
-        }
         hier = {
             r["vec_id"]: r["cell"]
             for r in hier_assign(v, cents, n_cells).collect()
         }
-        assert hier == flat
+        assert hier == _flat_assign(v, cents)
 
 
 class TestHierAssignRandomized:

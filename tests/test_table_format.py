@@ -362,6 +362,34 @@ class TestStatsTypes:
             else:
                 spark.conf.set(key, prev)
 
+    def test_overlapping_writes_keep_the_pin_until_last_exit(self, spark):
+        """Two concurrent manifest writers in one session must not race
+        the conf set/restore (the WAP/branch API invites overlapping
+        writers): the pin holds for the SECOND writer after the first
+        exits, and the caller's value is restored only at the end."""
+        from oroboro_dw_dbt_spark.engine.table_format import (
+            _PIN_KEY,
+            _stats_bearing_writes,
+        )
+
+        prev = spark.conf.get(_PIN_KEY, None)
+        spark.conf.set(_PIN_KEY, "INT96")
+        try:
+            df = spark.range(1)
+            with _stats_bearing_writes(df):
+                assert spark.conf.get(_PIN_KEY) == "TIMESTAMP_MICROS"
+                with _stats_bearing_writes(df):
+                    assert spark.conf.get(_PIN_KEY) == "TIMESTAMP_MICROS"
+                # inner exited: the pin must STILL hold for the outer
+                assert spark.conf.get(_PIN_KEY) == "TIMESTAMP_MICROS"
+            # last exit: the caller's value is restored
+            assert spark.conf.get(_PIN_KEY) == "INT96"
+        finally:
+            if prev is None:
+                spark.conf.unset(_PIN_KEY)
+            else:
+                spark.conf.set(_PIN_KEY, prev)
+
     def test_metadata_count_entry_under_driver_like_confs(self, spark):
         """End-to-end CI twin of the r08 bare-session sweep for the
         catalog entry that went red at r07: `eng_metadata_count` must

@@ -81,8 +81,13 @@ def main() -> None:
     stages["minhash_lsh_dedup"] = round(time.monotonic() - t0, 3)
 
     # -- 3. semantic dedup -------------------------------------------------
+    # over the embeddings OF THE SURVIVORS only (vec_id keys doc_id):
+    # a doc removed upstream must not dominate anyone downstream —
+    # that is what "chained" means
     t0 = time.monotonic()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").join(
+        deduped.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
     v = (
         emb.select("vec_id", _as_double("embedding").alias("v"))
         .withColumn(
