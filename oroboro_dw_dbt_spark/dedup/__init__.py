@@ -4,6 +4,7 @@ from oroboro_dw_dbt_spark.dedup.dedup import (
     exact_dedup,
     minhash_band_index,
     minhash_lsh_pairs,
+    minhash_lsh_victims,
     prefix_filter_pairs,
     ngram_jaccard_pairs,
     simhash_groups,
@@ -16,6 +17,7 @@ __all__ = [
     "exact_dedup",
     "minhash_band_index",
     "minhash_lsh_pairs",
+    "minhash_lsh_victims",
     "prefix_filter_pairs",
     "ngram_jaccard_pairs",
     "simhash_groups",

@@ -173,6 +173,89 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_victims(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    threshold: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """doc_ids to REMOVE (keep-one-per-near-dup-cluster) in work LINEAR
+    in bucket size — the 100 TB spelling of the LSH dedup stage.
+
+    ``minhash_lsh_pairs`` emits every pair inside every bucket: Σ b²/2
+    work, and duplicate-CLUSTER sizes grow with the corpus (boilerplate
+    repeats ∝ corpus size), so on a dup-heavy corpus the pair stage is
+    quadratic in scale-up — the worst case a 100 TB run must be immune
+    to even though the synthetic ladder's buckets stay small (sf100
+    census: max bucket 12, Σ pairs 970 k ≈ Σ star edges 882 k).
+
+    Here each bucket contributes STAR edges only — every member checked
+    against the bucket's min-id representative: Σ (b−1) edges, ≤
+    n_bands per doc after dedup, then the same exact-Jaccard verify.
+    A doc is removed iff it verifies ≥ ``threshold`` against the rep of
+    at least one of its buckets. Production MinHash dedup pipelines
+    collapse buckets without ANY verification (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" —
+    bucket = duplicate cluster); star-with-verify is strictly more
+    precise than that, and strictly more conservative than the pair
+    spelling: star edges ⊆ all pairs, so victims(star) ⊆
+    victims(pairs), with equality whenever clusters are mutually
+    similar (the near-dup case the stage exists for) — both properties
+    pytest-pinned (tests/test_training_ops.py).
+
+    Plan shape: rep = map-side-combinable min per bucket; members meet
+    reps in a plain equi-join on (band, band_key) — AQE can skew-split
+    a monster bucket's partition, which is why this is a groupBy+join
+    and not a window ``min over (partition by bucket)`` (a window pins
+    the whole bucket to one task).
+
+    Materialization strategy (the OTHER scale lesson from the sf100
+    rung): ``minhash_lsh_pairs`` eagerly checkpoints every doc's raw
+    shingle-string arrays — ~3× the corpus text pinned in the block
+    manager, which fit at sf30 and thrashed (spill + GC: every
+    substep touching it went 11–20× at 3.33× data) at sf100. Here the
+    only corpus-sized checkpoint is the band INDEX — three scalar
+    columns — and the Jaccard verify re-shingles just the CANDIDATE
+    docs (bounded by the star-edge count, a small fraction of the
+    corpus). Cache the small thing you reuse; recompute the big thing
+    you touch once. Returns (doc_id) victims."""
+    index = minhash_band_index(docs, n, num_hashes, band_rows)
+    if materialize:
+        index = index.localCheckpoint(eager=True)
+    rep = index.groupBy("band", "band_key").agg(F.min("doc_id").alias("rep"))
+    edges = (
+        index.join(rep, ["band", "band_key"])
+        .where(F.col("doc_id") > F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    if materialize:
+        edges = edges.localCheckpoint(eager=True)
+    cand_ids = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(cand_ids, "doc_id").select(
+        "doc_id", shingles("text", n).alias("sh")
+    )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+    jac = (
+        F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast("double")
+        / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+    )
+    return (
+        edges.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(F.round(jac, 6) >= threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+
 def simhash_groups(docs: DataFrame) -> DataFrame:
     """Docs sharing a 16-bit SimHash fingerprint (Hamming-0 buckets)."""
     return (

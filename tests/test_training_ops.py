@@ -112,6 +112,36 @@ class TestDedup:
         assert lsh, "planted near-dups must be found"
         assert all(j >= 0.5 for j in lsh.values())
 
+    def test_lsh_victims_subset_of_pair_victims(self, spark):
+        """victims(star) ⊆ victims(pairs) by construction (star edges ⊆
+        all bucket pairs, identical verify), and the planted dups in the
+        real corpus still fall."""
+        docs = load_table(spark, SF, "documents")
+        from oroboro_dw_dbt_spark.dedup import minhash_lsh_victims
+
+        star = {r["doc_id"] for r in minhash_lsh_victims(docs).collect()}
+        pairw = {
+            r["doc_b"] for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+        }
+        assert star, "planted near-dups must fall under the star spelling"
+        assert star <= pairw
+
+    def test_lsh_victims_equal_on_mutual_clusters(self, spark):
+        """On mutually-similar clusters (the case dedup exists for) the
+        star spelling removes EXACTLY what the pair spelling removes:
+        every non-min member of each cluster."""
+        from oroboro_dw_dbt_spark.dedup import minhash_lsh_victims
+
+        c1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        c2 = "one two three four five six seven eight nine ten"
+        rows = [c1, c1, c1, c2, c2, "lone wolf document totally unlike others"]
+        df = _docs(spark, rows)
+        star = {r["doc_id"] for r in minhash_lsh_victims(df).collect()}
+        pairw = {
+            r["doc_b"] for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+        }
+        assert star == pairw == {1, 2, 4}
+
     def test_simhash_groups_only_multi(self, spark):
         df = _docs(spark, ["same token set", "token same set", "different things entirely"])
         groups = simhash_groups(df).collect()

@@ -7,8 +7,9 @@ per-stage wall + survivor counts (VERDICT r07 Next #7):
 
   1. corpus build  — quality_filter over documents (scan-speed Column
                      tree), keep-set joined back to the corpus
-  2. near-dup      — MinHash-LSH candidate pairs, exact-Jaccard
-                     verified; higher doc_id of each dup pair removed
+  2. near-dup      — MinHash-LSH star edges (each doc vs its buckets'
+                     min-id reps — linear in bucket size), exact-
+                     Jaccard verified; verified members removed
   3. semantic      — trained-cell SemDeDup (hierarchical assignment +
                      per-cell GEMM dominance) over the embeddings of
                      surviving docs; dominated vectors' docs removed
@@ -40,7 +41,7 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_pipeline_e2e.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
-    from oroboro_dw_dbt_spark.dedup.dedup import minhash_lsh_pairs
+    from oroboro_dw_dbt_spark.dedup.dedup import minhash_lsh_victims
     from oroboro_dw_dbt_spark.operators.round7_suite import (
         _IVF_FP,
         ivf_cells_for,
@@ -71,9 +72,12 @@ def main() -> None:
     stages["quality_filter"] = round(time.monotonic() - t0, 3)
 
     # -- 2. near-dup removal ----------------------------------------------
+    # star spelling, lean materialization: the pair spelling measured
+    # 10.9× wall at 3.33× docs (sf30→sf100) — profiling showed the
+    # corpus-wide shingle-array checkpoint (~3× the text) thrashing
+    # the block manager, not the pair count (SCALE.md "sf100 rung")
     t0 = time.monotonic()
-    pairs = minhash_lsh_pairs(corpus)
-    victims = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    victims = minhash_lsh_victims(corpus)
     deduped = corpus.join(victims, "doc_id", "left_anti").localCheckpoint(
         eager=True
     )
