@@ -93,9 +93,16 @@ def _shingled(docs: DataFrame, n: int, materialize: bool) -> DataFrame:
     # group), serializing the whole md5 pipeline on one core (measured
     # 3.1s → 0.7s at sf0.1 after widening). At cluster scale the scan
     # already has thousands of splits and this is a no-op.
+    # Widen below TWICE the core count, not just below it: partition
+    # COUNT can lie about effective parallelism — a scan over files with
+    # monolithic row groups reports one split per byte range but only
+    # the splits holding row-group midpoints produce rows (the sf100
+    # probe: 33 reported splits, 8 effective, md5 on 8 of 32 cores).
+    # For a kernel this compute-heavy the round-robin shuffle is noise;
+    # healthy cluster scans have ≫ 2× cores splits and still skip it.
     sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    if docs.rdd.getNumPartitions() < 2 * sc.defaultParallelism:
+        docs = docs.repartition(2 * sc.defaultParallelism)
     sh = docs.select("doc_id", shingles("text", n).alias("sh"))
     # EAGER: a lazy checkpoint is not reliably shared between the
     # branches of the downstream self-join inside a single job — each

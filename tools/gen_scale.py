@@ -132,10 +132,24 @@ def generate(spark: SparkSession, src: str, out: str, replicas: int) -> None:
     )
 
     for t, df in plans.items():
-        # single file per table to match the driver testdata layout
-        # (bench splits via spark.sql.files.maxPartitionBytes anyway)
+        # Bound the ROW GROUPS, not just the files: a parquet task can
+        # split a file by byte range but never inside a row group, and
+        # the writer's flush check estimates the ENCODED size — heavily
+        # dictionary-encoded text columns can stream hundreds of raw MB
+        # into one row group before the 128 MB estimate trips. The sf100
+        # probe hit exactly that: 8 files × ONE 700k-row row group each,
+        # so of 33 byte-range splits only the 8 holding row-group
+        # midpoints produced rows and the md5-bound shingle stage ran on
+        # 8 of 32 cores (measured 26× wall at 10× data — SCALE.md).
+        # 16 MB encoded-estimate row groups ≈ 60–80 MB raw text, the
+        # same granularity the driver's sf0.1 layout exhibits.
         n_files = 1 if t in COPY_AS_IS else 8
-        df.coalesce(n_files).write.mode("overwrite").parquet(str(outp / f"{t}.parquet"))
+        (
+            df.coalesce(n_files)
+            .write.mode("overwrite")
+            .option("parquet.block.size", 16 * 1024 * 1024)
+            .parquet(str(outp / f"{t}.parquet"))
+        )
         print(f"wrote {t}", flush=True)
 
 
