@@ -124,7 +124,24 @@ def hier_assign(v: DataFrame, cent_df: DataFrame, n_cells: int) -> DataFrame:
         vm = np.stack(pdf_v["vi"].to_numpy()).astype(np.int64, copy=False)
         cm = np.stack(pdf_c["c"].to_numpy()).astype(np.int64, copy=False)
         cn = pdf_c["cn"].to_numpy(dtype=np.int64)
-        scores = cn[None, :] - 2 * (vm @ cm.T)  # exact int64 end-to-end
+        # numpy int64 matmul has NO BLAS kernel (scalar triple loop);
+        # float64 dgemm computes the SAME integers exactly whenever
+        # every dot product's partial sums stay below 2^53 — true by a
+        # wide margin for micro-fixed-point coordinates (|vi| ≤ ~1e6,
+        # dim 64 → |dot| ≤ ~6.4e13 ≈ 2^46; each addend and partial sum
+        # is an integer < 2^53, so every float64 intermediate is exact).
+        # The bound is CHECKED per batch, falling back to the exact
+        # int64 loop on data that could overflow the mantissa.
+        amax = max(int(np.abs(vm).max(initial=0)), 1) * max(
+            int(np.abs(cm).max(initial=0)), 1
+        ) * vm.shape[1]
+        if amax < 2**53:
+            dots = np.rint(
+                vm.astype(np.float64) @ cm.astype(np.float64).T
+            ).astype(np.int64)
+        else:  # pragma: no cover - beyond the quantizer's value range
+            dots = vm @ cm.T
+        scores = cn[None, :] - 2 * dots  # exact int64 end-to-end
         j = scores.argmin(axis=1)
         rows = np.arange(len(vm))
         return pd.DataFrame(
