@@ -98,15 +98,33 @@ HEADLINE = [
 
 
 def _await_quiet_host() -> dict:
-    """Steal-gate (VERDICT r06 Next #4): sample the hypervisor steal
-    rate and wait (bounded) for a quiet window before timing anything.
-    r05's clean artifact ran at ~0.3 steal-jiffies/s; r06's
-    contaminated one at ~15/s. Returns the gate record for the
-    artifact so the judge can see what the box looked like."""
+    """Quiet-host gate (VERDICT r06 Next #4 + r08 What's-wrong #2):
+    wait (bounded) for BOTH contention signals to go quiet before
+    timing anything.
+
+    - steal rate: hypervisor-side contention (r05 clean ≈ 0.3
+      jiffies/s; r06 contaminated ≈ 15/s);
+    - loadavg_1m: VM-INTERNAL contention the steal counter cannot
+      see — BENCH_r08 started at loadavg 19.96 with steal 7.0 and the
+      first third of the run measured 2-3x its r07 walls with zero
+      code change. Threshold 0.25 x nproc (8 on the 32-core box).
+
+    Returns the gate record for the artifact so the judge can see
+    what the box looked like."""
     rate_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RATE_MAX", "8"))
+    load_max = float(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_LOADAVG_MAX", str(0.25 * (os.cpu_count() or 32))
+        )
+    )
     max_waits = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAITS", "10"))
-    gate = {"waits": 0, "rate_max": rate_max, "steal_rate": None}
-    rate = 0.0
+    gate = {
+        "waits": 0,
+        "rate_max": rate_max,
+        "steal_rate": None,
+        "load_max": load_max,
+        "loadavg_1m": None,
+    }
     for attempt in range(max_waits + 1):
         if attempt:  # sleep FIRST so every sleep is followed by a
             time.sleep(28.0)  # re-measurement (the recorded rate is
@@ -114,11 +132,16 @@ def _await_quiet_host() -> dict:
         a = _host_load()
         time.sleep(2.0)
         b = _host_load()
+        gate["loadavg_1m"] = b.get("loadavg_1m")
+        quiet_load = b.get("loadavg_1m", 0.0) <= load_max
         if "steal_jiffies" not in a or "steal_jiffies" not in b:
-            break
+            if quiet_load:
+                break
+            gate["waits"] += 1
+            continue
         rate = (b["steal_jiffies"] - a["steal_jiffies"]) / 2.0
         gate["steal_rate"] = rate
-        if rate <= rate_max:
+        if rate <= rate_max and quiet_load:
             break
         gate["waits"] += 1
     return gate
@@ -205,10 +228,6 @@ def main() -> None:
         # passes, not headline minima, across that boundary
         "metric_note": "min-of-2 since r05; r01-r04 artifacts are single-pass",
         "queries": timings,
-        # steal-jiffies that landed during the pass each recorded time
-        # came from: 0 → trust the number; large → treat as an upper
-        # bound and compare passes_raw/steal_raw in BENCH_LAST.json
-        "queries_steal": steal_of_min,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "steal_gate": gate,
         "load": {
@@ -217,18 +236,23 @@ def main() -> None:
             "steal_jiffies_delta": steal_delta,
         },
     }
-    # Full artifact (incl. per-pass raw times) goes to a file: r06's
-    # driver record had "parsed": null because the bulky passes_raw
-    # pushed the stdout line past the driver's tail capture. The
-    # printed line stays compact and parseable; BENCH_LAST.json keeps
-    # the full per-pass record for cross-round drift analysis.
-    full = dict(out, passes_raw=passes_raw, steal_raw=steal_raw)
+    # Full artifact (per-pass raw times, per-query steal deltas) goes
+    # to a file: the driver captures only a bounded stdout TAIL, and
+    # both r06 and r08 ended with "parsed": null when extra per-query
+    # maps pushed the line past that window. The printed line carries
+    # only the headline map, compact separators, no per-query steal —
+    # BENCH_LAST.json keeps the full record for drift analysis.
+    # steal_of_min semantics: jiffies landed during the pass each
+    # recorded minimum came from — 0 means trust the number.
+    full = dict(
+        out, queries_steal=steal_of_min, passes_raw=passes_raw, steal_raw=steal_raw
+    )
     try:
         with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LAST.json"), "w") as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -230,7 +230,15 @@ class ManifestParquetFormat:
         wrote — no data re-scan). These are the zone maps behind
         :meth:`read_pruned`: the Iceberg manifest-stats / Delta
         dataSkippingNumIndexedCols idea, collected at write time where
-        it costs one footer read per file."""
+        it costs one footer read per file.
+
+        Session-wide side effect: for the duration of the underlying
+        parquet write this pins ``spark.sql.parquet.outputTimestampType``
+        to TIMESTAMP_MICROS (no per-write option exists in Spark), so an
+        UNRELATED parquet write running concurrently on another thread
+        of the same session lands with micros timestamps too. Overlapping
+        manifest writers are refcount-safe; third-party writers sharing
+        the session should avoid the window or expect micros."""
         version = self.stage(df, path, partition_by, stats_cols)
         self._commit(path, version)
 
@@ -538,7 +546,13 @@ class ManifestParquetFormat:
         copy-on-write alternative rewrites every affected file, which
         at 100 TB turns a 1000-row delete into a multi-TB job. Readers
         of the new version apply the vectors; readers of prior versions
-        (time travel) see the undeleted rows. Returns the new version."""
+        (time travel) see the undeleted rows. Returns the new version.
+
+        Same session-wide caveat as :meth:`write`: the delete-vector
+        parquet write pins ``spark.sql.parquet.outputTimestampType`` to
+        TIMESTAMP_MICROS for its duration, affecting any concurrent
+        parquet write on the same session (refcounted across manifest
+        writers; documented for third-party writers)."""
         path = Path(path)
         cur = self.current_version(path)
         if cur is None:

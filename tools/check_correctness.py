@@ -198,7 +198,6 @@ def main() -> int:
     # floor (N > 2048 for both 6 planes and 16 cells); past that the
     # Spark side uses more cells than the oracle SQL and a hash
     # mismatch here is a false red, not a bug (ADVICE r07).
-    _derived_param_entries = ("dd_semdedup", "dd_semdedup_ivf")
     n_emb = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
     from oroboro_dw_dbt_spark.operators.round6f_suite import (
         _SEM_PLANES,
@@ -209,18 +208,22 @@ def main() -> int:
         ivf_cells_for,
     )
 
-    out_of_contract = (
-        sem_planes_for(n_emb) > _SEM_PLANES
-        or ivf_cells_for(n_emb) > _IVF_CELLS
-    )
+    # per-entry flags (ADVICE r08): each family leaves its oracle
+    # contract independently — planes for dd_semdedup, cells for
+    # dd_semdedup_ivf — so one family drifting past its pinned floor
+    # must not cost the other its oracle coverage at this SF.
+    _out_of_contract = {
+        "dd_semdedup": sem_planes_for(n_emb) > _SEM_PLANES,
+        "dd_semdedup_ivf": ivf_cells_for(n_emb) > _IVF_CELLS,
+    }
 
     failures = []
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
-        if name in _derived_param_entries and out_of_contract:
+        if _out_of_contract.get(name, False):
             print(
-                f"skip {name}: corpus-derived cell count exceeds the "
+                f"skip {name}: corpus-derived parameter exceeds the "
                 f"oracle's pinned constant at N={n_emb} — out of oracle "
                 "contract at this SF (certify at sf0.01)"
             )
