@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 from oroboro_dw_dbt_spark.operators.round7_suite import (
     _IVF_FP,
     _int_dot,
+    assign_cells,
     dd_semdedup_ivf,
+    flat_assign,
     hier_assign,
     ivf_cells_for,
 )
@@ -205,6 +207,75 @@ class TestHierAssignRandomized:
         self._check(spark, vi, ci)
 
 
+class TestAssignDispatch:
+    """The size dispatch (VERDICT r08 Next #5) and the salted cogroup
+    (ADVICE r08) must both be invisible in the results."""
+
+    def _frames(self, spark, seed=11, n=200, n_cells=24, dim=8):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        vi = rng.integers(-(10**6), 10**6, (n, dim)).astype(np.int64)
+        ci = rng.integers(-(10**6), 10**6, (n_cells, dim)).astype(np.int64)
+        v = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in vi[i]], int((vi[i] * vi[i]).sum()))
+                for i in range(n)
+            ],
+            "vec_id long, vi array<long>, xn long",
+        ).localCheckpoint(eager=True)
+        cents = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in ci[i]], int((ci[i] * ci[i]).sum()))
+                for i in range(n_cells)
+            ],
+            "cell long, c array<long>, cn long",
+        ).localCheckpoint(eager=True)
+        scores = (ci * ci).sum(axis=1)[None, :] - 2 * (vi @ ci.T)
+        expect = {i: int(scores[i].argmin()) for i in range(n)}
+        return v, cents, expect
+
+    def test_flat_equals_hier_at_boundary(self, spark):
+        """flat_assign (map-side GEMM, zero shuffles) and hier_assign
+        (two-level probe) must agree bit-for-bit on the same inputs —
+        the dispatch boundary cannot move a result."""
+        v, cents, expect = self._frames(spark)
+        flat = {r["vec_id"]: r["cell"] for r in flat_assign(v, cents).collect()}
+        hier = {
+            r["vec_id"]: r["cell"] for r in hier_assign(v, cents, 24).collect()
+        }
+        assert flat == expect
+        assert hier == expect
+
+    def test_assign_cells_dispatches_flat_without_shuffle(self, spark):
+        """At C <= _FLAT_MAX_CELLS the dispatched plan must contain no
+        exchange at all (the whole assignment is map-side)."""
+        v, cents, expect = self._frames(spark)
+        out = assign_cells(v, cents, 24, n_rows=200)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert {r["vec_id"]: r["cell"] for r in out.collect()} == expect
+
+    def test_salted_cogroup_equals_unsalted(self, spark):
+        """hier_assign with many salts (n_rows forces S > 1) must
+        equal the unsalted spelling: subgroup minima of a min are the
+        min, and (score, cell) ordering keeps the lowest-id ties."""
+        from oroboro_dw_dbt_spark.operators import round7_suite as r7
+
+        v, cents, expect = self._frames(spark, seed=13)
+        # duplicated centroids on top: ties must still break low
+        orig = r7._SALT_TARGET_ROWS
+        r7._SALT_TARGET_ROWS = 16  # 200 rows → S = 13
+        try:
+            salted = {
+                r["vec_id"]: r["cell"]
+                for r in hier_assign(v, cents, 24, n_rows=200).collect()
+            }
+        finally:
+            r7._SALT_TARGET_ROWS = orig
+        assert salted == expect
+
+
 class TestSemDedupIvf:
     def test_keep_semantics_at_smoke_sf(self, spark):
         rows = dd_semdedup_ivf(spark, SF).collect()
@@ -215,3 +286,30 @@ class TestSemDedupIvf:
             else:
                 assert r["removed_by"] is not None
                 assert r["removed_by"] < r["vec_id"]
+
+    def test_sparse_ids_seed_from_present_ids(self, spark):
+        """ADVICE r08: shifting every vec_id by +10_000 (no id below
+        n_cells survives) must still seed C cells from the lowest ids
+        PRESENT and produce the SAME clustering as the dense corpus —
+        the old `vec_id < n_cells` predicate seeded nothing and the
+        stage silently no-opped."""
+        from oroboro_dw_dbt_spark.operators.round7_suite import (
+            semdedup_ivf_core,
+        )
+
+        v = _quantized(spark, SF).localCheckpoint(eager=True)
+        n_cells = ivf_cells_for(v.count())
+        dense = {
+            r["vec_id"]: (r["cell"], r["keep"])
+            for r in semdedup_ivf_core(v, n_cells).collect()
+        }
+        shifted = v.withColumn("vec_id", F.col("vec_id") + F.lit(10_000))
+        sparse = {
+            r["vec_id"] - 10_000: (r["cell"], r["keep"])
+            for r in semdedup_ivf_core(shifted, n_cells).collect()
+        }
+        # same keep decisions; cell labels differ only by the id shift
+        assert {k: kv[1] for k, kv in sparse.items()} == {
+            k: kv[1] for k, kv in dense.items()
+        }
+        assert len(sparse) == len(dense) > 0
