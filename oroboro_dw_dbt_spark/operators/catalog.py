@@ -154,6 +154,25 @@ FRESH_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Already-green entries whose IMPLEMENTATION changed after their last
+# driver certification (VERDICT r08 Next #4): their standing record
+# predates the current code, so they jump the done-tier queue and
+# re-earn a row in the next window. Remove names once the fresh row
+# lands. Round 9: the r08 hierarchical-assignment rewrite + r09 size
+# dispatch/salting/seed fix (dd_semdedup_ivf, dd_semdedup shares the
+# dominance kernel), the r08 star-spelling-adjacent band-index reuse
+# (dd_minhash_lsh), the r08 NULLS-LAST tie-break change in the top-k
+# vocabulary pick (fe_onehot_topk), and the refcounted conf pin on
+# stats-bearing writes (eng_metadata_count).
+RECERTIFY: tuple[str, ...] = (
+    "dd_semdedup_ivf",
+    "dd_semdedup",
+    "dd_minhash_lsh",
+    "fe_onehot_topk",
+    "eng_metadata_count",
+)
+
+
 def catalog_order() -> list[str]:
     """Catalog names ordered for the driver's bounded per-round window:
 
@@ -163,7 +182,8 @@ def catalog_order() -> list[str]:
        the window size);
     2. never appeared at all (new entries): FRESH_PRIORITY members in
        list order first, then the rest in insertion order;
-    3. already green (their record stands).
+    3. already green but code-changed since certification (RECERTIFY);
+    4. already green (their record stands).
     """
     covered, appeared = _driver_history()
     names = list(QUERIES)
@@ -171,8 +191,9 @@ def catalog_order() -> list[str]:
     fresh = [n for n in names if n not in appeared and n not in covered]
     prio = [n for n in FRESH_PRIORITY if n in fresh]
     rest = [n for n in fresh if n not in FRESH_PRIORITY]
-    done = [n for n in names if n in covered]
-    return stuck + prio + rest + done
+    recert = [n for n in RECERTIFY if n in covered]
+    done = [n for n in names if n in covered and n not in recert]
+    return stuck + prio + rest + recert + done
 
 
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -215,10 +215,27 @@ def hier_assign(
     import pandas as pd
 
     cand, grouped = _hier_parts(v, cent_df, n_cells)
+    salts = _salt_count(v, n_rows)
+    return _score_groups(cand, grouped.select("g", "cell", "c", "cn"), salts)
+
+
+def _salt_count(v: DataFrame, n_rows: int | None) -> int:
     if n_rows is None:
-        salts = v.sparkSession.sparkContext.defaultParallelism
-    else:
-        salts = max(1, min(512, -(-n_rows // _SALT_TARGET_ROWS)))
+        return v.sparkSession.sparkContext.defaultParallelism
+    return max(1, min(512, -(-n_rows // _SALT_TARGET_ROWS)))
+
+
+def _score_groups(cand: DataFrame, cent_side: DataFrame, salts: int) -> DataFrame:
+    """Fold (vec_id, vi, g) candidates against the g-keyed centroid
+    table into the exact per-vector (score, cell) argmin: a salted
+    cogroup (each task holds ≤ ~``_SALT_TARGET_ROWS`` candidates, the
+    KB-scale centroid side replicated per salt) scoring each group
+    with ONE int64 GEMM, then one map-side-combinable min_by. Lowest-
+    cell ties are preserved at any salt count: the kernel's first-min
+    over cell-ascending columns is the lowest id within a task, and
+    the (score, cell) struct ordering keeps it across tasks."""
+    import numpy as np
+    import pandas as pd
 
     def kernel(pdf_v: pd.DataFrame, pdf_c: pd.DataFrame) -> pd.DataFrame:
         if len(pdf_v) == 0 or len(pdf_c) == 0:
@@ -247,7 +264,7 @@ def hier_assign(
 
     if salts > 1:
         cand = cand.withColumn("s", F.pmod(F.hash("vec_id"), F.lit(salts)))
-        cent_side = grouped.select("g", "cell", "c", "cn").withColumn(
+        cent_side = cent_side.withColumn(
             "s", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
         )
         per_group = (
@@ -258,7 +275,7 @@ def hier_assign(
     else:
         per_group = (
             cand.groupby("g")
-            .cogroup(grouped.select("g", "cell", "c", "cn").groupby("g"))
+            .cogroup(cent_side.groupby("g"))
             .applyInPandas(kernel, "vec_id long, score long, cell long")
         )
     return per_group.groupBy("vec_id").agg(
@@ -403,6 +420,104 @@ def _hier_parts(
     return cand, grouped
 
 
+def ivf_cells_capped(n: int, occupancy: int = 128) -> int:
+    """C = ⌈N/occupancy⌉ (floored at the sf0.01 value): cells ∝ N.
+
+    The √-scaling of :func:`ivf_cells_for` balances exact assignment
+    (N·C) against within-cell pair work (N²/C) at N^1.5 — the r08
+    pipeline ladder measured that term at 72% of the sf100 wall and
+    growing. Capping cell OCCUPANCY instead makes the dominance stage
+    N·occ = linear; the price is that exact assignment at C ∝ N is
+    N²/occ — unpayable — so this operating point pairs with
+    :func:`greedy_assign` (per-vector work ~2√C, deterministic,
+    approximate), which is what production IVF systems run. SemDeDup's
+    cells are themselves a locality heuristic (Abbas et al. 2023 use
+    plain k-means assignment with a fixed budget), so the greedy
+    descent changes WHICH near-duplicates meet in a cell, not the
+    operator's contract; the certified catalog entry keeps the exact
+    path at its pinned C=16."""
+    return max(_IVF_CELLS, -(-n // occupancy))
+
+
+def greedy_assign(
+    v: DataFrame, cent_df: DataFrame, n_cells: int, n_rows: int | None = None
+) -> DataFrame:
+    """Deterministic two-level GREEDY (nprobe=1) nearest-centroid
+    descent: vector → nearest of G=⌈√C⌉ pivots → nearest centroid
+    within that pivot's group. Per-vector work is ~2√C dot products
+    (vs C for any exact method on concentration-prone geometry), all
+    inside int64 GEMM kernels; ties break to the lowest pivot id and
+    then the lowest cell id, so re-runs are bit-stable.
+
+    This is the pipeline's cells ∝ N operating point (pairs with
+    :func:`ivf_cells_capped`). It is NOT exact nearest-centroid —
+    a vector whose true nearest cell lives under a different pivot
+    lands in a neighboring cell instead; for semantic dedup that only
+    moves boundary vectors between cells (the same trade every
+    IVF/nprobe system makes). At deeper scale the same descent
+    generalizes to d levels (per-vector d·C^(1/d)); two levels carry
+    the measured ladder (√C ≈ 300 at sf300).
+
+    Stage shapes: G pivot rows ride the task closure (KBs); centroid
+    grouping is one mapInPandas over the C-row centroid table; the
+    fine stage is the same salted cogroup + min_by as the exact path
+    (:func:`_score_groups`). No O(C) broadcast, no window sort."""
+    import numpy as np
+    import pandas as pd
+
+    n_groups = max(2, math.isqrt(max(1, n_cells - 1)) + 1)  # ⌈√C⌉
+    pivot_rows = sorted(
+        _kcenter_pivots(cent_df, n_groups).collect(), key=lambda r: r["g"]
+    )
+    spark = v.sparkSession
+    if not pivot_rows:  # empty centroids: empty assignment
+        return spark.createDataFrame([], "vec_id long, cell long")
+    gs = np.array([r["g"] for r in pivot_rows], dtype=np.int64)
+    sg = np.array([r["sg"] for r in pivot_rows], dtype=np.int64)
+    sgn = np.array([r["sgn"] for r in pivot_rows], dtype=np.int64)
+
+    def nearest_g(mat: "np.ndarray") -> "np.ndarray":
+        # argmin over pivots of ||x-sg||² − ||x||² = sgn − 2·x·sg;
+        # pivot rows g-ascending → first-min = lowest pivot id
+        rel = sgn[None, :] - 2 * _exact_int_gemm(mat, sg)
+        return gs[rel.argmin(axis=1)]
+
+    def group_cents(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf["c"].to_numpy()).astype(np.int64, copy=False)
+            yield pd.DataFrame(
+                {
+                    "g": nearest_g(cm),
+                    "cell": pdf["cell"].to_numpy(dtype=np.int64),
+                    "c": pdf["c"],
+                    "cn": pdf["cn"].to_numpy(dtype=np.int64),
+                }
+            )
+
+    def probe_vecs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.stack(pdf["vi"].to_numpy()).astype(np.int64, copy=False)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "vi": pdf["vi"],
+                    "g": nearest_g(vm),
+                }
+            )
+
+    cent_side = cent_df.select("cell", "c", "cn").mapInPandas(
+        group_cents, "g long, cell long, c array<long>, cn long"
+    )
+    cand = v.select("vec_id", "vi").mapInPandas(
+        probe_vecs, "vec_id long, vi array<long>, g long"
+    )
+    return _score_groups(cand, cent_side, _salt_count(v, n_rows))
+
+
 @query(
     "dd_semdedup_ivf",
     # Quantizer arithmetic is exact end-to-end: micro-scaled BIGINT
@@ -515,16 +630,76 @@ def dd_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_ivf_core(v, n_cells)
 
 
+# Sub-split id space: capped-cell ids are cell * 2^20 + sub, so cells
+# up to 2^43 and splits up to 2^20 never collide in a long.
+_SPLIT_BASE = 1 << 20
+
+
+def _cap_cell_occupancy(b: DataFrame, cap: int) -> DataFrame:
+    """Deterministically split any cell holding more than ``cap``
+    vectors into ⌈occ/cap⌉ hash subcells (cell ids remapped to
+    cell·2^20 + sub).
+
+    Within-cell dominance work is occ² — unbounded when the quantizer
+    concentrates (measured: greedy cells at sf10 average 128 but p99
+    = 1143, max 1496; Σ occ² grows super-linearly with the corpus
+    even at fixed average occupancy). The cap bounds the worst cell's
+    GEMM at ~cap² and total dominance work at ~N·cap (hash subcells
+    are even in expectation; the worst subcell exceeds cap only by
+    the hash's O(√(cap·log k)) fluctuation) — the price is
+    that near-dups split across subcells stop meeting, the same
+    recall-for-boundedness trade every LSH band makes, and exactly
+    the "budget-bounded cluster" production SemDeDup runs. Hash
+    splitting is deterministic (re-runs bit-stable); cells at or
+    under the cap keep their original ids and results."""
+    occ = b.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    splits = occ.select(
+        "cell",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("_n") / F.lit(cap))
+        ).cast("long").alias("_k"),
+    )
+    return (
+        b.join(splits, "cell")  # C-row side: AQE broadcasts it
+        .withColumn(
+            "_dcell",
+            F.when(F.col("_k") > 1,
+                   F.col("cell") * _SPLIT_BASE
+                   + F.pmod(F.hash("vec_id"), F.col("_k")))
+            .otherwise(F.col("cell")),
+        )
+        .drop("_k")
+    )
+
+
 def semdedup_ivf_core(
-    v: DataFrame, n_cells: int, tau: float = _IVF_TAU
+    v: DataFrame,
+    n_cells: int,
+    tau: float = _IVF_TAU,
+    assign: str = "exact",
+    occupancy_cap: int | None = None,
 ) -> DataFrame:
-    """The reusable trained-cell SemDeDup pipeline: seed → hierarchical
-    assign → exact integer Lloyd update → re-assign → per-cell GEMM
-    dominance. ``v`` must carry (vec_id, v array<double>, vi
-    array<long>); returns (vec_id, cell, keep, removed_by). The
-    catalog entry wraps this on the test embeddings; the end-to-end
-    pipeline probe (tools/pipeline_e2e.py) chains it between near-dup
-    removal and shard packing on the full corpus."""
+    """The reusable trained-cell SemDeDup pipeline: seed → assign →
+    exact integer Lloyd update → re-assign → per-cell GEMM dominance.
+    ``v`` must carry (vec_id, v array<double>, vi array<long>);
+    returns (vec_id, cell, keep, removed_by). The catalog entry wraps
+    this on the test embeddings; the end-to-end pipeline probe
+    (tools/pipeline_e2e.py) chains it between near-dup removal and
+    shard packing on the full corpus.
+
+    ``assign``: "exact" (the certified path — :func:`assign_cells`,
+    true nearest-centroid at N·C worst-case work) or "greedy" (the
+    cells ∝ N operating point — :func:`greedy_assign`, two-level
+    nprobe=1 descent, ~2√C work per vector, deterministic but
+    approximate; pair with :func:`ivf_cells_capped`).
+
+    ``occupancy_cap``: when set, cells holding more vectors are hash
+    sub-split before dominance (:func:`_cap_cell_occupancy`), bounding
+    total pair work at N·cap regardless of quantizer skew. None (the
+    certified default) leaves cells whole."""
+    if assign not in ("exact", "greedy"):
+        raise ValueError(f"assign must be 'exact' or 'greedy', got {assign!r}")
+    assign_fn = assign_cells if assign == "exact" else greedy_assign
     # ‖x‖² once per vector: both hierarchical assignments' pruning
     # bounds need it, and it checkpoints with the rest of the frame
     v = v.withColumn("xn", _int_dot(F.col("vi"), F.col("vi")))
@@ -555,7 +730,7 @@ def semdedup_ivf_core(
             stacklevel=2,
         )
 
-    a0 = assign_cells(v, seeds, n_cells, n_rows=n_rows)
+    a0 = assign_fn(v, seeds, n_cells, n_rows=n_rows)
 
     dims = (
         v.join(a0, "vec_id")
@@ -574,16 +749,20 @@ def semdedup_ivf_core(
     # probe + argmin); pin them so the Lloyd lineage isn't re-run
     cents = cents.localCheckpoint(eager=True)
 
-    a1 = assign_cells(v, cents, n_cells, n_rows=n_rows)
+    a1 = assign_fn(v, cents, n_cells, n_rows=n_rows)
 
     from oroboro_dw_dbt_spark.dedup.semdedup import dominance_pairs
 
-    b = (
-        v.join(a1, "vec_id")
-        .select("vec_id", "cell", "v")
-        .localCheckpoint(eager=True)
-    )
-    dom = dominance_pairs(b, "cell", tau)
+    b = v.join(a1, "vec_id").select("vec_id", "cell", "v")
+    # dominance runs on the occupancy-capped key (_dcell); the
+    # REPORTED cell stays the quantizer's (sub-split ids are an
+    # internal bound, and they would overflow the int cell column)
+    dom_col = "cell"
+    if occupancy_cap is not None:
+        b = _cap_cell_occupancy(b, occupancy_cap)
+        dom_col = "_dcell"
+    b = b.localCheckpoint(eager=True)
+    dom = dominance_pairs(b, dom_col, tau)
     return b.join(dom, F.col("vec_id") == F.col("victim"), "left").select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),

@@ -61,6 +61,58 @@ class TestBpe:
         rows = t_bpe_train(spark, SF).collect()
         assert all(r["pair_count"] >= 1 for r in rows)
 
+    def test_batched_equals_sequential(self, spark):
+        """VERDICT r08 Next #6: the batched selector must be invisible
+        in the learned merges — batch=8 vs batch=1 vs the plain-Python
+        sequential reference, on the test corpus AND on adversarial
+        mini-corpora (shared symbols, chain merges, ties)."""
+        corpora = [
+            None,  # the real test corpus
+            {"aaab": 5, "abab": 3, "cdcd": 3, "xyxy": 2},  # chains+ties
+            {"abc": 7, "bcd": 7, "cde": 7},  # overlapping symbol sets
+            {"aa": 10, "aaa": 10, "aaaa": 10},  # same-symbol cascades
+        ]
+        for wf in corpora:
+            if wf is None:
+                words = bpe.word_counts(spark, SF)
+                wf = {r["word"]: r["freq"] for r in words.collect()}
+            else:
+                words = spark.createDataFrame(
+                    list(wf.items()), "word string, freq long"
+                )
+            expected = bpe.learn_merges_py(wf)
+            batched, _ = bpe.train(words, batch=8)
+            assert batched == expected, wf
+
+    def test_batching_reduces_counting_passes(self, spark):
+        """The probe claim: driver round-trips ∝ n_merges/batch WHEN
+        the corpus's top pairs are symbol-disjoint — the multi-domain
+        regime (distinct scripts/sub-alphabets, the shape of a real
+        multilingual vocab run). On a single-alphabet corpus every top
+        pair shares a letter and provably-equal batching rightly
+        degenerates to sequential (equality is the contract; the
+        speedup is corpus-dependent, like AQE)."""
+        import itertools
+
+        # 8 disjoint 2-letter sub-alphabets -> top pairs never share
+        # symbols across domains; strictly decreasing freqs kill ties
+        alpha = [chr(ord("a") + i) for i in range(16)]
+        corpus = {}
+        for d, (x, y) in enumerate(zip(alpha[0::2], alpha[1::2])):
+            corpus[x + y + x + y] = 100 - 10 * d
+        words = spark.createDataFrame(
+            list(corpus.items()), "word string, freq long"
+        ).localCheckpoint(eager=True)
+        wf = dict(corpus)
+        expected = bpe.learn_merges_py(wf, n_merges=8)
+        seq, _ = bpe.train(words, n_merges=8, batch=1)
+        seq_passes = bpe.LAST_TRAIN_PASSES
+        bat, _ = bpe.train(words, n_merges=8, batch=8)
+        bat_passes = bpe.LAST_TRAIN_PASSES
+        assert seq == expected and bat == expected
+        assert seq_passes == 8
+        assert bat_passes <= 3  # jobs ∝ vocab/batch
+
 
 class TestScalers:
     def test_zscore_matches_python(self, spark):

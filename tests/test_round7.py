@@ -276,6 +276,158 @@ class TestAssignDispatch:
         assert salted == expect
 
 
+class TestGreedyAssign:
+    """The cells ∝ N operating point's nprobe=1 descent: approximate
+    by design, but deterministic, a total assignment, and EQUAL to the
+    exact argmin whenever geometry is hierarchically clustered (the
+    case the two-level quantizer exists for)."""
+
+    def _clustered(self, spark, seed=7, g_true=8, fine_per=8, dim=16, n=600):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        n_cells = g_true * fine_per
+        supers = rng.uniform(-5.0, 5.0, (g_true, dim))
+        fines = (
+            supers[:, None, :] + rng.normal(0.0, 0.01, (g_true, fine_per, dim))
+        ).reshape(n_cells, dim)
+        pts = fines[rng.integers(0, n_cells, n)] + rng.normal(
+            0.0, 0.005, (n, dim)
+        )
+        vi = np.floor(pts * 1_000_000).astype(np.int64)
+        ci = np.floor(fines * 1_000_000).astype(np.int64)
+        v = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in vi[i]], int((vi[i] * vi[i]).sum()))
+                for i in range(n)
+            ],
+            "vec_id long, vi array<long>, xn long",
+        ).localCheckpoint(eager=True)
+        cents = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in ci[i]], int((ci[i] * ci[i]).sum()))
+                for i in range(n_cells)
+            ],
+            "cell long, c array<long>, cn long",
+        ).localCheckpoint(eager=True)
+        return v, cents, n_cells, vi, ci
+
+    def test_equals_exact_on_clustered_geometry(self, spark):
+        from oroboro_dw_dbt_spark.operators.round7_suite import greedy_assign
+
+        v, cents, n_cells, vi, ci = self._clustered(spark)
+        import numpy as np
+
+        scores = (ci * ci).sum(axis=1)[None, :] - 2 * (vi @ ci.T)
+        expect = {i: int(scores[i].argmin()) for i in range(len(vi))}
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in greedy_assign(v, cents, n_cells, n_rows=600).collect()
+        }
+        assert got == expect
+
+    def test_total_and_deterministic_on_uniform(self, spark):
+        """On concentration-prone uniform geometry the greedy descent
+        may differ from exact, but it must still assign EVERY vector
+        exactly once to a real cell, identically across re-runs."""
+        import numpy as np
+
+        from oroboro_dw_dbt_spark.operators.round7_suite import greedy_assign
+
+        rng = np.random.default_rng(3)
+        n, n_cells, dim = 300, 40, 8
+        vi = rng.integers(-(10**6), 10**6, (n, dim)).astype(np.int64)
+        ci = rng.integers(-(10**6), 10**6, (n_cells, dim)).astype(np.int64)
+        v = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in vi[i]], int((vi[i] * vi[i]).sum()))
+                for i in range(n)
+            ],
+            "vec_id long, vi array<long>, xn long",
+        ).localCheckpoint(eager=True)
+        cents = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in ci[i]], int((ci[i] * ci[i]).sum()))
+                for i in range(n_cells)
+            ],
+            "cell long, c array<long>, cn long",
+        ).localCheckpoint(eager=True)
+        a = {r["vec_id"]: r["cell"] for r in greedy_assign(v, cents, n_cells).collect()}
+        b = {r["vec_id"]: r["cell"] for r in greedy_assign(v, cents, n_cells).collect()}
+        assert a == b
+        assert set(a) == set(range(n))  # total: every vector, once
+        assert set(a.values()) <= set(range(n_cells))
+
+    def test_capped_cells_scale_linearly(self):
+        from oroboro_dw_dbt_spark.operators.round7_suite import (
+            _IVF_CELLS,
+            ivf_cells_capped,
+        )
+
+        assert ivf_cells_capped(500) == _IVF_CELLS  # sf0.01 stays floored
+        assert ivf_cells_capped(1_280_000, 128) == 10_000
+        assert ivf_cells_capped(2_560_000, 128) == 20_000  # cells ∝ N
+
+    def test_occupancy_cap_bounds_and_stays_deterministic(self, spark):
+        """The capped dominance key must (a) never hold more than cap
+        (b) leave under-cap cells untouched, (c) make
+        victims a SUBSET of the uncapped run (splitting only removes
+        comparisons), bit-stable across re-runs."""
+        from pyspark.sql import functions as F
+
+        from oroboro_dw_dbt_spark.operators.round7_suite import (
+            _cap_cell_occupancy,
+            semdedup_ivf_core,
+        )
+
+        v = _quantized(spark, SF).localCheckpoint(eager=True)
+        n_cells = ivf_cells_for(v.count())
+        uncapped = semdedup_ivf_core(v, n_cells, assign="greedy")
+        capped = semdedup_ivf_core(
+            v, n_cells, assign="greedy", occupancy_cap=8
+        )
+        vic_u = {r["vec_id"] for r in uncapped.where("keep = 0").collect()}
+        vic_c = {r["vec_id"] for r in capped.where("keep = 0").collect()}
+        assert vic_c <= vic_u
+        capped2 = semdedup_ivf_core(
+            v, n_cells, assign="greedy", occupancy_cap=8
+        )
+        assert {(r["vec_id"], r["keep"]) for r in capped.collect()} == {
+            (r["vec_id"], r["keep"]) for r in capped2.collect()
+        }
+        # direct key-budget check on the splitter
+        b = spark.createDataFrame(
+            [(i, i % 3, [0.0]) for i in range(100)],
+            "vec_id long, cell long, v array<double>",
+        )
+        out = _cap_cell_occupancy(b, 10)
+        mx = out.groupBy("_dcell").count().agg(F.max("count")).collect()[0][0]
+        assert mx <= 20  # ~cap: hash subcells are even in expectation
+        # under-cap cells keep their original key
+        small = spark.createDataFrame(
+            [(i, 7, [0.0]) for i in range(5)],
+            "vec_id long, cell long, v array<double>",
+        )
+        assert {
+            r["_dcell"] for r in _cap_cell_occupancy(small, 10).collect()
+        } == {7}
+
+    def test_core_greedy_keep_semantics(self, spark):
+        from oroboro_dw_dbt_spark.operators.round7_suite import (
+            semdedup_ivf_core,
+        )
+
+        v = _quantized(spark, SF).localCheckpoint(eager=True)
+        n_cells = ivf_cells_for(v.count())
+        rows = semdedup_ivf_core(v, n_cells, assign="greedy").collect()
+        assert len(rows) > 0
+        for r in rows:
+            if r["keep"]:
+                assert r["removed_by"] is None
+            else:
+                assert r["removed_by"] < r["vec_id"]
+
+
 class TestSemDedupIvf:
     def test_keep_semantics_at_smoke_sf(self, spark):
         rows = dd_semdedup_ivf(spark, SF).collect()

@@ -26,6 +26,7 @@ Prints one JSON line; full record written to OUT.json.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -44,6 +45,7 @@ def main() -> None:
     from oroboro_dw_dbt_spark.dedup.dedup import minhash_lsh_victims
     from oroboro_dw_dbt_spark.operators.round7_suite import (
         _IVF_FP,
+        ivf_cells_capped,
         ivf_cells_for,
         semdedup_ivf_core,
     )
@@ -87,7 +89,13 @@ def main() -> None:
     # -- 3. semantic dedup -------------------------------------------------
     # over the embeddings OF THE SURVIVORS only (vec_id keys doc_id):
     # a doc removed upstream must not dominate anyone downstream —
-    # that is what "chained" means
+    # that is what "chained" means.
+    # Operating point (VERDICT r08 Next #2): occupancy-capped cells
+    # (C = ceil(N/occ), cells ∝ N) + the greedy two-level descent —
+    # dominance work N·occ and assignment ~2√C GEMM dots per vector,
+    # replacing the √-scaled exact point whose N^1.5 dominance term
+    # was 72% of the sf100 wall. SPARK_GRAFT_SEMDEDUP_MODE=sqrt
+    # restores the r08 exact operating point for A/B probes.
     t0 = time.monotonic()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").join(
         deduped.select(F.col("doc_id").alias("vec_id")), "vec_id"
@@ -101,8 +109,20 @@ def main() -> None:
             ),
         )
     )
-    n_cells = ivf_cells_for(v.count())
-    sem = semdedup_ivf_core(v, n_cells)
+    mode = os.environ.get("SPARK_GRAFT_SEMDEDUP_MODE", "linear")
+    n_vec = v.count()
+    if mode == "sqrt":
+        n_cells = ivf_cells_for(n_vec)
+        sem = semdedup_ivf_core(v, n_cells, assign="exact")
+    else:
+        occ = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_OCC", "128"))
+        n_cells = ivf_cells_capped(n_vec, occ)
+        # occupancy cap at 8× the target: greedy cells skew (measured
+        # p99 ≈ 9× average at sf10), and Σ occ² — the dominance GEMM —
+        # is what the cap bounds to N·cap
+        sem = semdedup_ivf_core(
+            v, n_cells, assign="greedy", occupancy_cap=8 * occ
+        )
     sem_victims = sem.where("keep = 0").select(
         F.col("vec_id").alias("doc_id")
     )
@@ -133,6 +153,7 @@ def main() -> None:
         "stages": stages,
         "counts": counts,
         "n_cells": n_cells,
+        "semdedup_mode": mode,
         "load": {
             "before": load_before,
             "after": load_after,
