@@ -94,6 +94,9 @@ HEADLINE = [
     "dd_semdedup",
     # round 7: trained-cell SemDeDup (fixed-point Lloyd + per-cell GEMM)
     "dd_semdedup_ivf",
+    # round 9: the star-edge LSH dedup spelling — the chained
+    # pipeline's production near-dup path, now oracle-certified
+    "dd_minhash_lsh_star",
 ]
 
 

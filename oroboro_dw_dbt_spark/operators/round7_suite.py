@@ -250,15 +250,29 @@ def _score_groups(cand: DataFrame, cent_side: DataFrame, salts: int) -> DataFram
         vm = np.stack(pdf_v["vi"].to_numpy()).astype(np.int64, copy=False)
         cm = np.stack(pdf_c["c"].to_numpy()).astype(np.int64, copy=False)
         cn = pdf_c["cn"].to_numpy(dtype=np.int64)
-        dots = _exact_int_gemm(vm, cm)
-        scores = cn[None, :] - 2 * dots  # exact int64 end-to-end
-        j = scores.argmin(axis=1)
-        rows = np.arange(len(vm))
+        cells = pdf_c["cell"].to_numpy(dtype=np.int64)
+        # TILE the candidate rows: a whole group's score matrix can be
+        # GBs (the sf100 pathology: one skewed group scored 235k
+        # vectors × 6.8k centroids — a 13 GB int64 matrix, and the
+        # kernel's three temporaries tripled it; the task spent its
+        # wall in allocation and page faults, not FLOPs). ~4M-element
+        # tiles (32 MB) keep every temporary cache-resident; per-row
+        # argmin is independent, so tiling is exact.
+        tile = max(256, (1 << 22) // max(1, len(cm)))
+        out_score = np.empty(len(vm), dtype=np.int64)
+        out_cell = np.empty(len(vm), dtype=np.int64)
+        for s in range(0, len(vm), tile):
+            vt = vm[s : s + tile]
+            scores = cn[None, :] - 2 * _exact_int_gemm(vt, cm)
+            j = scores.argmin(axis=1)
+            r = np.arange(len(vt))
+            out_score[s : s + len(vt)] = scores[r, j]
+            out_cell[s : s + len(vt)] = cells[j]
         return pd.DataFrame(
             {
                 "vec_id": pdf_v["vec_id"].to_numpy(dtype=np.int64),
-                "score": scores[rows, j],
-                "cell": pdf_c["cell"].to_numpy(dtype=np.int64)[j],
+                "score": out_score,
+                "cell": out_cell,
             }
         )
 
@@ -466,8 +480,31 @@ def greedy_assign(
     import pandas as pd
 
     n_groups = max(2, math.isqrt(max(1, n_cells - 1)) + 1)  # ⌈√C⌉
+    # BALANCED pivots, not k-center: greedy routing sends each vector
+    # to ONE pivot's whole group, so group sizes are the work profile.
+    # k-center picks extreme points — after a Lloyd step collapses
+    # uniform-data centroids toward the mean, 44% of all centroids
+    # landed under one k-center pivot at sf100 (measured), turning the
+    # N·√C fine stage back into ~N·C. A deterministic hash-ordered
+    # sample is a uniform draw from the centroid distribution itself:
+    # its nearest-pivot regions carry ~equal measure on ANY geometry
+    # (sf10: max group 67 vs k-center's 119; sf100 post-Lloyd: the
+    # skew disappears). Exactness is not at stake — pivots only steer
+    # the descent. The exact hier path keeps k-center (its triangle
+    # pruning wants compact covering radii, and its results are
+    # pivot-independent).
     pivot_rows = sorted(
-        _kcenter_pivots(cent_df, n_groups).collect(), key=lambda r: r["g"]
+        cent_df.orderBy(
+            F.pmod(F.hash(F.col("cell")), F.lit(1_000_003)), "cell"
+        )
+        .limit(n_groups)
+        .select(
+            F.col("cell").alias("g"),
+            F.col("c").alias("sg"),
+            F.col("cn").alias("sgn"),
+        )
+        .collect(),
+        key=lambda r: r["g"],
     )
     spark = v.sparkSession
     if not pivot_rows:  # empty centroids: empty assignment

@@ -62,7 +62,18 @@ def _replicate(
     return out
 
 
-def generate(spark: SparkSession, src: str, out: str, replicas: int) -> None:
+def generate(
+    spark: SparkSession,
+    src: str,
+    out: str,
+    replicas: int,
+    tables: tuple[str, ...] | None = None,
+) -> None:
+    """``tables`` (optional) restricts the OUTPUT to a subset — e.g.
+    the chained-pipeline rungs read only documents+embeddings, and at
+    sf300 writing just those costs ~3.5 GB where the full table set
+    costs ~48 GB (key strides still come from the full source so ids
+    stay consistent with a full generation)."""
     outp = Path(out)
     outp.mkdir(parents=True, exist_ok=True)
 
@@ -132,6 +143,8 @@ def generate(spark: SparkSession, src: str, out: str, replicas: int) -> None:
     )
 
     for t, df in plans.items():
+        if tables and t not in tables:
+            continue
         # Bound the ROW GROUPS, not just the files: a parquet task can
         # split a file by byte range but never inside a row group, and
         # the writer's flush check estimates the ENCODED size — heavily
@@ -157,10 +170,11 @@ def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    tables = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     from oroboro_dw_dbt_spark.session import get_spark
 
     spark = get_spark("gen_scale")
-    generate(spark, src, out, replicas)
+    generate(spark, src, out, replicas, tables)
 
 
 if __name__ == "__main__":
