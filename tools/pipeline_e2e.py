@@ -10,9 +10,11 @@ per-stage wall + survivor counts (VERDICT r07 Next #7):
   2. near-dup      — MinHash-LSH star edges (each doc vs its buckets'
                      min-id reps — linear in bucket size), exact-
                      Jaccard verified; verified members removed
-  3. semantic      — trained-cell SemDeDup (hierarchical assignment +
-                     per-cell GEMM dominance) over the embeddings of
-                     surviving docs; dominated vectors' docs removed
+  3. semantic      — trained-cell SemDeDup at the cells ∝ N operating
+                     point (greedy two-level assignment, occupancy-
+                     capped per-cell GEMM dominance) over the
+                     embeddings of surviving docs; dominated vectors'
+                     docs removed
   4. pack shards   — per-source token-budget shard assignment of the
                      final corpus
 
