@@ -556,6 +556,45 @@ def greedy_assign(
 
 
 @query(
+    "dd_semdedup_ivf_greedy",
+    # No SQL oracle: the greedy descent's pivot choice is a
+    # hash-ordered sample of the centroids (Spark hash(), no DuckDB
+    # equivalent), so the driver records the rows-only check. The
+    # semantics ARE pinned elsewhere: determinism, totality, subset-
+    # victims under capping, and ≥93% agreement with the exact argmin
+    # on clustered geometry are all pytest-pinned (tests/test_round7),
+    # and the exact twin (dd_semdedup_ivf) shares every downstream
+    # stage under a full DuckDB oracle.
+    oracle=None,
+    survey_ref="beyond-reference: SemDeDup at the cells ∝ N operating "
+    "point — greedy two-level descent + occupancy-capped dominance, "
+    "the chained pipeline's production semantic stage (VERDICT r08 "
+    "Next #2)",
+)
+def dd_semdedup_ivf_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production (pipeline) spelling of semantic dedup: cells
+    ∝ N via :func:`ivf_cells_capped`, assignment via
+    :func:`greedy_assign`, dominance occupancy-capped at 8× the
+    target. At gate SFs the corpus sits on the 16-cell floor and the
+    cap never triggers, so this certifies exactly the code path
+    tools/pipeline_e2e.py runs at sf300."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+    ).withColumn(
+        "vi",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")
+        ),
+    )
+    n_cells = ivf_cells_capped(v.count())
+    return semdedup_ivf_core(
+        v, n_cells, assign="greedy", occupancy_cap=8 * 128
+    )
+
+
+@query(
     "dd_semdedup_ivf",
     # Quantizer arithmetic is exact end-to-end: micro-scaled BIGINT
     # coordinates (floor is rounding-mode-free, unlike round), BIGINT
