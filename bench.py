@@ -94,9 +94,10 @@ HEADLINE = [
     "dd_semdedup",
     # round 7: trained-cell SemDeDup (fixed-point Lloyd + per-cell GEMM)
     "dd_semdedup_ivf",
-    # round 9: the star-edge LSH dedup spelling — the chained
-    # pipeline's production near-dup path, now oracle-certified
+    # round 9: the star-edge LSH dedup spelling and the cells ∝ N
+    # greedy SemDeDup — the chained pipeline's production dedup paths
     "dd_minhash_lsh_star",
+    "dd_semdedup_ivf_greedy",
 ]
 
 

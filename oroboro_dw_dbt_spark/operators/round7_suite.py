@@ -787,7 +787,11 @@ def semdedup_ivf_core(
     # ids, which are sparse — the old predicate silently under-seeded,
     # and with zero surviving low ids the whole stage no-opped).
     # Identical to `vec_id < n_cells` on dense ids, so the certified
-    # sf0.01 hash is unchanged. Top-k by id, not a global sort.
+    # sf0.01 hash is unchanged. Top-k by id, not a global sort; the
+    # limit() routes ~C rows through one task, fine to C ~ 10⁶ — at
+    # extreme C (100 TB, C ~ 10⁸) swap in a map-side hash filter
+    # (where(pmod(hash(vec_id), N div C) == 0)): any C vectors are
+    # valid seeds, only the certified entry pins WHICH.
     seeds = (
         v.orderBy("vec_id")
         .limit(n_cells)
