@@ -137,6 +137,11 @@ def _await_quiet_host() -> dict:
         time.sleep(2.0)
         b = _host_load()
         gate["loadavg_1m"] = b.get("loadavg_1m")
+        # ADVICE r09: the load signal used to fail open silently — an
+        # unreadable /proc/loadavg recorded loadavg_1m: null exactly
+        # like a measured-quiet run. Flag it so judged artifacts can
+        # tell fail-open from measured-quiet.
+        gate["loadavg_unavailable"] = "loadavg_1m" not in b
         quiet_load = b.get("loadavg_1m", 0.0) <= load_max
         if "steal_jiffies" not in a or "steal_jiffies" not in b:
             if quiet_load:

@@ -220,8 +220,14 @@ def hier_assign(
 
 
 def _salt_count(v: DataFrame, n_rows: int | None) -> int:
+    # Unknown n_rows → 1 salt (ADVICE r09: defaulting to
+    # defaultParallelism made every direct library call pay the salted
+    # plan — explode-replicated centroid side + wider cogroup — even on
+    # tiny inputs; S=1 ≡ unsalted by the pinned equality). Callers at
+    # scale pass n_rows (the core paths do, off a checkpointed count)
+    # so the candidate-volume bound actually sizes the salt.
     if n_rows is None:
-        return v.sparkSession.sparkContext.defaultParallelism
+        return 1
     return max(1, min(512, -(-n_rows // _SALT_TARGET_ROWS)))
 
 

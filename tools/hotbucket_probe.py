@@ -46,10 +46,15 @@ K_STAR_ONLY = 100_000
 
 
 def _with_megacluster(spark, sf_dir: str, k: int):
+    """Returns (docs, k_effective). k is clamped to the corpus size
+    (ADVICE r09: K_STAR_ONLY=100_000 exceeds the sf1 corpus, so the
+    rung used to record k=100000 while building a 50k-doc cluster —
+    the artifact's own max_bucket contradicted the label)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "n_chars"
     )
     n = docs.count()
+    k = min(k, n)
     step = max(1, n // k)
     boiler = F.concat(
         F.lit(BOILER + " variant token"),
@@ -59,7 +64,7 @@ def _with_megacluster(spark, sf_dir: str, k: int):
         "text",
         F.when(F.col("doc_id") % step == 0, boiler).otherwise(F.col("text")),
     )
-    return out.localCheckpoint(eager=True)
+    return out.localCheckpoint(eager=True), k
 
 
 def main() -> None:
@@ -77,9 +82,9 @@ def main() -> None:
 
     load_before = _host_load()
     rungs = []
-    for k in (*K_LADDER, K_STAR_ONLY):
-        docs = _with_megacluster(spark, sf_dir, k)
-        rec: dict = {"k": k}
+    for k_req in (*K_LADDER, K_STAR_ONLY):
+        docs, k = _with_megacluster(spark, sf_dir, k_req)
+        rec: dict = {"k": k, "k_requested": k_req}
 
         # bucket census: the work each spelling MUST do, counted from
         # the band index itself (independent of either implementation)
