@@ -158,18 +158,20 @@ FRESH_PRIORITY: tuple[str, ...] = (
 # driver certification (VERDICT r08 Next #4): their standing record
 # predates the current code, so they jump the done-tier queue and
 # re-earn a row in the next window. Remove names once the fresh row
-# lands. Round 9: the r08 hierarchical-assignment rewrite + r09 size
-# dispatch/salting/seed fix (dd_semdedup_ivf, dd_semdedup shares the
-# dominance kernel), the r08 star-spelling-adjacent band-index reuse
-# (dd_minhash_lsh), the r08 NULLS-LAST tie-break change in the top-k
-# vocabulary pick (fe_onehot_topk), and the refcounted conf pin on
-# stats-bearing writes (eng_metadata_count).
+# lands. Round 10: the r09 batched-merge rewrite of text/bpe.py plus
+# this round's chain-aware batch admission (t_bpe_train/t_bpe_encode
+# were last driver-certified r06 — VERDICT r09 Next #2), and the
+# star-victims verify refactor in dedup.py (dd_minhash_lsh_star's r09
+# row predates it). dd_semdedup_ivf_greedy needs no entry here: its
+# new oracle makes the old rows-only records non-green, so it
+# front-rotates through the stuck tier automatically. (The r09 list —
+# dd_semdedup_ivf, dd_semdedup, dd_minhash_lsh, fe_onehot_topk,
+# eng_metadata_count — all landed fresh green r09 rows and rotate
+# out.)
 RECERTIFY: tuple[str, ...] = (
-    "dd_semdedup_ivf",
-    "dd_semdedup",
-    "dd_minhash_lsh",
-    "fe_onehot_topk",
-    "eng_metadata_count",
+    "t_bpe_train",
+    "t_bpe_encode",
+    "dd_minhash_lsh_star",
 )
 
 

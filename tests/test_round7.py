@@ -419,6 +419,142 @@ class TestGreedyAssign:
             r["_dcell"] for r in _cap_cell_occupancy(small, 10).collect()
         } == {7}
 
+    def test_level_sizes_floor_and_backoff(self):
+        """The depth rule: d = 2 across every certified SF (the floor
+        C = 16 never descends), d = 3 exactly past the fan-in budget,
+        and the closure cap backs depth off instead of shipping a GB
+        closure (the 100 TB design point C = 8e7 lands on d = 3)."""
+        from oroboro_dw_dbt_spark.operators.round7_suite import (
+            _DESCENT_FANIN,
+            _descent_level_sizes,
+        )
+
+        assert _descent_level_sizes(16) == [4]  # the certified gate
+        assert _descent_level_sizes(46_875) == [217]  # sf300: still d=2
+        two = _descent_level_sizes(_DESCENT_FANIN**2)
+        assert len(two) == 1  # boundary inclusive: d=2
+        three = _descent_level_sizes(_DESCENT_FANIN**2 + 1)
+        assert len(three) == 2  # first C past the fan-in budget: d=3
+        hundred_tb = _descent_level_sizes(80_000_000)
+        assert len(hundred_tb) == 2  # d=4's 846k closure backed off
+        assert hundred_tb[-1] <= 262_144
+
+    def test_d3_total_deterministic_and_accurate_on_clustered(
+        self, spark, monkeypatch
+    ):
+        """VERDICT r09 Next #1 done-bar: the descent's exactness-style
+        pins extended to d = 3. Forcing depth 3 on the clustered
+        fixture (fan-in budget 4 → sizes [4, 16] at C = 64) must keep
+        the assignment total, bit-stable across re-runs, and in high
+        agreement with the exact argmin — the same contract the d = 2
+        path carries."""
+        from oroboro_dw_dbt_spark.operators import round7_suite as r7
+
+        monkeypatch.setattr(r7, "_DESCENT_FANIN", 4)
+        v, cents, n_cells, vi, ci = self._clustered(spark)
+        assert len(r7._descent_level_sizes(n_cells)) == 2  # d = 3
+        scores = (ci * ci).sum(axis=1)[None, :] - 2 * (vi @ ci.T)
+        expect = {i: int(scores[i].argmin()) for i in range(len(vi))}
+        a = {
+            r["vec_id"]: r["cell"]
+            for r in r7.greedy_assign(v, cents, n_cells, n_rows=600).collect()
+        }
+        b = {
+            r["vec_id"]: r["cell"]
+            for r in r7.greedy_assign(v, cents, n_cells, n_rows=600).collect()
+        }
+        assert a == b  # bit-stable
+        assert set(a) == set(expect)  # total
+        assert set(a.values()) <= set(int(c) for c in range(n_cells))
+        agree = sum(a[i] == expect[i] for i in expect) / len(expect)
+        assert agree >= 0.90, agree
+
+    def test_multiprobe_scores_improve_pointwise(self, spark):
+        """nprobe = 2 must be POINTWISE at least as good as nprobe = 1:
+        every vector's assigned-centroid distance can only shrink when
+        the descent keeps more pivots (a superset of leaf groups is
+        scored). Uniform geometry — the case nprobe exists for."""
+        import numpy as np
+
+        from oroboro_dw_dbt_spark.operators.round7_suite import greedy_assign
+
+        rng = np.random.default_rng(11)
+        n, n_cells, dim = 400, 48, 8
+        vi = rng.integers(-(10**6), 10**6, (n, dim)).astype(np.int64)
+        ci = rng.integers(-(10**6), 10**6, (n_cells, dim)).astype(np.int64)
+        v = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in vi[i]], int((vi[i] * vi[i]).sum()))
+                for i in range(n)
+            ],
+            "vec_id long, vi array<long>, xn long",
+        ).localCheckpoint(eager=True)
+        cents = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in ci[i]], int((ci[i] * ci[i]).sum()))
+                for i in range(n_cells)
+            ],
+            "cell long, c array<long>, cn long",
+        ).localCheckpoint(eager=True)
+
+        def dist(cell_map):
+            cn = (ci * ci).sum(axis=1)
+            return {
+                i: int(cn[c] - 2 * (vi[i] @ ci[c]))
+                for i, c in cell_map.items()
+            }
+
+        one = dist({
+            r["vec_id"]: r["cell"]
+            for r in greedy_assign(v, cents, n_cells, nprobe=1).collect()
+        })
+        two = dist({
+            r["vec_id"]: r["cell"]
+            for r in greedy_assign(v, cents, n_cells, nprobe=2).collect()
+        })
+        assert set(one) == set(two) == set(range(n))  # both total
+        assert all(two[i] <= one[i] for i in one)
+
+    def test_saturated_nprobe_equals_exact_argmin(self, spark):
+        """With nprobe ≥ every level's width the descent scores every
+        cell, so the 'approximate' path must collapse to the exact
+        flat argmin — lowest-id ties included — even on uniform
+        geometry where nprobe = 1 genuinely disagrees."""
+        import numpy as np
+
+        from oroboro_dw_dbt_spark.operators.round7_suite import greedy_assign
+
+        rng = np.random.default_rng(23)
+        n, n_cells, dim = 300, 40, 8
+        vi = rng.integers(-(10**6), 10**6, (n, dim)).astype(np.int64)
+        ci = rng.integers(-(10**6), 10**6, (n_cells, dim)).astype(np.int64)
+        v = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in vi[i]], int((vi[i] * vi[i]).sum()))
+                for i in range(n)
+            ],
+            "vec_id long, vi array<long>, xn long",
+        ).localCheckpoint(eager=True)
+        cents = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in ci[i]], int((ci[i] * ci[i]).sum()))
+                for i in range(n_cells)
+            ],
+            "cell long, c array<long>, cn long",
+        ).localCheckpoint(eager=True)
+        scores = (ci * ci).sum(axis=1)[None, :] - 2 * (vi @ ci.T)
+        expect = {i: int(scores[i].argmin()) for i in range(n)}
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in greedy_assign(v, cents, n_cells, nprobe=n_cells).collect()
+        }
+        assert got == expect
+        one = {
+            r["vec_id"]: r["cell"]
+            for r in greedy_assign(v, cents, n_cells, nprobe=1).collect()
+        }
+        assert one != expect  # uniform geometry: nprobe=1 really trades
+
     def test_core_greedy_keep_semantics(self, spark):
         from oroboro_dw_dbt_spark.operators.round7_suite import (
             semdedup_ivf_core,

@@ -118,12 +118,17 @@ def main() -> None:
         sem = semdedup_ivf_core(v, n_cells, assign="exact")
     else:
         occ = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_OCC", "128"))
+        # nprobe > 1 = the recall middle point (VERDICT r09 Next #4):
+        # probe the best nprobe pivots per descent level at ~nprobe×
+        # the probe cost, still ≪ the exact path's C dots per vector
+        nprobe = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_NPROBE", "1"))
         n_cells = ivf_cells_capped(n_vec, occ)
         # occupancy cap at 8× the target: greedy cells skew (measured
         # p99 ≈ 9× average at sf10), and Σ occ² — the dominance GEMM —
         # is what the cap bounds to N·cap
         sem = semdedup_ivf_core(
-            v, n_cells, assign="greedy", occupancy_cap=8 * occ
+            v, n_cells, assign="greedy", occupancy_cap=8 * occ,
+            nprobe=nprobe,
         )
     sem_victims = sem.where("keep = 0").select(
         F.col("vec_id").alias("doc_id")
