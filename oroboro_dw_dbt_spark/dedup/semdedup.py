@@ -58,7 +58,11 @@ def dominance_pairs(b: DataFrame, cell_col: str, tau: float) -> DataFrame:
             )
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.stack(pdf["v"].to_numpy())
+        # f64 compute regardless of STORAGE dtype: callers may ship v
+        # as array<float> (half the checkpoint bytes — the sf1000 heap
+        # ceiling, SCALE.md) and the upcast is deterministic, so the
+        # certified double-input entries are bit-unchanged (no-op)
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
         nrm = np.sqrt((mat * mat).sum(axis=1))
         nrm[nrm == 0.0] = 1.0
         cos = np_round_half_up((mat @ mat.T) / np.outer(nrm, nrm))

@@ -70,19 +70,33 @@ def apply_merge(syms_str: Column, lhs: str, rhs: str) -> Column:
 
 
 def apply_merges(syms_str: Column, rules: list[tuple[str, str]]) -> Column:
-    """Greedy left-to-right application of several SYMBOL-DISJOINT
-    merge rules in ONE fold (expression size linear in ``len(rules)``,
+    """Greedy left-to-right application of several FOLD-SAFE merge
+    rules in ONE fold (expression size linear in ``len(rules)``,
     never the 3^k nesting of chained folds).
 
-    Disjointness makes one combined scan equivalent to applying the
-    rules one-at-a-time: a rule's merge sites are decided by local
-    (lhs, rhs) adjacency, and merging (a, b) can only create or
-    destroy an adjacency for a rule sharing one of {a, b, ab} — which
-    the batch selector excludes. At most one rule can fire per
-    position (rhs values are distinct), and a just-merged trailing
-    token equals no rule's lhs (merged tokens are fresh and disjoint
-    from other rules' symbols), so within-rule greedy non-overlap is
-    preserved exactly as in the single-rule fold."""
+    Fold-safety (what :func:`_select_batch` guarantees) is the exact
+    condition under which one combined scan equals applying the rules
+    one-at-a-time in list order:
+
+    - **no rule's rhs equals an earlier rule's lhs** — otherwise the
+      scan could fire the later rule at position i and consume the
+      symbol the earlier (higher-priority) rule needed at i+1
+      (``x a b`` under [(a,b), (x,a)]: sequential gives [x, ab], a
+      combined scan would give [xa, b]);
+    - **no rule's rhs is a token another rule in the batch creates**
+      — rhs is compared against the RAW next symbol, so a fresh-rhs
+      rule could never fire inside the fold;
+    - **a rule's lhs MAY be fresh** (a token an earlier rule creates):
+      the accumulator's trailing token carries merged tokens, so
+      ``(ab, y)`` after ``(a, b)`` fires exactly where sequential
+      does — this is how chain admissions like (e,r) → (er,</w>)
+      ride one fold.
+
+    Rules sharing an rhs stay disjoint through their lhs contexts
+    (the trailing token equals at most one lhs), and a just-merged
+    trailing token ``lhs+rhs`` is strictly longer than either symbol,
+    so within-rule greedy non-overlap is preserved exactly as in the
+    single-rule fold."""
     syms = F.split(syms_str, " ")
 
     def step(acc: Column, x: Column) -> Column:
@@ -107,59 +121,147 @@ def apply_merges(syms_str: Column, rules: list[tuple[str, str]]) -> Column:
 # provably equal to sequential).
 _BPE_BATCH = 8
 
+# Trigram-window size multiplier (× the pair window): the trigram
+# counts are what make CHAINED admissions exact — a merge (a,b)
+# changes a window pair (x,a)'s count by exactly the trigram count
+# (x,a,b), so knowing the heavy trigrams turns the r09 selector's
+# hard disjointness stop into arithmetic (VERDICT r09 Next #7).
+_BPE_TRI_WINDOW = 4
+
 # Pass counter for the jobs ∝ vocab/batch probe (tools/bpe_probe):
 # number of pair-counting passes the last train() call ran.
 LAST_TRAIN_PASSES = 0
 
 
 def _select_batch(
-    rows, vocab: set[str], max_m: int, k_window: int
+    pair_rows,
+    tris: dict[tuple[str, str, str], int],
+    vocab: set[str],
+    max_m: int,
+    pair_floor: int,
+    tri_floor: int,
+    tri_complete: bool,
 ) -> list[tuple[str, str, int]]:
-    """From one sorted pair-count window, the maximal merge prefix
-    PROVABLY identical to sequential BPE's next choices.
+    """From one pass's pair window + trigram window, the maximal merge
+    sequence PROVABLY identical to sequential BPE's next choices —
+    counts included (the learned table records selection-time counts).
 
-    Scanning (cnt desc, l, r): select while candidates are pairwise
-    symbol-disjoint and their merged tokens are fresh (not an existing
-    symbol). Sequential equality argument: applying earlier selected
-    merges (i) leaves every later selected candidate's count unchanged
-    (disjoint), (ii) only DECREASES existing pairs that touch the
-    merged symbols (fresh tokens ⇒ no existing pair gains), and (iii)
-    creates new pairs (x, ab)/(ab, y) whose counts are bounded by the
-    batch-time counts of (x, a)/(b, y) — pairs that touch the selected
-    set and therefore rank at or below the scan's stop point. To close
-    the tie case (a new pair matching a selected count could win a
-    lexicographic tie), the selection keeps only merges with count
-    STRICTLY above the stop-point count; the top-1 is always kept (it
-    is sequential's argmax by definition)."""
+    The simulation maintains EXACT live pair counts: applying merge
+    (a,b) decreases pair (x,a) by trigram count (x,a,b) and pair (b,y)
+    by (a,b,y) — exact for a≠b because greedy fires at EVERY (a,b)
+    adjacency — and creates pairs (x,ab)/(ab,y) with counts equal to
+    the same trigrams. Everything the windows cannot price exactly
+    becomes a THREAT upper bound (unseen pairs ≤ the pair window's
+    floor; stale trigrams — ones touching a previously merged symbol —
+    at their original value, since old-symbol counts only decrease;
+    quadgram-dependent cases like the (b,a) double-fire overlap at
+    their pre-merge value). A candidate is admitted only while its
+    exact count is STRICTLY above every threat (a tied unseen pair
+    could win the lexicographic tie), so the output is sequential's
+    prefix by construction — property-tested against the plain-Python
+    reference on adversarial corpora.
+
+    Admission also enforces :func:`apply_merges`' fold-safety: a
+    candidate whose rhs equals an earlier admission's lhs (the scan-
+    order inversion) or a fresh token ends the batch; fresh-LHS
+    candidates — created pairs like (er, </w>) — ARE admitted (their
+    exact count is the creating trigram) and end the batch after
+    themselves (their onward effects need quadgrams). Self-pairs
+    (a,a) and vocab-colliding tokens are admitted as batch-final
+    (their own count is exact; their effects are not priceable)."""
+    if not pair_rows:
+        return []
+    P: dict[tuple[str, str], int] = {
+        (r["l"], r["r"]): int(r["cnt"]) for r in pair_rows
+    }
+    threat = pair_floor
+    stale: set[str] = set()
+    fresh: set[str] = set()
+    applied_lhs: set[str] = set()
     sel: list[tuple[str, str, int]] = []
-    touched: set[str] = set()
-    stop_cnt = None
-    for i, row in enumerate(rows):
-        l, r, cnt = row["l"], row["r"], int(row["cnt"])
-        tok = l + r
-        if (
-            len(sel) >= max_m
-            or l in touched
-            or r in touched
-            or (sel and (tok in vocab or tok in touched))
-        ):
-            stop_cnt = cnt
+
+    def tri(p: str, q: str, r: str) -> tuple[int, bool]:
+        """(current count, exact?) of trigram (p,q,r). Original window
+        values are exact until any of the three symbols is touched by
+        an applied merge; stale/unseen values are upper bounds (old-
+        symbol trigram counts only decrease under fresh-token merges).
+        """
+        v = tris.get((p, q, r))
+        dirty = bool({p, q, r} & stale) or bool({p, q, r} & fresh)
+        if v is not None:
+            return v, not dirty
+        if tri_complete:
+            return 0, not dirty
+        return tri_floor, (tri_floor == 0 and not dirty)
+
+    # sequential's argmax order is (cnt desc, l, r) — min() below on
+    # ((-cnt, l, r)) reproduces it over the live table
+    first = True
+    while len(sel) < max_m and P:
+        (a, b), cnt = min(P.items(), key=lambda kv: (-kv[1], kv[0]))
+        # the first pick is the window head: the global argmax by
+        # construction (every pair above the floor is in the window,
+        # and floor ties collected are the lexicographically smallest)
+        if not first and cnt <= threat:
             break
-        sel.append((l, r, cnt))
-        touched.update((l, r, tok))
-        if i == 0 and tok in vocab:
-            # argmax's token collides with an existing symbol: its
-            # application can RAISE existing (x, tok) pair counts, so
-            # nothing below is trustworthy this pass
-            if len(rows) > 1:
-                stop_cnt = int(rows[1]["cnt"])
+        first = False
+        tok = a + b
+        if b in applied_lhs or b in fresh:
+            break  # fold-safety: this candidate needs its own pass
+        sel.append((a, b, cnt))
+        del P[(a, b)]
+        if a == b or tok in vocab or tok in fresh or a in fresh:
+            # batch-final admissions: (a,a) overlap runs, vocab
+            # collisions (can RAISE (x,tok) counts) and fresh-lhs
+            # chains all have exact own-counts but unpriceable onward
+            # effects. A colliding tok that is also an earlier lhs
+            # would break the fold — drop the admission entirely.
+            if tok in vocab and tok in applied_lhs:
+                sel.pop()
             break
-    else:
-        # exhausted the collected window: pairs below it are unknown
-        # but count ≤ the window's last row
-        stop_cnt = int(rows[-1]["cnt"]) if len(rows) >= k_window else None
-    if stop_cnt is not None:
-        sel = sel[:1] + [m for m in sel[1:] if m[2] > stop_cnt]
+        # --- exact decreases on the live table -----------------------
+        for (x, y), c in list(P.items()):
+            dec, ok = 0, True
+            if y == a:  # (x, a) loses the (x, a, b) sites
+                v, ex = tri(x, a, b)
+                dec, ok = dec + v, ok and ex
+            if x == b:  # (b, y) loses the (a, b, y) sites
+                v, ex = tri(a, b, y)
+                dec, ok = dec + v, ok and ex
+            if x == b and y == a:
+                ok = False  # double-fire overlap needs a quadgram
+            if not ok:
+                del P[(x, y)]
+                threat = max(threat, c)  # counts only decrease
+            elif dec:
+                if c - dec > 0:
+                    P[(x, y)] = c - dec
+                else:
+                    del P[(x, y)]
+        # --- created pairs -------------------------------------------
+        for (p, q, r), _v in tris.items():
+            if (q, r) == (a, b):
+                v, _ex = tri(p, q, r)
+                if v > 0:
+                    # (p, tok): never fold-admissible (fresh rhs) — an
+                    # exact value is still only a threat; a stale value
+                    # is its upper bound
+                    threat = max(threat, v)
+            if (p, q) == (a, b) and r != a:
+                v, ex = tri(p, q, r)
+                if ex and v > 0:
+                    P[(tok, r)] = v  # admissible fresh-lhs candidate
+                elif v > 0:
+                    threat = max(threat, v)
+        # (tok, a) and (tok, tok) need quadgrams; unseen creation
+        # contexts are bounded by the trigram floor
+        ta, _ = tri(a, b, a)
+        threat = max(threat, ta)
+        if not tri_complete:
+            threat = max(threat, tri_floor)
+        stale.update((a, b, tok))
+        fresh.add(tok)
+        applied_lhs.add(a)
     return sel
 
 
@@ -177,10 +279,13 @@ def train(
     tree grows 3^k — a codegen blowup by merge 10. The DuckDB oracle's
     MATERIALIZED CTE per step is the same decision for the same reason.
 
-    Batched selection (VERDICT r08 Next #6): each counting pass
-    collects a top-K window (K = 4·batch) and admits up to ``batch``
-    merges via :func:`_select_batch` — only prefixes provably equal
-    to sequential BPE, so the learned merge table is bit-identical to
+    Batched selection (VERDICT r08 Next #6 + r09 Next #7): each
+    counting pass collects a top-K pair window AND a top-K′ trigram
+    window in ONE action, then :func:`_select_batch` simulates
+    sequential BPE exactly over them — chained admissions included
+    (a merge's effect on a pair sharing a symbol is precisely a
+    trigram count). Only prefixes provably equal to sequential BPE
+    are admitted, so the learned merge table is bit-identical to
     ``batch=1`` (property-tested against the plain-Python reference).
     Driver round-trips drop from ``n_merges`` to ~``n_merges/batch``
     — the difference between 50k jobs and ~6k on a real vocab run.
@@ -201,9 +306,10 @@ def train(
     merges: list[tuple[str, str, int]] = []
     passes = 0
     k_window = max(2, 4 * batch)
+    k_tri = max(2, _BPE_TRI_WINDOW * k_window)
     while len(merges) < n_merges:
         syms = F.split("s", " ")
-        top = (
+        pair_top = (
             cur.select(
                 "freq",
                 F.explode(
@@ -213,18 +319,74 @@ def train(
                     )
                 ).alias("p"),
             )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .groupBy(F.col("p.l").alias("a"), F.col("p.r").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), "l", "r")
+            .orderBy(F.desc("cnt"), "a", "b")
             .limit(k_window)
-            .collect()
+            .select(
+                F.lit(2).alias("kind"), "a", "b",
+                F.lit(None).cast("string").alias("c"), "cnt",
+            )
         )
+        tlen = F.greatest(F.size(syms) - 2, F.lit(0))
+        tri_top = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, tlen).alias("l"),
+                        F.slice(syms, 2, tlen).alias("m"),
+                        F.slice(syms, 3, tlen).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(
+                F.col("p.l").alias("a"),
+                F.col("p.m").alias("b"),
+                F.col("p.r").alias("c"),
+            )
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b", "c")
+            .limit(k_tri)
+            .select(F.lit(3).alias("kind"), "a", "b", "c", "cnt")
+        )
+        # one action per pass: both windows ride one collect
+        rows = pair_top.unionByName(tri_top).collect()
         passes += 1
-        if not top:  # every word fully merged to one token
+        pair_rows = [
+            {"l": r["a"], "r": r["b"], "cnt": r["cnt"]}
+            for r in rows
+            if r["kind"] == 2
+        ]
+        tri_rows = [r for r in rows if r["kind"] == 3]
+        if not pair_rows:  # every word fully merged to one token
             break
-        sel = _select_batch(
-            top, vocab, min(batch, n_merges - len(merges)), k_window
+        # floors from the window minima (union+collect does not
+        # guarantee the per-branch sort order survives)
+        pair_floor = (
+            min(int(r["cnt"]) for r in pair_rows)
+            if len(pair_rows) >= k_window
+            else 0
         )
+        tri_complete = len(tri_rows) < k_tri
+        tri_floor = (
+            0 if tri_complete else min(int(r["cnt"]) for r in tri_rows)
+        )
+        tris = {
+            (r["a"], r["b"], r["c"]): int(r["cnt"]) for r in tri_rows
+        }
+        sel = _select_batch(
+            pair_rows,
+            tris,
+            vocab,
+            min(batch, n_merges - len(merges)),
+            pair_floor,
+            tri_floor,
+            tri_complete,
+        )
+        if not sel:  # defensive: the selector always admits the
+            break  # window head, so this is unreachable — but an
+            # empty batch must never spin the loop
         merges.extend(sel)
         vocab.update(l + r for l, r, _ in sel)
         cur = cur.withColumn(

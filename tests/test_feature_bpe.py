@@ -84,6 +84,104 @@ class TestBpe:
             batched, _ = bpe.train(words, batch=8)
             assert batched == expected, wf
 
+    def test_chain_admission_on_chaining_corpus(self, spark):
+        """VERDICT r09 Next #7: a corpus whose top pairs CHAIN (share
+        symbols, like e,r / r,</w> on English) must still batch —
+        the trigram windows price the interaction exactly — with
+        merges identical to sequential. The r09 disjoint-only
+        selector degenerated to ~1 merge/pass here."""
+        wf = {"herr": 9, "her": 8, "er": 7, "re": 3, "he": 2}
+        words = spark.createDataFrame(
+            list(wf.items()), "word string, freq long"
+        )
+        expected = bpe.learn_merges_py(wf, n_merges=6)
+        bat, _ = bpe.train(words, n_merges=6, batch=8)
+        bat_passes = bpe.LAST_TRAIN_PASSES
+        assert bat == expected
+        assert bat_passes < 6  # genuinely batched despite the chains
+
+    def test_select_batch_matches_sequential_randomized(self):
+        """Pure-driver property sweep: on hundreds of random small-
+        alphabet corpora (maximal chain/tie/collision density), the
+        batch selector driven by python-computed windows must
+        reproduce plain sequential BPE merge-for-merge, counts
+        included. No Spark involved — this pins the SIMULATION's
+        soundness; the fold-application equivalence is pinned by the
+        Spark-side corpora tests."""
+        import random
+
+        from oroboro_dw_dbt_spark.text.bpe import EOW, _select_batch
+
+        def windows(segs, wf, k_window, k_tri):
+            P: dict = {}
+            T: dict = {}
+            for w, syms in segs.items():
+                f = wf[w]
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    P[k] = P.get(k, 0) + f
+                for i in range(len(syms) - 2):
+                    k3 = (syms[i], syms[i + 1], syms[i + 2])
+                    T[k3] = T.get(k3, 0) + f
+            pr = sorted(P.items(), key=lambda kv: (-kv[1], kv[0]))[:k_window]
+            tr = sorted(T.items(), key=lambda kv: (-kv[1], kv[0]))[:k_tri]
+            pair_rows = [{"l": l, "r": r, "cnt": c} for (l, r), c in pr]
+            pair_floor = pr[-1][1] if len(pr) >= k_window else 0
+            tri_complete = len(tr) < k_tri
+            tri_floor = 0 if tri_complete else tr[-1][1]
+            return pair_rows, dict(tr), pair_floor, tri_floor, tri_complete
+
+        def apply_rule(syms, lhs, rhs):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        def batched_py(wf, n_merges, batch):
+            segs = {w: [*w, EOW] for w in wf}
+            vocab = {s for syms in segs.values() for s in syms}
+            k_window = max(2, 4 * batch)
+            k_tri = max(2, 4 * k_window)
+            merges: list = []
+            while len(merges) < n_merges:
+                pair_rows, tris, pf, tf, tc = windows(
+                    segs, wf, k_window, k_tri
+                )
+                if not pair_rows:
+                    break
+                sel = _select_batch(
+                    pair_rows, tris, vocab,
+                    min(batch, n_merges - len(merges)), pf, tf, tc,
+                )
+                if not sel:
+                    break
+                merges.extend(sel)
+                vocab.update(l + r for l, r, _ in sel)
+                for l, r, _ in sel:  # sequential application, list order
+                    segs = {w: apply_rule(s, l, r) for w, s in segs.items()}
+            return merges
+
+        rng = random.Random(42)
+        for trial in range(300):
+            n_words = rng.randint(1, 8)
+            alpha = "abc"[: rng.randint(2, 3)]
+            wf = {}
+            for _ in range(n_words):
+                w = "".join(
+                    rng.choice(alpha) for _ in range(rng.randint(1, 6))
+                )
+                wf[w] = wf.get(w, 0) + rng.randint(1, 9)
+            n_merges = rng.randint(1, 12)
+            batch = rng.choice([2, 4, 8])
+            want = bpe.learn_merges_py(wf, n_merges=n_merges)
+            got = batched_py(wf, n_merges, batch)
+            assert got == want, (trial, wf, n_merges, batch, got, want)
+
     def test_batching_reduces_counting_passes(self, spark):
         """The probe claim: driver round-trips ∝ n_merges/batch WHEN
         the corpus's top pairs are symbol-disjoint — the multi-domain

@@ -1,0 +1,100 @@
+"""Greedy-vs-exact victim census at the cells ∝ N operating point,
+with the multiprobe middle points (VERDICT r09 Next #4).
+
+Reusable spelling of the r09 ad-hoc sf10 census
+(BENCH_r9_greedy_recall.json): same corpus, same C = ⌈N/128⌉ cells,
+four assignment modes — exact argmin, greedy nprobe=1/2/4 — victim
+sets compared by Jaccard against exact. No occupancy cap (pure
+assignment comparison; the cap is orthogonal and pytest-pinned as a
+victims-subset). Uniform synthetic embeddings are the adversarial
+no-structure case: cell membership rides last-ulp distances, so this
+is the floor of the recall curve, not its typical value (clustered
+geometry agrees ≥93% at nprobe=1 — test-pinned).
+
+Usage: python tools/greedy_recall_census.py OUT.json [SF_DIR]
+Prints one JSON line; full record to OUT.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import _host_load  # noqa: E402
+from oroboro_dw_dbt_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_greedy_recall.json"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf10"
+
+    from oroboro_dw_dbt_spark.operators.round7_suite import (
+        _IVF_FP,
+        ivf_cells_capped,
+        semdedup_ivf_core,
+    )
+    from oroboro_dw_dbt_spark.similarity.search import _as_double
+
+    spark = get_spark("greedy_recall_census")
+    spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    n_cells = ivf_cells_capped(n)
+
+    def build_v():
+        return emb.select(
+            "vec_id", _as_double("embedding").alias("v")
+        ).withColumn(
+            "vi",
+            F.transform(F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")),
+        )
+
+    def run(assign: str, nprobe: int) -> tuple[float, set]:
+        load0 = _host_load()
+        t0 = time.monotonic()
+        sem = semdedup_ivf_core(build_v(), n_cells, assign=assign, nprobe=nprobe)
+        victims = {
+            r["vec_id"] for r in sem.where("keep = 0").select("vec_id").collect()
+        }
+        wall = round(time.monotonic() - t0, 3)
+        load1 = _host_load()
+        steal = load1.get("steal_jiffies", 0) - load0.get("steal_jiffies", 0)
+        return wall, victims, steal
+
+    out = {"metric": "greedy_recall_census", "sf_dir": sf_dir, "n": n, "cells": n_cells, "modes": {}}
+    exact_wall, exact_v, steal = run("exact", 1)
+    out["modes"]["exact"] = {
+        "wall": exact_wall, "victims": len(exact_v), "steal": steal,
+    }
+    greedy_wall = None
+    for p in (1, 2, 4):
+        wall, vic, steal = run("greedy", p)
+        if p == 1:
+            greedy_wall = wall
+        inter = len(exact_v & vic)
+        union = len(exact_v | vic)
+        out["modes"][f"greedy_np{p}"] = {
+            "wall": wall,
+            "victims": len(vic),
+            "steal": steal,
+            "victim_jaccard_vs_exact": round(inter / union, 4) if union else 1.0,
+            "only_exact": len(exact_v - vic),
+            "only_greedy": len(vic - exact_v),
+            "speedup_vs_exact": round(exact_wall / wall, 2) if wall else None,
+            "wall_vs_np1": round(wall / greedy_wall, 2) if greedy_wall else None,
+        }
+        print(json.dumps({f"greedy_np{p}": out["modes"][f"greedy_np{p}"]}))
+
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
