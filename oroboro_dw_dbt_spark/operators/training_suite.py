@@ -227,8 +227,20 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # other member contributes ONE edge (rep, member); a doc is a
     # victim iff it exact-Jaccard-verifies >= 0.5 against the rep of
     # at least one of its buckets. Sigma (b-1) edges, never Sigma b^2/2.
+    # The verify runs over 60-bit md5-prefix shingle hashes (`vh`) —
+    # the IDENTICAL conv(substr(md5('0|'+s),1,15)) the Spark side
+    # carries from its signature pass (dedup.minhash_lsh_victims), so
+    # both engines hash the same strings to the same bigints and the
+    # Jaccard is bit-identical by construction (and equal to
+    # string-Jaccard modulo 60-bit collisions — pytest-pinned).
     oracle=f"""
     WITH {_minhash_cte()},
+    vh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> CAST(('0x' || substr(md5('0|' || s), 1, 15)) AS BIGINT))) AS vh
+      FROM sh
+    ),
     rep AS (
       SELECT band, band_key, min(doc_id) AS rep
       FROM bands GROUP BY band, band_key
@@ -241,10 +253,10 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT DISTINCT e.doc_b AS doc_id
     FROM edges e
-    JOIN sh sa ON e.doc_a = sa.doc_id
-    JOIN sh sb ON e.doc_b = sb.doc_id
-    WHERE round(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) * 1.0
-                / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= 0.5
+    JOIN vh sa ON e.doc_a = sa.doc_id
+    JOIN vh sb ON e.doc_b = sb.doc_id
+    WHERE round(len(list_filter(sa.vh, x -> list_contains(sb.vh, x))) * 1.0
+                / len(list_distinct(list_concat(sa.vh, sb.vh))), 6) >= 0.5
     """,
     survey_ref="beyond-reference: MinHash+LSH dedup, star-edge spelling "
     "(the 100 TB production path: work linear in bucket size — "

@@ -156,11 +156,27 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
 
 
 def with_minhash_signature(
-    df, shingles_col: str = "sh", num_hashes: int = 8, out: str = "sig"
+    df,
+    shingles_col: str = "sh",
+    num_hashes: int = 8,
+    out: str = "sig",
+    verify_out: str | None = None,
 ):
     """Add a MinHash signature column, evaluating each salted md5 array
     ONCE per row (named intermediates cross a projection boundary, so
-    all chunk-mins share them)."""
+    all chunk-mins share them).
+
+    ``verify_out`` (optional): also emit a compact exact-verify column —
+    the distinct shingle set re-expressed as ``array<bigint>`` of 60-bit
+    md5 prefixes (``conv(substr(md5('0|'+s),1,15),16,10)``), reusing the
+    SAME salted md5 array the signature mins over, so it costs zero
+    extra hashing. Jaccard over these arrays equals shingle-Jaccard
+    modulo 60-bit collisions, and the encoding is engine-portable
+    (DuckDB: ``CAST('0x'||substr(md5('0|'||s),1,15) AS BIGINT)``), so an
+    oracle restating the same hash is bit-identical by construction.
+    8-byte primitive arrays are ~2-3x smaller than the shingle strings
+    they stand in for — the difference between a checkpointable verify
+    state and the sf100 string-array thrash (dedup.py history)."""
     n_md5 = (num_hashes + 3) // 4
 
     def salted(k: int):
@@ -179,7 +195,18 @@ def with_minhash_signature(
             for h in range(num_hashes)
         ]
     )
-    return tmp.withColumn(out, sig).drop(*[f"_mh{k}" for k in range(n_md5)])
+    tmp = tmp.withColumn(out, sig)
+    if verify_out is not None:
+        tmp = tmp.withColumn(
+            verify_out,
+            F.array_distinct(
+                F.transform(
+                    F.col("_mh0"),
+                    lambda m: F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint"),
+                )
+            ),
+        )
+    return tmp.drop(*[f"_mh{k}" for k in range(n_md5)])
 
 
 def simhash16(text: Column | str) -> Column:

@@ -142,6 +142,72 @@ class TestDedup:
         }
         assert star == pairw == {1, 2, 4}
 
+    def test_lsh_victims_hash_verify_equals_string_verify(self, spark):
+        """The compact bigint verify (vh, 60-bit md5 prefixes carried
+        from the signature pass) removes EXACTLY the docs the raw
+        shingle-string verify (the r09 spelling) removes — 60-bit
+        collisions are the only divergence channel. Pins the claim the
+        dd_minhash_lsh_star oracle comment makes."""
+        from oroboro_dw_dbt_spark.dedup import minhash_lsh_victims
+        from oroboro_dw_dbt_spark.dedup.dedup import minhash_band_index
+        from oroboro_dw_dbt_spark.text.analysis import shingles
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        index = minhash_band_index(docs)
+        rep = index.groupBy("band", "band_key").agg(F.min("doc_id").alias("rep"))
+        edges = (
+            index.join(rep, ["band", "band_key"])
+            .where(F.col("doc_id") > F.col("rep"))
+            .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+            .dropDuplicates()
+        )
+        sh = docs.select("doc_id", shingles("text", 3).alias("sh"))
+        jac = (
+            F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast("double")
+            / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+        )
+        string_victims = {
+            r["doc_id"]
+            for r in (
+                edges.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+                .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+                .filter(F.round(jac, 6) >= 0.5)
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+                .collect()
+            )
+        }
+        hash_victims = {r["doc_id"] for r in minhash_lsh_victims(docs).collect()}
+        assert hash_victims, "planted near-dups must fall"
+        assert hash_victims == string_victims
+
+    def test_verify_out_matches_direct_hash(self, spark):
+        """with_minhash_signature(verify_out=…) emits the distinct
+        60-bit md5 prefixes of the '0|'-salted shingles — the same
+        values a direct conv(substr(md5,1,15),16,10) computes."""
+        from oroboro_dw_dbt_spark.text.analysis import (
+            shingles,
+            with_minhash_signature,
+        )
+
+        df = _docs(spark, ["alpha beta gamma delta epsilon zeta"])
+        sh = df.select("doc_id", shingles("text", 3).alias("sh"))
+        got = with_minhash_signature(sh, "sh", 8, out="sig", verify_out="vh")
+        direct = sh.select(
+            F.array_distinct(
+                F.transform(
+                    "sh",
+                    lambda s: F.conv(
+                        F.substring(F.md5(F.concat(F.lit("0|"), s)), 1, 15), 16, 10
+                    ).cast("bigint"),
+                )
+            ).alias("d")
+        ).collect()[0]["d"]
+        vh = got.collect()[0]["vh"]
+        assert vh == direct
+        assert got.schema["vh"].dataType.simpleString() == "array<bigint>"
+        assert all(isinstance(x, int) and 0 <= x < 2**60 for x in vh)
+
     def test_simhash_groups_only_multi(self, spark):
         df = _docs(spark, ["same token set", "token same set", "different things entirely"])
         groups = simhash_groups(df).collect()

@@ -77,13 +77,29 @@ def generate(
     outp = Path(out)
     outp.mkdir(parents=True, exist_ok=True)
 
-    cust = _stride(spark, src, "customer", "c_custkey")
-    supp = _stride(spark, src, "supplier", "s_suppkey")
-    part = _stride(spark, src, "part", "p_partkey")
-    orders = _stride(spark, src, "orders", "o_orderkey")
-    events = _stride(spark, src, "events", "event_id")
-    docs = _stride(spark, src, "documents", "doc_id")
-    vecs = _stride(spark, src, "embeddings", "vec_id")
+    # Strides are computed lazily so a SUBSET source dir (e.g. an sfN
+    # rung holding only documents+embeddings) can seed a deeper rung:
+    # chaining sf0.1 → sf10 → sf100 → sf1000 keeps union plans ≤ 10
+    # parts where a single 10 000-replica generation would not analyze.
+    # A subset-sourced stride equals the full-generation stride because
+    # the subset tables were themselves written with consistent ids.
+    def need(t: str, k: str) -> int:
+        if tables and t not in tables and not _references(t, tables):
+            return 0
+        return _stride(spark, src, t, k)
+
+    def _references(t: str, wanted) -> bool:
+        deps = {"orders": ("customer",), "lineitem": ("orders", "part", "supplier"),
+                "events": ("customer",)}
+        return any(t in deps.get(w, ()) for w in wanted)
+
+    cust = need("customer", "c_custkey")
+    supp = need("supplier", "s_suppkey")
+    part = need("part", "p_partkey")
+    orders = need("orders", "o_orderkey")
+    events = need("events", "event_id")
+    docs = need("documents", "doc_id")
+    vecs = need("embeddings", "vec_id")
 
     def perturb_doc(df: DataFrame, r: int) -> DataFrame:
         if r == 0:
@@ -120,27 +136,40 @@ def generate(
 
     plans: dict[str, DataFrame] = {}
     read = lambda t: spark.read.parquet(f"{src}/{t}.parquet")  # noqa: E731
+
+    def want(t: str) -> bool:
+        return not tables or t in tables
+
     for t in COPY_AS_IS:
-        plans[t] = read(t)
-    plans["customer"] = _replicate(read("customer"), replicas, {"c_custkey": cust})
-    plans["supplier"] = _replicate(read("supplier"), replicas, {"s_suppkey": supp})
-    plans["part"] = _replicate(read("part"), replicas, {"p_partkey": part})
-    plans["orders"] = _replicate(
-        read("orders"), replicas, {"o_orderkey": orders, "o_custkey": cust}
-    )
-    plans["lineitem"] = _replicate(
-        read("lineitem"), replicas,
-        {"l_orderkey": orders, "l_partkey": part, "l_suppkey": supp},
-    )
-    plans["events"] = _replicate(
-        read("events"), replicas, {"event_id": events, "user_id": cust}
-    )
-    plans["documents"] = _replicate(
-        read("documents"), replicas, {"doc_id": docs}, perturb=perturb_doc
-    )
-    plans["embeddings"] = _replicate(
-        read("embeddings"), replicas, {"vec_id": vecs}, perturb=perturb_vec
-    )
+        if want(t):
+            plans[t] = read(t)
+    if want("customer"):
+        plans["customer"] = _replicate(read("customer"), replicas, {"c_custkey": cust})
+    if want("supplier"):
+        plans["supplier"] = _replicate(read("supplier"), replicas, {"s_suppkey": supp})
+    if want("part"):
+        plans["part"] = _replicate(read("part"), replicas, {"p_partkey": part})
+    if want("orders"):
+        plans["orders"] = _replicate(
+            read("orders"), replicas, {"o_orderkey": orders, "o_custkey": cust}
+        )
+    if want("lineitem"):
+        plans["lineitem"] = _replicate(
+            read("lineitem"), replicas,
+            {"l_orderkey": orders, "l_partkey": part, "l_suppkey": supp},
+        )
+    if want("events"):
+        plans["events"] = _replicate(
+            read("events"), replicas, {"event_id": events, "user_id": cust}
+        )
+    if want("documents"):
+        plans["documents"] = _replicate(
+            read("documents"), replicas, {"doc_id": docs}, perturb=perturb_doc
+        )
+    if want("embeddings"):
+        plans["embeddings"] = _replicate(
+            read("embeddings"), replicas, {"vec_id": vecs}, perturb=perturb_vec
+        )
 
     for t, df in plans.items():
         if tables and t not in tables:
