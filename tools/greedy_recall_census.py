@@ -11,7 +11,11 @@ no-structure case: cell membership rides last-ulp distances, so this
 is the floor of the recall curve, not its typical value (clustered
 geometry agrees ≥93% at nprobe=1 — test-pinned).
 
-Usage: python tools/greedy_recall_census.py OUT.json [SF_DIR]
+Usage: python tools/greedy_recall_census.py OUT.json [SF_DIR] [NPROBES]
+NPROBES: comma list (default "1,2,4"). SPARK_GRAFT_CENSUS_GEOMETRY=
+clustered snaps the embeddings onto 64 planted centers (+small jitter)
+first — the hierarchically-clustered case real corpora exhibit, where
+assignment agreement (not last-ulp boundary noise) drives the score.
 Prints one JSON line; full record to OUT.json.
 """
 
@@ -30,8 +34,14 @@ from oroboro_dw_dbt_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    import os
+
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_greedy_recall.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf10"
+    probes = [
+        int(p) for p in (sys.argv[3] if len(sys.argv) > 3 else "1,2,4").split(",")
+    ]
+    geometry = os.environ.get("SPARK_GRAFT_CENSUS_GEOMETRY", "uniform")
 
     from oroboro_dw_dbt_spark.operators.round7_suite import (
         _IVF_FP,
@@ -44,6 +54,34 @@ def main() -> None:
     spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if geometry == "clustered":
+        # Snap each vector toward one of 64 md5-chosen anchor vectors:
+        # out = anchor*0.9 + own*0.1. Deterministic, norm-bounded, and
+        # hierarchically lumpy — the geometry real embedding corpora
+        # show, where the greedy descent's pivot regions align with
+        # actual structure instead of last-ulp boundaries.
+        anchors = (
+            emb.orderBy(F.md5(F.concat(F.lit("an|"), F.col("vec_id").cast("string"))))
+            .limit(64)
+            .select(F.col("vec_id").alias("aid"), F.col("embedding").alias("av"))
+        )
+        assign = F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit("as|"), F.col("vec_id").cast("string"))), 1, 15), 16, 10).cast("bigint"),
+            F.lit(64),
+        )
+        from pyspark.sql.window import Window
+
+        ar = anchors.withColumn("rk", F.row_number().over(Window.orderBy("aid")) - 1)
+        emb = (
+            emb.withColumn("slot", assign)
+            .join(F.broadcast(ar), F.col("slot") == F.col("rk"))
+            .select(
+                "vec_id",
+                F.zip_with(
+                    "av", "embedding", lambda a, x: a * 0.9 + x * 0.1
+                ).alias("embedding"),
+            )
+        )
     n = emb.count()
     n_cells = ivf_cells_capped(n)
 
@@ -67,13 +105,16 @@ def main() -> None:
         steal = load1.get("steal_jiffies", 0) - load0.get("steal_jiffies", 0)
         return wall, victims, steal
 
-    out = {"metric": "greedy_recall_census", "sf_dir": sf_dir, "n": n, "cells": n_cells, "modes": {}}
+    out = {
+        "metric": "greedy_recall_census", "sf_dir": sf_dir, "n": n,
+        "cells": n_cells, "geometry": geometry, "modes": {},
+    }
     exact_wall, exact_v, steal = run("exact", 1)
     out["modes"]["exact"] = {
         "wall": exact_wall, "victims": len(exact_v), "steal": steal,
     }
     greedy_wall = None
-    for p in (1, 2, 4):
+    for p in probes:
         wall, vic, steal = run("greedy", p)
         if p == 1:
             greedy_wall = wall

@@ -123,6 +123,18 @@ def main() -> None:
         # the probe cost, still ≪ the exact path's C dots per vector
         nprobe = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_NPROBE", "1"))
         n_cells = ivf_cells_capped(n_vec, occ)
+        # compact storage (default ON): v as array<float>, vi as
+        # array<int> — halves the corpus checkpoint the stage pins
+        # (the r09 sf1000 probe hit GCLocker retries at ~22 GB on a
+        # 24 g heap; the full-width r10 rerun OOMed). Kernels upcast
+        # to f64/i64 at compute time so victims are unchanged; micro
+        # coords |vi| ≤ ~3e7 fit int32 by construction.
+        if os.environ.get("SPARK_GRAFT_SEMDEDUP_COMPACT", "1") == "1":
+            v = v.select(
+                "vec_id",
+                F.transform("v", lambda x: x.cast("float")).alias("v"),
+                F.transform("vi", lambda x: x.cast("int")).alias("vi"),
+            )
         # occupancy cap at 8× the target: greedy cells skew (measured
         # p99 ≈ 9× average at sf10), and Σ occ² — the dominance GEMM —
         # is what the cap bounds to N·cap
