@@ -187,6 +187,13 @@ def minhash_lsh_pairs(
     )
 
 
+# Candidate-id sets up to this many rows broadcast for the verify's
+# semi-join reduction (~32 MB of packed longs at the cap — well under
+# the session's 64 MB autoBroadcast threshold); beyond it the
+# reduction falls back to a shuffled semi-join that AQE sizes.
+_CAND_BCAST_MAX = 4_000_000
+
+
 def minhash_lsh_victims(
     docs: DataFrame,
     n: int = 3,
@@ -267,7 +274,29 @@ def minhash_lsh_victims(
     )
     if materialize:
         edges = edges.localCheckpoint(eager=True)
-    vh = base.select("doc_id", "vh")
+    # Semi-join reduction BEFORE the verify joins (the sf1000 rung's
+    # lesson): joining edges against the full corpus-sized vh frame
+    # shuffles the whole checkpoint TWICE — ~2× corpus of shuffle
+    # files plus sort spills, which filled the disk at 47 M docs where
+    # the bounded plan below sailed. Candidates (star-edge endpoints)
+    # are a small fraction of the corpus on any sane dup rate, so vh
+    # narrows to them first: broadcast the candidate-id set when it is
+    # comfortably broadcastable (map-side filter over the checkpoint —
+    # ZERO corpus shuffle), else a plain semi-join (ONE corpus shuffle,
+    # AQE-sized). Victims are identical either way — the reduction is
+    # a pure filter.
+    cand_ids = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    if materialize:
+        n_cand = cand_ids.count()  # cheap: derives from the edge checkpoint
+        if n_cand <= _CAND_BCAST_MAX:
+            cand_ids = F.broadcast(cand_ids)
+    vh = base.join(cand_ids, "doc_id", "left_semi").select("doc_id", "vh")
+    if materialize:
+        vh = vh.localCheckpoint(eager=True)
     jac = (
         F.size(F.array_intersect(F.col("sa.vh"), F.col("sb.vh"))).cast("double")
         / F.size(F.array_union(F.col("sa.vh"), F.col("sb.vh")))

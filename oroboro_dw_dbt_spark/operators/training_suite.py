@@ -1569,3 +1569,212 @@ def t_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q") / (F.count(F.lit(1)) * F.lit(1_000_000_000.0)), 6
         ).alias("mean_bigram_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-ngram likelihood ratio, Xie et al. 2023)
+# ---------------------------------------------------------------------------
+_DSIR_B = 1024  # hashed feature buckets — the model is 2×B counters
+
+
+def _dsir_bucket(col):
+    """Portable token→bucket hash: 60-bit md5 prefix mod B (the same
+    cross-engine idiom as the MinHash/verify hashes)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint"),
+        F.lit(_DSIR_B),
+    )
+
+
+@query(
+    "t_dsir_weights",
+    # Data Selection via Importance Resampling (DSIR): per-doc
+    # log importance weight Σ_f ln(p_target(f)/p_raw(f)) over hashed
+    # unigram features, add-1 smoothed bag-of-buckets models. The
+    # target slice is pinned to the lexicographically-min source (a
+    # deterministic stand-in for "the high-quality domain"). ln runs
+    # once per BUCKET (≤1024 distinct rational inputs built from exact
+    # integer products) and is quantized to micro-units BEFORE the
+    # per-doc integer sum, so cross-engine libm last-ulp noise cannot
+    # reorder or flip a per-doc float fold (same discipline as
+    # t_bigram_novelty's no-log rule, relaxed through quantization).
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_DSIR_B} AS b
+      FROM documents, unnest({_TOKS}) AS u(t)
+    ),
+    tgt_src AS (SELECT min(source) AS s FROM documents),
+    raw AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS cr FROM feats GROUP BY b
+    ),
+    tgt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS ct
+      FROM feats, tgt_src WHERE source = s GROUP BY b
+    ),
+    tot AS (
+      SELECT (SELECT sum(cr) FROM raw) AS n_r,
+             (SELECT coalesce(sum(ct), 0) FROM tgt) AS n_t
+    ),
+    lr AS (
+      SELECT raw.b,
+             CAST(floor(ln(
+               CAST((coalesce(tgt.ct, 0) + 1) * (tot.n_r + {_DSIR_B}) AS DOUBLE)
+               / CAST((raw.cr + 1) * (tot.n_t + {_DSIR_B}) AS DOUBLE)
+             ) * 1000000 + 0.5) AS BIGINT) AS lr
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_features,
+           round(sum(lr.lr) / 1000000.0, 6) AS log_weight
+    FROM feats f JOIN lr ON f.b = lr.b
+    GROUP BY f.doc_id
+    """,
+    survey_ref="beyond-reference: DSIR importance weights — hashed-"
+    "ngram target/raw likelihood-ratio scoring (data selection for "
+    "LM pretraining, Xie et al. 2023)",
+)
+def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR log importance weight against a target domain.
+
+    Plan at 100 TB: the feature stream is a corpus-sized explode that
+    collapses map-side into TWO ≤B-row count tables (B = 1024 — the
+    entire "model" is KBs regardless of corpus size); the log-ratio
+    dim broadcasts back over the stream and the only real shuffle is
+    the per-doc sum on doc_id. Nothing scales with vocabulary: the
+    hashing trick bounds state by construction, which is exactly why
+    DSIR is the data-selection method that runs at pretraining scale.
+    Resampling itself is then a weighted split (sp_weighted_mix /
+    sp_stratified_sample compose downstream).
+
+    The smoothed-ratio numerators multiply two bigints before the
+    double cast so both engines round the SAME exact integer; at a
+    true 100 TB token count (n_r ~ 1e13) that product would overflow —
+    there, divide in double first (the quantization still pins the
+    cross-engine hash; only the certified literal needs the exact-
+    integer spelling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("t")
+    ).withColumn("b", _dsir_bucket(F.col("t")))
+    tgt_src = docs.agg(F.min("source").alias("s"))
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+    tgt = (
+        feats.join(F.broadcast(tgt_src), F.col("source") == F.col("s"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    tot = F.broadcast(
+        raw.agg(F.sum("cr").alias("n_r")).crossJoin(
+            tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("n_t"))
+        )
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(tot)
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("n_r") + F.lit(_DSIR_B))
+                    ).cast("double")
+                    / ((F.col("cr") + 1) * (F.col("n_t") + F.lit(_DSIR_B))).cast(
+                        "double"
+                    )
+                )
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.round(F.sum("lr") / F.lit(1_000_000.0), 6).alias("log_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy gibberish signal (Shannon entropy over characters)
+# ---------------------------------------------------------------------------
+@query(
+    "t_char_entropy",
+    # H = log2(n) − (1/n)·Σ_c cnt_c·log2(cnt_c): Shannon entropy over
+    # the doc's characters from counts alone. log2 runs ONLY on
+    # integers (the distinct count values — a few thousand repo-wide),
+    # quantized to micro-units before the integer Σ, so the per-doc
+    # fold is exact integer arithmetic and cross-engine libm noise
+    # cannot flip a hash (the t_bigram_novelty discipline).
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, u.c AS c
+      FROM documents,
+           unnest(list_transform(range(1, len(text) + 1),
+                                 i -> substr(text, i, 1))) AS u(c)
+    ),
+    counts AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+      FROM chars GROUP BY doc_id, c
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS distinct_chars,
+             sum(cnt * CAST(floor(log2(CAST(cnt AS DOUBLE)) * 1000000 + 0.5)
+                            AS BIGINT)) AS s
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars_counted, distinct_chars,
+           round((n * CAST(floor(log2(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                           AS BIGINT) - s) / (n * 1000000.0), 6)
+             AS char_entropy_bits
+    FROM per_doc
+    """,
+    survey_ref="beyond-reference: character-entropy gibberish signal "
+    "(Shannon entropy over characters, integer-quantized log2)",
+)
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy (bits/char) of the character
+    distribution — near-zero for repeated-char spam, ~4.1 for English
+    prose, high for random base64 blobs: the cheap gibberish axis the
+    token-level quality rules miss.
+
+    Plan at 100 TB: a per-doc char explode that collapses back to
+    (doc, char) counts — the only shuffle is on doc_id (map-side
+    combine does the heavy lifting; a doc's state is its ≤alphabet
+    distinct chars). The entropy itself is a two-term integer fold
+    over those counts. Row-local end-to-end: no model, no dim, no
+    second scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+            ).alias("c"),
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    lq = lambda col: F.floor(F.log2(col.cast("double")) * F.lit(1_000_000) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+        F.sum(F.col("cnt") * lq(F.col("cnt"))).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        "distinct_chars",
+        F.round(
+            (F.col("n") * lq(F.col("n")) - F.col("s")) / (F.col("n") * F.lit(1_000_000.0)),
+            6,
+        ).alias("char_entropy_bits"),
+    )
