@@ -201,6 +201,7 @@ def minhash_lsh_victims(
     band_rows: int = 2,
     threshold: float = 0.5,
     materialize: bool = True,
+    checkpoint_level: str | None = None,
 ) -> DataFrame:
     """doc_ids to REMOVE (keep-one-per-near-dup-cluster) in work LINEAR
     in bucket size — the 100 TB spelling of the LSH dedup stage.
@@ -254,7 +255,21 @@ def minhash_lsh_victims(
     (training_suite.dd_minhash_lsh_star) restates the identical hash,
     so cross-engine results are bit-identical by construction, and
     victims(hash-verify) == victims(string-verify) is pytest-pinned.
+
+    ``checkpoint_level``: storage for the corpus-sized per-doc
+    checkpoint. None (default) = Spark's MEMORY_AND_DISK — right when
+    the frame fits the executors. ``"disk"`` = DISK_ONLY: the frame
+    (~0.7 KB/doc) streams from local disk on each downstream scan
+    instead of competing with shuffle buffers for heap — the
+    single-JVM sf1000 rung OOMed the 64 g heap with 47 M docs pinned
+    in memory and ran clean from disk; on a 1000-executor cluster the
+    same bytes are ~50 MB/executor and the default is right again.
     Returns (doc_id) victims."""
+    from pyspark.storagelevel import StorageLevel
+
+    big_level = (
+        StorageLevel.DISK_ONLY if checkpoint_level == "disk" else None
+    )
     sh = _shingled(docs, n, False)
     base = with_minhash_signature(
         sh, "sh", num_hashes, out="sig", verify_out="vh"
@@ -263,7 +278,7 @@ def minhash_lsh_victims(
         # ONE corpus pass computes shingles + both salted md5 arrays;
         # everything downstream (band explode ×2 consumers, verify ×2
         # sides) derives from this compact frame.
-        base = base.localCheckpoint(eager=True)
+        base = base.localCheckpoint(eager=True, storageLevel=big_level)
     index = _band_explode(base, num_hashes, band_rows)
     rep = index.groupBy("band", "band_key").agg(F.min("doc_id").alias("rep"))
     edges = (

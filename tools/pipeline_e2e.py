@@ -57,6 +57,21 @@ def main() -> None:
     spark = get_spark("pipeline_e2e")
     spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
 
+    # SPARK_GRAFT_PIPE_CKPT_LEVEL=disk routes every corpus-sized
+    # stage-boundary checkpoint (and the LSH stage's per-doc frame) to
+    # DISK_ONLY: at the sf1000 rung the cumulative pinned state
+    # (corpus + deduped + LSH base + semantic vectors) overran a 64 g
+    # heap; from disk the same chain runs clean. A cluster spreads
+    # these bytes thin and the default (memory+disk) is right there.
+    ckpt_level = os.environ.get("SPARK_GRAFT_PIPE_CKPT_LEVEL")
+
+    def ckpt(df):
+        if ckpt_level == "disk":
+            from pyspark.storagelevel import StorageLevel
+
+            return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        return df.localCheckpoint(eager=True)
+
     load_before = _host_load()
     stages: dict[str, float] = {}
     counts: dict[str, int] = {}
@@ -68,10 +83,7 @@ def main() -> None:
         "doc_id", "text", "source"
     )
     q = quality_filter(docs)
-    corpus = (
-        docs.join(q.where("keep").select("doc_id"), "doc_id")
-        .localCheckpoint(eager=True)
-    )
+    corpus = ckpt(docs.join(q.where("keep").select("doc_id"), "doc_id"))
     counts["corpus"] = corpus.count()
     stages["quality_filter"] = round(time.monotonic() - t0, 3)
 
@@ -81,10 +93,10 @@ def main() -> None:
     # corpus-wide shingle-array checkpoint (~3× the text) thrashing
     # the block manager, not the pair count (SCALE.md "sf100 rung")
     t0 = time.monotonic()
-    victims = minhash_lsh_victims(corpus)
-    deduped = corpus.join(victims, "doc_id", "left_anti").localCheckpoint(
-        eager=True
+    victims = minhash_lsh_victims(
+        corpus, checkpoint_level="disk" if ckpt_level == "disk" else None
     )
+    deduped = ckpt(corpus.join(victims, "doc_id", "left_anti"))
     counts["after_near_dup"] = deduped.count()
     stages["minhash_lsh_dedup"] = round(time.monotonic() - t0, 3)
 
@@ -145,9 +157,7 @@ def main() -> None:
     sem_victims = sem.where("keep = 0").select(
         F.col("vec_id").alias("doc_id")
     )
-    final = deduped.join(sem_victims, "doc_id", "left_anti").localCheckpoint(
-        eager=True
-    )
+    final = ckpt(deduped.join(sem_victims, "doc_id", "left_anti"))
     counts["after_semantic"] = final.count()
     stages["semdedup_ivf"] = round(time.monotonic() - t0, 3)
 
