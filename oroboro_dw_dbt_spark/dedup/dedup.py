@@ -202,6 +202,7 @@ def minhash_lsh_victims(
     threshold: float = 0.5,
     materialize: bool = True,
     checkpoint_level: str | None = None,
+    verify: str = "carry",
 ) -> DataFrame:
     """doc_ids to REMOVE (keep-one-per-near-dup-cluster) in work LINEAR
     in bucket size — the 100 TB spelling of the LSH dedup stage.
@@ -264,22 +265,43 @@ def minhash_lsh_victims(
     single-JVM sf1000 rung OOMed the 64 g heap with 47 M docs pinned
     in memory and ran clean from disk; on a 1000-executor cluster the
     same bytes are ~50 MB/executor and the default is right again.
-    Returns (doc_id) victims."""
+
+    ``verify``: HOW the exact-Jaccard verify gets its per-doc state.
+    ``"carry"`` (default) is the spelling above — fastest when the
+    ~0.7 KB/doc frame fits the executors' storage (measured 1.15-1.2×
+    over reshingle at sf30). ``"reshingle"`` checkpoints only the
+    band INDEX (3 scalar columns, ~0.15 KB/doc) and recomputes
+    shingles for CANDIDATE docs only — per-doc state ~5× smaller at
+    the price of a bounded second scan; the spelling for storage-
+    constrained executors (the single-box sf1000 rung: carry's 47 M-doc
+    frame + shuffle overran the local disk where reshingle fit).
+    Victim sets are IDENTICAL by construction (pytest-pinned; the A/B
+    probe asserts set equality at sf30). Returns (doc_id) victims."""
     from pyspark.storagelevel import StorageLevel
 
+    if verify not in ("carry", "reshingle"):
+        raise ValueError(f"verify must be 'carry' or 'reshingle', got {verify!r}")
     big_level = (
         StorageLevel.DISK_ONLY if checkpoint_level == "disk" else None
     )
     sh = _shingled(docs, n, False)
-    base = with_minhash_signature(
-        sh, "sh", num_hashes, out="sig", verify_out="vh"
-    ).select("doc_id", "sig", "vh")
-    if materialize:
-        # ONE corpus pass computes shingles + both salted md5 arrays;
-        # everything downstream (band explode ×2 consumers, verify ×2
-        # sides) derives from this compact frame.
-        base = base.localCheckpoint(eager=True, storageLevel=big_level)
-    index = _band_explode(base, num_hashes, band_rows)
+    if verify == "carry":
+        base = with_minhash_signature(
+            sh, "sh", num_hashes, out="sig", verify_out="vh"
+        ).select("doc_id", "sig", "vh")
+        if materialize:
+            # ONE corpus pass computes shingles + both salted md5
+            # arrays; everything downstream (band explode ×2
+            # consumers, verify ×2 sides) derives from this frame.
+            base = base.localCheckpoint(eager=True, storageLevel=big_level)
+        index = _band_explode(base, num_hashes, band_rows)
+    else:
+        sig = with_minhash_signature(sh, "sh", num_hashes, out="sig").select(
+            "doc_id", "sig"
+        )
+        index = _band_explode(sig, num_hashes, band_rows)
+        if materialize:
+            index = index.localCheckpoint(eager=True, storageLevel=big_level)
     rep = index.groupBy("band", "band_key").agg(F.min("doc_id").alias("rep"))
     edges = (
         index.join(rep, ["band", "band_key"])
@@ -309,7 +331,23 @@ def minhash_lsh_victims(
         n_cand = cand_ids.count()  # cheap: derives from the edge checkpoint
         if n_cand <= _CAND_BCAST_MAX:
             cand_ids = F.broadcast(cand_ids)
-    vh = base.join(cand_ids, "doc_id", "left_semi").select("doc_id", "vh")
+    if verify == "carry":
+        vh = base.join(cand_ids, "doc_id", "left_semi").select("doc_id", "vh")
+    else:
+        # bounded second scan: shingle + hash CANDIDATE docs only,
+        # with the SAME 60-bit verify hash the carry spelling stores
+        # (so both spellings — and the oracle — compute one function)
+        vh = docs.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    shingles("text", n),
+                    lambda s: F.conv(
+                        F.substring(F.md5(F.concat(F.lit("0|"), s)), 1, 15), 16, 10
+                    ).cast("bigint"),
+                )
+            ).alias("vh"),
+        )
     if materialize:
         vh = vh.localCheckpoint(eager=True)
     jac = (

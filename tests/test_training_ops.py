@@ -181,6 +181,28 @@ class TestDedup:
         assert hash_victims, "planted near-dups must fall"
         assert hash_victims == string_victims
 
+    def test_lsh_victims_verify_spellings_identical(self, spark):
+        """carry (corpus vh checkpoint) and reshingle (bounded
+        candidate re-scan) are two physical plans for ONE function —
+        victims must be identical, at any checkpoint level."""
+        from oroboro_dw_dbt_spark.dedup import minhash_lsh_victims
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        carry = {r["doc_id"] for r in minhash_lsh_victims(docs).collect()}
+        reshingle = {
+            r["doc_id"]
+            for r in minhash_lsh_victims(docs, verify="reshingle").collect()
+        }
+        disk = {
+            r["doc_id"]
+            for r in minhash_lsh_victims(
+                docs, verify="reshingle", checkpoint_level="disk"
+            ).collect()
+        }
+        assert carry and carry == reshingle == disk
+        with pytest.raises(ValueError):
+            minhash_lsh_victims(docs, verify="nope")
+
     def test_verify_out_matches_direct_hash(self, spark):
         """with_minhash_signature(verify_out=…) emits the distinct
         60-bit md5 prefixes of the '0|'-salted shingles — the same

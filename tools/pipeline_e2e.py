@@ -94,7 +94,13 @@ def main() -> None:
     # the block manager, not the pair count (SCALE.md "sf100 rung")
     t0 = time.monotonic()
     victims = minhash_lsh_victims(
-        corpus, checkpoint_level="disk" if ckpt_level == "disk" else None
+        corpus,
+        checkpoint_level="disk" if ckpt_level == "disk" else None,
+        # carry (default): fastest when ~0.7 KB/doc of verify state
+        # fits executor storage; reshingle: ~5× less state, bounded
+        # candidate re-scan — the constrained-executor spelling the
+        # single-box sf1000 rung needs (victims identical, pinned)
+        verify=os.environ.get("SPARK_GRAFT_LSH_VERIFY", "carry"),
     )
     deduped = ckpt(corpus.join(victims, "doc_id", "left_anti"))
     counts["after_near_dup"] = deduped.count()
