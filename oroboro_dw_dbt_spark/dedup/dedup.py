@@ -193,6 +193,72 @@ def minhash_lsh_pairs(
 # reduction falls back to a shuffled semi-join that AQE sizes.
 _CAND_BCAST_MAX = 4_000_000
 
+# --- auto-selection of the verify/checkpoint spelling ----------------
+# Measured per-doc footprint of the carry spelling's checkpoint
+# (sig 8×8-hex strings + vh 60-bit long array, ~90 shingles/doc on the
+# synthetic corpus): ~0.7 KB/doc. The share of executor storage the
+# checkpoint may claim before the carry spelling starts competing with
+# shuffle buffers (the sf1000 single-box failure mode): 25%.
+_CARRY_BYTES_PER_DOC = 720
+_AUTO_STORAGE_SHARE = 0.25
+
+
+def _parse_mem(s: str) -> int:
+    """'24g' / '512m' / '1t' / bare bytes → bytes."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(float(s))
+
+
+def _executor_storage_bytes(df: DataFrame) -> int:
+    """Total JVM heap backing cached/checkpointed blocks for this
+    session: driver heap in local mode, Σ executor heap on a cluster
+    (instances unset → dynamic allocation; fall back to
+    defaultParallelism as a core≈executor-slot proxy)."""
+    sc = df.sparkSession.sparkContext
+    conf = sc.getConf()
+    if conf.get("spark.master", "local").startswith("local"):
+        return _parse_mem(conf.get("spark.driver.memory", "1g"))
+    per_exec = _parse_mem(conf.get("spark.executor.memory", "4g"))
+    inst = int(conf.get("spark.executor.instances", "0") or 0)
+    if inst <= 0:
+        cores = int(conf.get("spark.executor.cores", "4") or 4)
+        inst = max(1, sc.defaultParallelism // cores)
+    return per_exec * inst
+
+
+def _auto_lsh_spelling(
+    docs: DataFrame, n_docs: int | None
+) -> tuple[str, str | None, dict]:
+    """The decision rule from the verify/checkpoint_level docstrings,
+    as code (VERDICT r10 Next #4): carry's per-doc state × corpus rows
+    vs a bounded share of executor storage.
+
+    - fits → ``("carry", None)``: fastest spelling, default
+      MEMORY_AND_DISK checkpoint;
+    - doesn't → ``("reshingle", "disk")``: ~5× less per-doc state,
+      DISK_ONLY so the frame never competes with shuffle heap — the
+      combination the single-box sf1000 rung needs.
+
+    Returns (verify, checkpoint_level, decision-record); the record is
+    logged so a pipeline artifact shows WHY a spelling was chosen."""
+    if n_docs is None:
+        n_docs = docs.count()
+    budget = int(_AUTO_STORAGE_SHARE * _executor_storage_bytes(docs))
+    state = n_docs * _CARRY_BYTES_PER_DOC
+    fits = state <= budget
+    rec = {
+        "n_docs": int(n_docs),
+        "carry_state_bytes": int(state),
+        "storage_budget_bytes": budget,
+        "choice": "carry" if fits else "reshingle",
+    }
+    return (
+        ("carry", None, rec) if fits else ("reshingle", "disk", rec)
+    )
+
 
 def minhash_lsh_victims(
     docs: DataFrame,
@@ -203,6 +269,7 @@ def minhash_lsh_victims(
     materialize: bool = True,
     checkpoint_level: str | None = None,
     verify: str = "carry",
+    approx_docs: int | None = None,
 ) -> DataFrame:
     """doc_ids to REMOVE (keep-one-per-near-dup-cluster) in work LINEAR
     in bucket size — the 100 TB spelling of the LSH dedup stage.
@@ -276,11 +343,38 @@ def minhash_lsh_victims(
     constrained executors (the single-box sf1000 rung: carry's 47 M-doc
     frame + shuffle overran the local disk where reshingle fit).
     Victim sets are IDENTICAL by construction (pytest-pinned; the A/B
-    probe asserts set equality at sf30). Returns (doc_id) victims."""
+    probe asserts set equality at sf30). Returns (doc_id) victims.
+
+    ``verify="auto"`` / ``checkpoint_level="auto"`` apply the decision
+    rule above as code (see ``_auto_lsh_spelling``): carry's per-doc
+    state × corpus rows vs 25% of executor storage; the choice is
+    logged. ``approx_docs`` skips the sizing ``docs.count()`` when the
+    caller already knows the corpus size (auto modes only)."""
     from pyspark.storagelevel import StorageLevel
 
-    if verify not in ("carry", "reshingle"):
-        raise ValueError(f"verify must be 'carry' or 'reshingle', got {verify!r}")
+    if verify not in ("carry", "reshingle", "auto"):
+        raise ValueError(
+            f"verify must be 'carry', 'reshingle' or 'auto', got {verify!r}"
+        )
+    # ADVICE r10: an unvalidated level ('DISK', 'disk_only', …) used to
+    # silently map to default storage — the exact OOM the flag exists
+    # to avoid. Mirror the verify validation.
+    if checkpoint_level not in (None, "disk", "auto"):
+        raise ValueError(
+            f"checkpoint_level must be None, 'disk' or 'auto', got {checkpoint_level!r}"
+        )
+    if verify == "auto" or checkpoint_level == "auto":
+        auto_v, auto_ckpt, rec = _auto_lsh_spelling(docs, approx_docs)
+        if verify == "auto":
+            verify = auto_v
+        if checkpoint_level == "auto":
+            checkpoint_level = auto_ckpt
+        import logging
+
+        logging.getLogger(__name__).info(
+            "minhash_lsh_victims auto-spelling: verify=%s checkpoint_level=%s (%s)",
+            verify, checkpoint_level, rec,
+        )
     big_level = (
         StorageLevel.DISK_ONLY if checkpoint_level == "disk" else None
     )

@@ -158,19 +158,15 @@ FRESH_PRIORITY: tuple[str, ...] = (
 # driver certification (VERDICT r08 Next #4): their standing record
 # predates the current code, so they jump the done-tier queue and
 # re-earn a row in the next window. Remove names once the fresh row
-# lands. Round 10: the r09 batched-merge rewrite of text/bpe.py plus
-# this round's chain-aware batch admission (t_bpe_train/t_bpe_encode
-# were last driver-certified r06 — VERDICT r09 Next #2), and the
-# star-victims verify refactor in dedup.py (dd_minhash_lsh_star's r09
-# row predates it). dd_semdedup_ivf_greedy needs no entry here: its
-# new oracle makes the old rows-only records non-green, so it
-# front-rotates through the stuck tier automatically. (The r09 list —
-# dd_semdedup_ivf, dd_semdedup, dd_minhash_lsh, fe_onehot_topk,
-# eng_metadata_count — all landed fresh green r09 rows and rotate
-# out.)
+# lands. Round 11: the r10 list (t_bpe_train/t_bpe_encode/
+# dd_minhash_lsh_star) landed fresh r10 green rows and rotates out
+# (VERDICT r10 Next #3). This round's certified-code changes:
+# t_char_entropy's empty-text explode guard (ADVICE r10 medium) and
+# dd_minhash_lsh_star via minhash_lsh_victims' arg validation +
+# auto-spelling hook (computation on the certified call path is
+# unchanged, but the function body was edited).
 RECERTIFY: tuple[str, ...] = (
-    "t_bpe_train",
-    "t_bpe_encode",
+    "t_char_entropy",
     "dd_minhash_lsh_star",
 )
 

@@ -1756,8 +1756,16 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         docs.select(
             "doc_id",
+            # Guarded: Spark's sequence(1, 0) is DESCENDING ([1, 0]),
+            # so an empty doc would explode into two '' chars while the
+            # oracle's range(1, 1) is empty and drops the doc. The CASE
+            # makes explode drop empty docs on both engines.
             F.explode(
-                F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+                F.expr(
+                    "CASE WHEN length(text) > 0 THEN"
+                    " transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+                    " ELSE CAST(array() AS array<string>) END"
+                )
             ).alias("c"),
         )
         .groupBy("doc_id", "c")

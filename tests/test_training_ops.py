@@ -199,9 +199,48 @@ class TestDedup:
                 docs, verify="reshingle", checkpoint_level="disk"
             ).collect()
         }
-        assert carry and carry == reshingle == disk
+        # carry+disk: the exact path the sf1000 pipeline rung takes
+        # (base = localCheckpoint(DISK_ONLY)) — ADVICE r10 flagged it
+        # as the one spelling×level combination with no coverage
+        carry_disk = {
+            r["doc_id"]
+            for r in minhash_lsh_victims(
+                docs, verify="carry", checkpoint_level="disk"
+            ).collect()
+        }
+        assert carry and carry == reshingle == disk == carry_disk
         with pytest.raises(ValueError):
             minhash_lsh_victims(docs, verify="nope")
+        # ADVICE r10: a checkpoint_level typo ('DISK', 'disk_only')
+        # used to silently map to default storage — now it raises
+        with pytest.raises(ValueError):
+            minhash_lsh_victims(docs, checkpoint_level="DISK")
+
+    def test_lsh_auto_spelling_decision(self, spark):
+        """The auto decision rule (VERDICT r10 Next #4), pinned at the
+        two operating points it exists for: a corpus whose carry state
+        fits 25% of executor storage → carry+memory (the sf30 rung); a
+        50 M-doc corpus on this 24 g box → reshingle+disk (sf1000)."""
+        from oroboro_dw_dbt_spark.dedup.dedup import (
+            _auto_lsh_spelling,
+            minhash_lsh_victims,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        v, ckpt, rec = _auto_lsh_spelling(docs, 50_000)  # ~sf1 size
+        assert (v, ckpt) == ("carry", None)
+        v, ckpt, rec = _auto_lsh_spelling(docs, 50_000_000)  # sf1000
+        assert (v, ckpt) == ("reshingle", "disk")
+        assert rec["carry_state_bytes"] > rec["storage_budget_bytes"]
+        # end-to-end: auto resolves and produces the same victims
+        auto = {
+            r["doc_id"]
+            for r in minhash_lsh_victims(
+                docs, verify="auto", checkpoint_level="auto"
+            ).collect()
+        }
+        plain = {r["doc_id"] for r in minhash_lsh_victims(docs).collect()}
+        assert auto == plain
 
     def test_verify_out_matches_direct_hash(self, spark):
         """with_minhash_signature(verify_out=…) emits the distinct
@@ -646,6 +685,30 @@ class TestDataSelectionSignals:
         assert out[0] == 0.0
         assert out[1] == 1.0
         assert out[2] == 2.0
+
+    def test_char_entropy_drops_empty_docs(self, spark):
+        """ADVICE r10 (medium): Spark's sequence(1, 0) is DESCENDING
+        ([1, 0]), so an unguarded transform exploded an empty doc into
+        two '' chars (n_chars_counted=2, entropy 0) while the DuckDB
+        oracle's range(1, 1) dropped it — a latent hash-gate break the
+        moment a corpus contains an empty doc. The guard must drop
+        empty (and null) docs to match the oracle."""
+        from oroboro_dw_dbt_spark.operators import training_suite as ts
+
+        import tempfile
+
+        df = spark.createDataFrame(
+            [(0, "abab", "en", "s", 4), (1, "", "en", "s", 0),
+             (2, None, "en", "s", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/documents.parquet")
+            out = {
+                r["doc_id"]: r["char_entropy_bits"]
+                for r in ts.t_char_entropy(spark, d).collect()
+            }
+        assert out == {0: 1.0}
 
     def test_char_entropy_bounded_on_corpus(self, spark):
         from oroboro_dw_dbt_spark.operators import training_suite as ts

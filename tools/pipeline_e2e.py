@@ -36,7 +36,7 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from bench import _host_load  # noqa: E402
+from bench import _await_quiet_host, _host_load  # noqa: E402
 from oroboro_dw_dbt_spark.session import get_spark  # noqa: E402
 
 
@@ -72,6 +72,11 @@ def main() -> None:
             return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         return df.localCheckpoint(eager=True)
 
+    # Quiet-host gate (VERDICT r10 Next #2): the sf30 e2e artifact
+    # regressed 116→136 s under 9.5 k steal jiffies while the isolated
+    # A/B probe on the same corpus improved — pipeline numbers need
+    # the same steal/loadavg gate bench.py timings get.
+    gate = _await_quiet_host()
     load_before = _host_load()
     stages: dict[str, float] = {}
     counts: dict[str, int] = {}
@@ -93,14 +98,26 @@ def main() -> None:
     # corpus-wide shingle-array checkpoint (~3× the text) thrashing
     # the block manager, not the pair count (SCALE.md "sf100 rung")
     t0 = time.monotonic()
+    # Spelling selection is AUTO by default (VERDICT r10 Next #4):
+    # carry+memory when ~0.7 KB/doc of verify state fits 25% of
+    # executor storage (sf30), reshingle+disk when it doesn't
+    # (the single-box sf1000 rung). Env overrides for A/B probes.
+    lsh_verify = os.environ.get("SPARK_GRAFT_LSH_VERIFY", "auto")
+    if lsh_verify == "auto":
+        from oroboro_dw_dbt_spark.dedup.dedup import _auto_lsh_spelling
+
+        lsh_verify, auto_ckpt, lsh_decision = _auto_lsh_spelling(
+            corpus, counts["corpus"]
+        )
+        lsh_ckpt = "disk" if ckpt_level == "disk" else auto_ckpt
+    else:
+        lsh_decision = {"choice": lsh_verify, "source": "env-override"}
+        lsh_ckpt = "disk" if ckpt_level == "disk" else None
     victims = minhash_lsh_victims(
         corpus,
-        checkpoint_level="disk" if ckpt_level == "disk" else None,
-        # carry (default): fastest when ~0.7 KB/doc of verify state
-        # fits executor storage; reshingle: ~5× less state, bounded
-        # candidate re-scan — the constrained-executor spelling the
-        # single-box sf1000 rung needs (victims identical, pinned)
-        verify=os.environ.get("SPARK_GRAFT_LSH_VERIFY", "carry"),
+        checkpoint_level=lsh_ckpt,
+        verify=lsh_verify,
+        approx_docs=counts["corpus"],
     )
     deduped = ckpt(corpus.join(victims, "doc_id", "left_anti"))
     counts["after_near_dup"] = deduped.count()
@@ -189,6 +206,12 @@ def main() -> None:
         "counts": counts,
         "n_cells": n_cells,
         "semdedup_mode": mode,
+        "quiet_gate": gate,
+        "lsh_spelling": {
+            "verify": lsh_verify,
+            "checkpoint_level": lsh_ckpt,
+            "decision": lsh_decision,
+        },
         "load": {
             "before": load_before,
             "after": load_after,
