@@ -54,16 +54,58 @@ def main() -> None:
     from oroboro_dw_dbt_spark.similarity.search import _as_double
     from oroboro_dw_dbt_spark.text.pipeline import pack_shards, quality_filter
 
-    spark = get_spark("pipeline_e2e")
-    spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
-
     # SPARK_GRAFT_PIPE_CKPT_LEVEL=disk routes every corpus-sized
     # stage-boundary checkpoint (and the LSH stage's per-doc frame) to
     # DISK_ONLY: at the sf1000 rung the cumulative pinned state
     # (corpus + deduped + LSH base + semantic vectors) overran a 64 g
     # heap; from disk the same chain runs clean. A cluster spreads
     # these bytes thin and the default (memory+disk) is right there.
+    # Unset = AUTO (VERDICT r10 Next #4): estimate the doc count from
+    # the parquet footers (no JVM needed) and go DISK_ONLY when ~2
+    # live text checkpoints (~1.2 KB/doc) would overrun 25% of the
+    # driver heap — the same sizing rule the LSH spelling uses.
     ckpt_level = os.environ.get("SPARK_GRAFT_PIPE_CKPT_LEVEL")
+    if ckpt_level is None:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        paths = glob.glob(f"{sf_dir}/documents.parquet/*.parquet") or glob.glob(
+            f"{sf_dir}/documents.parquet"
+        )
+        est_docs = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        from oroboro_dw_dbt_spark.dedup.dedup import _parse_mem
+
+        ckpt_level = "disk" if est_docs * 1200 > 0.25 * _parse_mem(heap) else None
+    # DISK_ONLY blocks are serialized but UNcompressed by default
+    # (spark.rdd.compress=false); a corpus-text checkpoint that is
+    # 6.7 GB as snappy parquet re-expands to ~20 GB raw on the block
+    # store — more than half the single box's free disk at the sf1000
+    # rung. lz4-compressing serialized blocks trades a little CPU in a
+    # stage that is md5-bound anyway for ~3-4× disk. Executor-local
+    # disks on a cluster see the same ratio.
+    extra = {"spark.rdd.compress": "true"} if ckpt_level == "disk" else None
+    spark = get_spark("pipeline_e2e", extra_conf=extra)
+    spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
+
+    def free_dead_state():
+        """Stage boundaries are eager checkpoints, so a finished
+        stage's inputs (prior checkpoint + the stage's internal
+        checkpoints) are dead weight the moment the boundary
+        materializes. On the single box every retained block competes
+        for the SAME free disk the next stage's shuffle needs, so the
+        caller dels/rebinds the dead refs and this nudges both GCs —
+        Spark's ContextCleaner then unpersists the unreferenced RDD
+        blocks. (A cluster wants this too: it is the difference
+        between peak disk ∝ whole-chain state and ∝ two stages.)"""
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     def ckpt(df):
         if ckpt_level == "disk":
@@ -122,6 +164,10 @@ def main() -> None:
     deduped = ckpt(corpus.join(victims, "doc_id", "left_anti"))
     counts["after_near_dup"] = deduped.count()
     stages["minhash_lsh_dedup"] = round(time.monotonic() - t0, 3)
+    # corpus ckpt + the LSH stage's internal checkpoints (index/edges/
+    # vh) are dead once `deduped` is materialized
+    corpus = q = victims = None
+    free_dead_state()
 
     # -- 3. semantic dedup -------------------------------------------------
     # over the embeddings OF THE SURVIVORS only (vec_id keys doc_id):
@@ -183,6 +229,8 @@ def main() -> None:
     final = ckpt(deduped.join(sem_victims, "doc_id", "left_anti"))
     counts["after_semantic"] = final.count()
     stages["semdedup_ivf"] = round(time.monotonic() - t0, 3)
+    deduped = emb = v = sem = sem_victims = None
+    free_dead_state()
 
     # -- 4. pack shards ----------------------------------------------------
     t0 = time.monotonic()
@@ -212,6 +260,7 @@ def main() -> None:
             "checkpoint_level": lsh_ckpt,
             "decision": lsh_decision,
         },
+        "stage_checkpoint_level": ckpt_level or "memory_and_disk",
         "load": {
             "before": load_before,
             "after": load_after,
