@@ -473,35 +473,158 @@ _DESCENT_FANIN = 256
 
 # Largest pivot set the descent will collect to the driver / ride in a
 # task closure: |P_{d-1}| = C^((d-1)/d) rows (2 916 at sf1000's
-# C = 156 250 with d = 3 — ~1.5 MB). At extreme C the deepest level
-# should become a distributed routed table (one more cogroup) instead
-# of a closure; the sandbox never comes near the cap, so that variant
-# is documented, not wired. The cap fails loudly rather than silently
-# shipping a GB closure.
+# C = 156 250 with d = 3 — ~1.5 MB). Past the cap the descent does NOT
+# fail: levels above it become DISTRIBUTED routed tables
+# (:func:`_routed_greedy_assign` — one salted cogroup per routed
+# level), identical assignments by construction. The cap only decides
+# WHERE a level runs: closure mapInPandas below it, cogroup equi-join
+# above it.
 _DESCENT_MAX_PIVOT_ROWS = 262_144
+
+
+def _fanin_sizes(n_cells: int) -> list[int]:
+    """The pure fan-in ladder n_i = ⌈C^(i/d)⌉, d the smallest depth
+    ≥ 2 whose per-level fan-in C^(1/d) fits ``_DESCENT_FANIN`` — no
+    closure-budget back-off (the routed variant doesn't need one:
+    oversized levels run distributed instead of shrinking d)."""
+    d = 2
+    while d < 6 and n_cells ** (1.0 / d) > _DESCENT_FANIN:
+        d += 1
+    # −1e-9 absorbs float-pow fuzz (27^(1/3) = 3.0000000000000004)
+    return [
+        max(2, min(n_cells, math.ceil(n_cells ** (i / d) - 1e-9)))
+        for i in range(1, d)
+    ]
 
 
 def _descent_level_sizes(n_cells: int) -> list[int]:
     """Pivot-level sizes [n_1, …, n_{d-1}] for the d-level descent:
-    n_i = ⌈C^(i/d)⌉ with d the smallest depth ≥ 2 whose per-level
-    fan-in C^(1/d) fits ``_DESCENT_FANIN`` — then backed off (deepest
+    the fan-in ladder of :func:`_fanin_sizes`, backed off (deepest
     first) while the DEEPEST level C^((d-1)/d) would blow the closure
     budget: fan-in is a preference, the closure cap is a hard bound,
     and a d−1 tree trades a wider per-level scan for a closure that
     ships (C = 8×10⁷ — a 100 TB corpus at occupancy 128 — lands on
     d = 3: fan-in ~431, deepest level ~187k rows ≈ 96 MB broadcast).
     At C = 16 (the certified floor) this is [4] — the original
-    two-level G = ⌈√C⌉."""
-    d = 2
-    while d < 6 and n_cells ** (1.0 / d) > _DESCENT_FANIN:
-        d += 1
+    two-level G = ⌈√C⌉. When even d = 2's √C exceeds the cap
+    (C > ~6.9×10¹⁰ cells), :func:`greedy_assign` dispatches to the
+    distributed-routing variant instead of using this back-off."""
+    sizes = _fanin_sizes(n_cells)
+    d = len(sizes) + 1
     while d > 2 and n_cells ** ((d - 1) / d) > _DESCENT_MAX_PIVOT_ROWS:
         d -= 1
-    # −1e-9 absorbs float-pow fuzz (27^(1/3) = 3.0000000000000004)
     return [
         max(2, min(n_cells, math.ceil(n_cells ** (i / d) - 1e-9)))
         for i in range(1, d)
     ]
+
+
+def _build_closure_levels(pivot_rows, sizes):
+    """(levels, children) for the in-closure descent levels.
+    levels[i] = (cells, coord-matrix, norms), cell-ASCENDING so that
+    first-min argmin = lowest pivot id; children[i][j] = indices into
+    level i+1 of the members routed under level-i pivot j (ascending,
+    therefore cell-ascending). Level-(i+1) members are routed by the
+    SAME hierarchical descent every other frame uses (descend through
+    levels 0..i), not a flat global argmin over level i — for d ≤ 3
+    (every certified ladder: one preceding level) the two rules are
+    identical, and for deeper ladders the hierarchical rule is what
+    the distributed-routing variant can reproduce exactly, keeping
+    closure and routed assignments bit-equal at any depth. Driver
+    numpy at ≤ C^((2d-3)/d) dots, trivial at any sandbox C."""
+    import numpy as np
+
+    levels = []
+    for n_i in sizes:
+        rows_i = sorted(pivot_rows[: min(n_i, len(pivot_rows))],
+                        key=lambda r: r["cell"])
+        levels.append(
+            (
+                np.array([r["cell"] for r in rows_i], dtype=np.int64),
+                np.stack([np.asarray(r["c"], dtype=np.int64) for r in rows_i]),
+                np.array([r["cn"] for r in rows_i], dtype=np.int64),
+            )
+        )
+    children = []
+    for i in range(len(levels) - 1):
+        pc = levels[i][0]
+        cm = levels[i + 1][1]
+        leaf = _closure_descend(levels[: i + 1], children[:i], cm, 1)[:, 0]
+        pos = {int(c): idx for idx, c in enumerate(pc)}
+        parent = np.array([pos.get(int(c), -1) for c in leaf], dtype=np.int64)
+        children.append(
+            [np.flatnonzero(parent == j) for j in range(len(pc))]
+        )
+    return levels, children
+
+
+def _closure_descend(levels, children, mat, p, margin=None):
+    """(batch, ≤p) leaf-pivot CELL ids per row, best-first; ties at
+    every level break to the lowest pivot id (stable argsort over
+    cell-ascending candidates).
+
+    ``margin`` (adaptive multiprobe, VERDICT r10 Next #6): with a
+    float m, a candidate survives a level only when its TRUE squared
+    distance ≤ (1+m) × the level's best — so ``p`` becomes a width
+    CAP and the spend concentrates on boundary rows (the only place
+    fixed-nprobe recall losses live) while interior rows keep paying
+    nprobe-1 cost. None = fixed top-p (the certified behavior)."""
+    import numpy as np
+
+    n_levels = len(levels)
+    xn = None
+    if margin is not None:
+        xm = mat.astype(np.int64, copy=False)
+        xn = (xm * xm).sum(axis=1)
+
+    def _take(scores, p_, xn_rows):
+        """top-≤p_ column indices per row, -1-padded under margin."""
+        if p_ == 1 and margin is None:
+            return scores.argmin(axis=1)[:, None]
+        order = np.argsort(scores, axis=1, kind="stable")[:, :p_]
+        if margin is not None:
+            d2 = np.take_along_axis(scores, order, axis=1) + xn_rows[:, None]
+            keep = d2 <= (1.0 + margin) * d2[:, :1]
+            order = np.where(keep, order, -1)
+        return order
+
+    _, m0, n0 = levels[0]
+    rel = n0[None, :] - 2 * _exact_int_gemm(mat, m0)
+    cur = _take(rel, p, xn)
+    for i in range(1, n_levels):
+        _, mi, ni = levels[i]
+        kids = children[i - 1]
+        # group rows by their probed-parent tuple: each group
+        # scores ONE merged candidate set with ONE sub-GEMM
+        keys, inv = np.unique(cur, axis=0, return_inverse=True)
+        nxt = np.full((len(mat), cur.shape[1]), -1, dtype=np.int64)
+        width = 0
+        for kidx in range(len(keys)):
+            rows = np.flatnonzero(inv == kidx)
+            cand = np.concatenate(
+                [kids[par] for par in keys[kidx] if par >= 0]
+            )
+            if len(cand) == 0:  # pragma: no cover - defensive
+                continue
+            cand = np.sort(cand)  # index-asc = cell-asc tie-break
+            sub = ni[cand][None, :] - 2 * _exact_int_gemm(
+                mat[rows], mi[cand]
+            )
+            take = min(p, len(cand))
+            width = max(width, take)
+            if take == 1 and margin is None:
+                nxt[rows, 0] = cand[sub.argmin(axis=1)]
+            else:
+                order = _take(
+                    sub, take, xn[rows] if margin is not None else None
+                )
+                nxt[rows, :order.shape[1]] = np.where(
+                    order >= 0, cand[np.maximum(order, 0)], -1
+                )
+        cur = nxt[:, : max(width, 1)]
+    leaf_cells = levels[-1][0]
+    out = np.where(cur >= 0, leaf_cells[np.maximum(cur, 0)], -1)
+    return out
 
 
 def _pivot_hash_col():
@@ -520,6 +643,7 @@ def greedy_assign(
     n_cells: int,
     n_rows: int | None = None,
     nprobe: int = 1,
+    probe_margin: float | None = None,
 ) -> DataFrame:
     """Deterministic d-level GREEDY nearest-centroid descent:
     vector → nearest of n_1 = ⌈C^(1/d)⌉ level-1 pivots → nearest
@@ -540,6 +664,15 @@ def greedy_assign(
     winners exactly. Centroid GROUPING always routes nprobe=1 (the
     grouping is a partition of the cells); only the vector probe fans
     out.
+
+    ``probe_margin`` (adaptive multiprobe, VERDICT r10 Next #6): with
+    a float m, ``nprobe`` becomes a width CAP and a pivot is probed
+    only when its true squared distance is within (1+m)× of the
+    level's best. Fixed nprobe=16 pays 16 cell-groups for EVERY
+    vector; the recall it buys lives only on boundary vectors, so the
+    margin spends the extra groups exactly there — the uniform-
+    geometry census reaches the same recall at a fraction of the
+    wall (SCALE.md r11 census). None = fixed top-nprobe (certified).
 
     This is the pipeline's cells ∝ N operating point (pairs with
     :func:`ivf_cells_capped`). It is NOT exact nearest-centroid — a
@@ -572,12 +705,16 @@ def greedy_assign(
     import pandas as pd
 
     sizes = _descent_level_sizes(n_cells)
-    if sizes[-1] > _DESCENT_MAX_PIVOT_ROWS:  # pragma: no cover
-        raise ValueError(
-            f"greedy descent pivot set {sizes[-1]} exceeds the closure "
-            f"budget {_DESCENT_MAX_PIVOT_ROWS}; wire the distributed "
-            "deepest level before running at this C"
-        )
+    if sizes[-1] > _DESCENT_MAX_PIVOT_ROWS:
+        # C > cap² (~6.9×10¹⁰ cells): no closure-sized ladder exists.
+        # Route the oversized levels as distributed tables instead of
+        # raising (VERDICT r10 Next #5) — same descent, same victims.
+        if probe_margin is not None:
+            raise ValueError(
+                "probe_margin is not wired on the distributed-routing "
+                "descent; use fixed nprobe at this C"
+            )
+        return _routed_greedy_assign(v, cent_df, n_cells, n_rows, nprobe)
     pivot_rows = (
         cent_df.orderBy(_pivot_hash_col(), "cell")
         .limit(sizes[-1])
@@ -588,75 +725,10 @@ def greedy_assign(
     if not pivot_rows:  # empty centroids: empty assignment
         return spark.createDataFrame([], "vec_id long, cell long")
 
-    # levels[i] = (cells, coord-matrix, norms), cell-ASCENDING so that
-    # first-min argmin = lowest pivot id; children[i][j] = indices into
-    # level i+1 of the members routed under level-i pivot j (ascending,
-    # therefore cell-ascending). Routing between consecutive pivot
-    # levels is a DIRECT exact argmin over the smaller level — driver
-    # numpy at ≤ C^((2d-3)/d) dots, trivial at any sandbox C.
-    levels = []
-    for n_i in sizes:
-        rows_i = sorted(pivot_rows[: min(n_i, len(pivot_rows))],
-                        key=lambda r: r["cell"])
-        levels.append(
-            (
-                np.array([r["cell"] for r in rows_i], dtype=np.int64),
-                np.stack([np.asarray(r["c"], dtype=np.int64) for r in rows_i]),
-                np.array([r["cn"] for r in rows_i], dtype=np.int64),
-            )
-        )
-    children: list[list[np.ndarray]] = []
-    for i in range(len(levels) - 1):
-        pc, pm, pn = levels[i]
-        cc, cm, cn_ = levels[i + 1]
-        rel = pn[None, :] - 2 * _exact_int_gemm(cm, pm)
-        parent = rel.argmin(axis=1)  # first-min = lowest pivot id
-        children.append(
-            [np.flatnonzero(parent == j) for j in range(len(pc))]
-        )
+    levels, children = _build_closure_levels(pivot_rows, sizes)
 
-    n_levels = len(levels)
-
-    def _descend(mat: "np.ndarray", p: int) -> "np.ndarray":
-        """(batch, ≤p) leaf-pivot CELL ids per row, best-first; ties at
-        every level break to the lowest pivot id (stable argsort over
-        cell-ascending candidates)."""
-        _, m0, n0 = levels[0]
-        rel = n0[None, :] - 2 * _exact_int_gemm(mat, m0)
-        if p == 1:
-            cur = rel.argmin(axis=1)[:, None]
-        else:
-            cur = np.argsort(rel, axis=1, kind="stable")[:, :p]
-        for i in range(1, n_levels):
-            _, mi, ni = levels[i]
-            kids = children[i - 1]
-            # group rows by their probed-parent tuple: each group
-            # scores ONE merged candidate set with ONE sub-GEMM
-            keys, inv = np.unique(cur, axis=0, return_inverse=True)
-            nxt = np.full((len(mat), cur.shape[1]), -1, dtype=np.int64)
-            width = 0
-            for kidx in range(len(keys)):
-                rows = np.flatnonzero(inv == kidx)
-                cand = np.concatenate(
-                    [kids[par] for par in keys[kidx] if par >= 0]
-                )
-                if len(cand) == 0:  # pragma: no cover - defensive
-                    continue
-                cand = np.sort(cand)  # index-asc = cell-asc tie-break
-                sub = ni[cand][None, :] - 2 * _exact_int_gemm(
-                    mat[rows], mi[cand]
-                )
-                take = min(p, len(cand))
-                width = max(width, take)
-                if take == 1:
-                    nxt[rows, 0] = cand[sub.argmin(axis=1)]
-                else:
-                    order = np.argsort(sub, axis=1, kind="stable")[:, :take]
-                    nxt[rows, :take] = cand[order]
-            cur = nxt[:, : max(width, 1)]
-        leaf_cells = levels[-1][0]
-        out = np.where(cur >= 0, leaf_cells[np.maximum(cur, 0)], -1)
-        return out
+    def _descend(mat: "np.ndarray", p: int, m=None) -> "np.ndarray":
+        return _closure_descend(levels, children, mat, p, m)
 
     def group_cents(batches):
         for pdf in batches:
@@ -677,7 +749,7 @@ def greedy_assign(
             if len(pdf) == 0:
                 continue
             vm = np.stack(pdf["vi"].to_numpy()).astype(np.int64, copy=False)
-            gs = _descend(vm, nprobe)
+            gs = _descend(vm, nprobe, probe_margin)
             reps = (gs >= 0).sum(axis=1)
             idx = np.repeat(np.arange(len(pdf)), reps)
             yield pd.DataFrame(
@@ -695,6 +767,232 @@ def greedy_assign(
         probe_vecs, "vec_id long, vi array<long>, g long"
     )
     return _score_groups(cand, cent_side, _salt_count(v, n_rows))
+
+
+def _route_level(left: DataFrame, pivots_ann: DataFrame, p: int, salts: int) -> DataFrame:
+    """One DISTRIBUTED descent level: ``left`` (id, vi, n, g) meets
+    the level's parent-annotated pivot table ``pivots_ann``
+    (g, cell, c, cn) in a salted cogroup on g — the equi-join spelling
+    of what :func:`_closure_descend` does with a task-closure ladder —
+    then a cross-group fold keeps each id's global best ``p`` pivots
+    by (score, cell): per-group top-p retains every member of the
+    union's top-p because the groups partition the candidates, and
+    the (score, cell) struct sort reproduces the closure path's
+    stable lowest-cell tie-break bit-for-bit. Returns the same
+    (id, vi, n, g) shape with g = the new parent pivot's cell id."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf_v: pd.DataFrame, pdf_c: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id": pd.Series([], dtype="int64"),
+                "vi": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="int64"),
+                "g": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(pdf_v) == 0 or len(pdf_c) == 0:
+            return empty
+        pdf_c = pdf_c.sort_values("cell")  # first-min = lowest cell id
+        vm = np.stack(pdf_v["vi"].to_numpy()).astype(np.int64, copy=False)
+        cm = np.stack(pdf_c["c"].to_numpy()).astype(np.int64, copy=False)
+        cn = pdf_c["cn"].to_numpy(dtype=np.int64)
+        cells = pdf_c["cell"].to_numpy(dtype=np.int64)
+        scores = cn[None, :] - 2 * _exact_int_gemm(vm, cm)
+        take = min(p, len(cells))
+        if take == 1:
+            j = scores.argmin(axis=1)[:, None]
+        else:
+            j = np.argsort(scores, axis=1, kind="stable")[:, :take]
+        r = np.repeat(np.arange(len(vm)), j.shape[1])
+        jf = j.ravel()
+        return pd.DataFrame(
+            {
+                "id": pdf_v["id"].to_numpy(dtype=np.int64)[r],
+                "vi": pdf_v["vi"].to_numpy()[r],
+                "n": pdf_v["n"].to_numpy(dtype=np.int64)[r],
+                "score": scores[r, jf],
+                "g": cells[jf],
+            }
+        )
+
+    schema = "id long, vi array<long>, n long, score long, g long"
+    if salts > 1:
+        lft = left.withColumn("s", F.pmod(F.hash("id"), F.lit(salts)))
+        rgt = pivots_ann.withColumn(
+            "s", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+        )
+        scored = (
+            lft.groupby("g", "s")
+            .cogroup(rgt.groupby("g", "s"))
+            .applyInPandas(kernel, schema)
+        )
+    else:
+        scored = (
+            left.groupby("g")
+            .cogroup(pivots_ann.groupby("g"))
+            .applyInPandas(kernel, schema)
+        )
+    if p == 1:
+        # one row per (id, prior-parent); global best = min_by fold
+        return (
+            scored.groupBy("id")
+            .agg(
+                F.min_by(
+                    F.struct("vi", "n", "g"), F.struct("score", "g")
+                ).alias("m")
+            )
+            .select("id", "m.vi", "m.n", "m.g")
+        )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("score", "g", "vi", "n"))
+                ),
+                1,
+                p,
+            ).alias("ms")
+        )
+        .select("id", F.explode("ms").alias("m"))
+        .select("id", "m.vi", "m.n", "m.g")
+    )
+
+
+def _routed_greedy_assign(
+    v: DataFrame,
+    cent_df: DataFrame,
+    n_cells: int,
+    n_rows: int | None = None,
+    nprobe: int = 1,
+) -> DataFrame:
+    """:func:`greedy_assign` for C past the closure budget: the SAME
+    d-level greedy descent, with pivot levels larger than
+    ``_DESCENT_MAX_PIVOT_ROWS`` routed as DISTRIBUTED tables — each
+    oversized level is an equi-join (salted cogroup on the parent
+    pivot id) against that level's hash-prefix pivot table, instead of
+    a task-closure scan (VERDICT r10 Next #5).
+
+    Level sizes come from the pure fan-in ladder (no closure
+    back-off): the closure prefix (levels that fit the cap) rides one
+    bounded collect exactly as in :func:`greedy_assign`; every deeper
+    level P_i is selected distributedly (TopK on the same md5 pivot
+    hash — the levels stay PREFIXES of one ordering), annotated with
+    its own parent at level i−1 by the same routing machinery, and
+    probed via :func:`_route_level`. Assignments are identical to the
+    closure path by construction — same pivot sets, same int64
+    scores, same (score, lowest-cell) tie-breaks — which the
+    cap-monkeypatched equality test pins.
+
+    Scale shape: per oversized level, one TopK selection + one salted
+    cogroup whose per-task work is ~fan-in GEMM dots per row — no
+    O(C) broadcast, no BroadcastNestedLoopJoin (plan-test-pinned), no
+    driver state beyond the closure prefix. At C = 10¹² (beyond any
+    stated corpus) that is d = 6, two routed levels, and the deepest
+    routed table is a partitioned (g, cell, c, cn) frame any executor
+    count can shard."""
+    import numpy as np
+    import pandas as pd
+
+    sizes = _fanin_sizes(n_cells)
+    cap = _DESCENT_MAX_PIVOT_ROWS
+    k = 0
+    while k < len(sizes) and sizes[k] <= cap:
+        k += 1
+    closure_sizes, dist_sizes = sizes[:k], sizes[k:]
+    spark = v.sparkSession
+    salts = _salt_count(v, n_rows)
+
+    levels = children = None
+    if closure_sizes:
+        pivot_rows = (
+            cent_df.orderBy(_pivot_hash_col(), "cell")
+            .limit(closure_sizes[-1])
+            .select("cell", "c", "cn")
+            .collect()
+        )
+        if not pivot_rows:  # empty centroids: empty assignment
+            return spark.createDataFrame([], "vec_id long, cell long")
+        levels, children = _build_closure_levels(pivot_rows, closure_sizes)
+    elif cent_df.limit(1).count() == 0:
+        return spark.createDataFrame([], "vec_id long, cell long")
+
+    def closure_route(
+        df: DataFrame, id_col: str, coord_col: str, norm_col: str | None, p: int
+    ) -> DataFrame:
+        """(id, vi, n, g) rows — one per probed closure-leaf parent
+        (g = −1 single global group when no level fits the closure)."""
+        n_expr = (
+            F.col(norm_col).cast("long") if norm_col else F.lit(0).cast("long")
+        )
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(coord_col).alias("vi"),
+            n_expr.alias("n"),
+        )
+        if not closure_sizes:
+            return base.withColumn("g", F.lit(-1).cast("long"))
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf["vi"].to_numpy()).astype(np.int64, copy=False)
+                gs = _closure_descend(levels, children, m, p)
+                reps = (gs >= 0).sum(axis=1)
+                idx = np.repeat(np.arange(len(pdf)), reps)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(dtype=np.int64)[idx],
+                        "vi": pdf["vi"].to_numpy()[idx],
+                        "n": pdf["n"].to_numpy(dtype=np.int64)[idx],
+                        "g": gs[gs >= 0],
+                    }
+                )
+
+        return base.mapInPandas(gen, "id long, vi array<long>, n long, g long")
+
+    # parent-annotated pivot table per oversized level: P_i routed
+    # through the closure prefix and every previous oversized level
+    # with p = 1 (the grouping is a partition — only the probe fans out)
+    anns: list[DataFrame] = []
+    for i, m_i in enumerate(dist_sizes):
+        P = (
+            cent_df.orderBy(_pivot_hash_col(), "cell")
+            .limit(m_i)
+            .select("cell", "c", "cn")
+        )
+        st = closure_route(P, "cell", "c", "cn", 1)
+        for j in range(i):
+            st = _route_level(st, anns[j], 1, salts)
+        anns.append(
+            st.select(
+                "g",
+                F.col("id").alias("cell"),
+                F.col("vi").alias("c"),
+                F.col("n").alias("cn"),
+            )
+        )
+
+    # centroid grouping (p = 1) and the vector probe (p = nprobe)
+    # through the same ladder
+    cent_state = closure_route(cent_df, "cell", "c", "cn", 1)
+    for ann in anns:
+        cent_state = _route_level(cent_state, ann, 1, salts)
+    cent_side = cent_state.select(
+        "g",
+        F.col("id").alias("cell"),
+        F.col("vi").alias("c"),
+        F.col("n").alias("cn"),
+    )
+    cand = closure_route(v, "vec_id", "vi", None, nprobe)
+    for ann in anns:
+        cand = _route_level(cand, ann, nprobe, salts)
+    cand = cand.select(F.col("id").alias("vec_id"), "vi", "g")
+    return _score_groups(cand, cent_side, salts)
 
 
 # The gate-SF descent is d = 2 with G = ⌈√16⌉ = 4 pivots (the floor
@@ -1080,6 +1378,7 @@ def semdedup_ivf_core(
     assign: str = "exact",
     occupancy_cap: int | None = None,
     nprobe: int = 1,
+    probe_margin: float | None = None,
 ) -> DataFrame:
     """The reusable trained-cell SemDeDup pipeline: seed → assign →
     exact integer Lloyd update → re-assign → per-cell GEMM dominance.
@@ -1098,7 +1397,10 @@ def semdedup_ivf_core(
     ``nprobe`` (greedy only): probe the best ``nprobe`` pivots per
     descent level — the recall middle point between nprobe=1 and the
     exact argmin (VERDICT r09 Next #4). The certified catalog entry
-    pins nprobe=1.
+    pins nprobe=1. ``probe_margin`` makes nprobe a width cap and
+    probes only pivots within (1+m)× of the best true distance —
+    boundary-adaptive recall at near-np1 average cost (see
+    :func:`greedy_assign`).
 
     ``occupancy_cap``: when set, cells holding more vectors are hash
     sub-split before dominance (:func:`_cap_cell_occupancy`), bounding
@@ -1110,7 +1412,10 @@ def semdedup_ivf_core(
         assign_fn = assign_cells
     else:
         def assign_fn(v_, cent_, n_, n_rows=None):
-            return greedy_assign(v_, cent_, n_, n_rows=n_rows, nprobe=nprobe)
+            return greedy_assign(
+                v_, cent_, n_, n_rows=n_rows, nprobe=nprobe,
+                probe_margin=probe_margin,
+            )
     # ‖x‖² once per vector: both hierarchical assignments' pruning
     # bounds need it, and it checkpoints with the rest of the frame
     v = v.withColumn("xn", _int_dot(F.col("vi"), F.col("vi")))

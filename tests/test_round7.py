@@ -555,6 +555,57 @@ class TestGreedyAssign:
         }
         assert one != expect  # uniform geometry: nprobe=1 really trades
 
+    def test_adaptive_margin_pointwise_and_saturates(self, spark):
+        """probe_margin (VERDICT r10 Next #6): (a) any margin is
+        POINTWISE at least as good as nprobe=1 (the probed groups are
+        a superset containing the best-first group); (b) a saturating
+        margin with cap ≥ every width collapses to the exact flat
+        argmin, lowest-id ties included; (c) margin probing is
+        deterministic across re-runs."""
+        import numpy as np
+
+        from oroboro_dw_dbt_spark.operators.round7_suite import greedy_assign
+
+        rng = np.random.default_rng(31)
+        n, n_cells, dim = 300, 48, 8
+        vi = rng.integers(-(10**6), 10**6, (n, dim)).astype(np.int64)
+        ci = rng.integers(-(10**6), 10**6, (n_cells, dim)).astype(np.int64)
+        v = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in vi[i]], int((vi[i] * vi[i]).sum()))
+                for i in range(n)
+            ],
+            "vec_id long, vi array<long>, xn long",
+        ).localCheckpoint(eager=True)
+        cents = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in ci[i]], int((ci[i] * ci[i]).sum()))
+                for i in range(n_cells)
+            ],
+            "cell long, c array<long>, cn long",
+        ).localCheckpoint(eager=True)
+        cn = (ci * ci).sum(axis=1)
+
+        def cells(**kw):
+            return {
+                r["vec_id"]: r["cell"]
+                for r in greedy_assign(v, cents, n_cells, **kw).collect()
+            }
+
+        def dist(cell_map):
+            return {i: int(cn[c] - 2 * (vi[i] @ ci[c])) for i, c in cell_map.items()}
+
+        one = dist(cells(nprobe=1))
+        m = cells(nprobe=16, probe_margin=0.1)
+        dm = dist(m)
+        assert set(dm) == set(one) == set(range(n))  # total
+        assert all(dm[i] <= one[i] for i in one)  # pointwise ≥ np1
+        assert m == cells(nprobe=16, probe_margin=0.1)  # deterministic
+        scores = cn[None, :] - 2 * (vi @ ci.T)
+        expect = {i: int(scores[i].argmin()) for i in range(n)}
+        sat = cells(nprobe=n_cells, probe_margin=1e12)
+        assert sat == expect  # saturating margin = exact argmin
+
     def test_core_greedy_keep_semantics(self, spark):
         from oroboro_dw_dbt_spark.operators.round7_suite import (
             semdedup_ivf_core,
@@ -569,6 +620,116 @@ class TestGreedyAssign:
                 assert r["removed_by"] is None
             else:
                 assert r["removed_by"] < r["vec_id"]
+
+
+class TestRoutedDescent:
+    """The distributed-routing fallback (VERDICT r10 Next #5): pivot
+    levels past the closure cap run as salted-cogroup equi-joins.
+    Synthetic small-N/huge-C regime simulated by shrinking the cap —
+    assignments must equal the closure path's bit-for-bit, because the
+    two paths share pivot sets, int64 scores, and tie-breaks."""
+
+    def _fixture(self, spark, n_cells=3000, n=200, dim=6):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        ci = rng.integers(-500, 500, (n_cells, dim)).astype(np.int64)
+        vi = rng.integers(-500, 500, (n, dim)).astype(np.int64)
+        cents = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in ci[i]], int((ci[i] * ci[i]).sum()))
+                for i in range(n_cells)
+            ],
+            "cell long, c array<long>, cn long",
+        ).localCheckpoint(eager=True)
+        v = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in vi[i]], int((vi[i] * vi[i]).sum()))
+                for i in range(n)
+            ],
+            "vec_id long, vi array<long>, xn long",
+        ).localCheckpoint(eager=True)
+        return v, cents
+
+    def _assign(self, spark, v, cents, n_cells, **kw):
+        from oroboro_dw_dbt_spark.operators.round7_suite import greedy_assign
+
+        return {
+            r["vec_id"]: r["cell"]
+            for r in greedy_assign(v, cents, n_cells, **kw).collect()
+        }
+
+    def test_no_closure_prefix_single_routed_level(self, spark, monkeypatch):
+        """cap below even level 1: the whole descent is one routed
+        level over a single global group — the degenerate floor."""
+        import oroboro_dw_dbt_spark.operators.round7_suite as r7
+
+        v, cents = self._fixture(spark)
+        base = self._assign(spark, v, cents, 3000)
+        monkeypatch.setattr(r7, "_DESCENT_MAX_PIVOT_ROWS", 40)
+        routed = self._assign(spark, v, cents, 3000)
+        assert routed == base and len(routed) == 200
+
+    def test_closure_prefix_plus_routed_level(self, spark, monkeypatch):
+        """fan-in 16 → d=3 ladder [15, 209]; cap 40 puts level 1 in
+        the closure and level 2 on the routed path. Same ladder, same
+        assignment as the all-closure run."""
+        import oroboro_dw_dbt_spark.operators.round7_suite as r7
+
+        v, cents = self._fixture(spark)
+        monkeypatch.setattr(r7, "_DESCENT_FANIN", 16)
+        assert r7._descent_level_sizes(3000) == r7._fanin_sizes(3000)
+        base = self._assign(spark, v, cents, 3000)
+        monkeypatch.setattr(r7, "_DESCENT_MAX_PIVOT_ROWS", 40)
+        routed = self._assign(spark, v, cents, 3000)
+        assert routed == base and len(routed) == 200
+
+    def test_two_routed_levels_and_multiprobe(self, spark, monkeypatch):
+        """fan-in 8 → d=4 ladder [8, 55, 405]; cap 30 routes TWO
+        levels (the pivot-chain annotation path), at nprobe 1 and 2."""
+        import oroboro_dw_dbt_spark.operators.round7_suite as r7
+
+        v, cents = self._fixture(spark)
+        monkeypatch.setattr(r7, "_DESCENT_FANIN", 8)
+        sizes = r7._fanin_sizes(3000)
+        assert len(sizes) == 3 and sizes[0] <= 30 < sizes[1] <= sizes[2]
+        base1 = self._assign(spark, v, cents, 3000)
+        base2 = self._assign(spark, v, cents, 3000, nprobe=2)
+        monkeypatch.setattr(r7, "_DESCENT_MAX_PIVOT_ROWS", 30)
+        assert self._assign(spark, v, cents, 3000) == base1
+        assert self._assign(spark, v, cents, 3000, nprobe=2) == base2
+
+    def test_salted_routed_equals_unsalted(self, spark, monkeypatch):
+        """n_rows forces salts > 1 on the routed cogroups; subgroup
+        minima of a min are the min, so victims are salt-invariant."""
+        import oroboro_dw_dbt_spark.operators.round7_suite as r7
+
+        v, cents = self._fixture(spark)
+        monkeypatch.setattr(r7, "_DESCENT_MAX_PIVOT_ROWS", 40)
+        unsalted = self._assign(spark, v, cents, 3000)
+        salted = self._assign(spark, v, cents, 3000, n_rows=1_000_000)
+        assert salted == unsalted
+
+    def test_routed_plan_has_no_broadcast_nested_loop(self, spark, monkeypatch):
+        import oroboro_dw_dbt_spark.operators.round7_suite as r7
+        from oroboro_dw_dbt_spark.operators.round7_suite import greedy_assign
+
+        v, cents = self._fixture(spark)
+        monkeypatch.setattr(r7, "_DESCENT_FANIN", 16)
+        monkeypatch.setattr(r7, "_DESCENT_MAX_PIVOT_ROWS", 40)
+        df = greedy_assign(v, cents, 3000, nprobe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_routed_empty_centroids(self, spark, monkeypatch):
+        import oroboro_dw_dbt_spark.operators.round7_suite as r7
+        from oroboro_dw_dbt_spark.operators.round7_suite import greedy_assign
+
+        v, _ = self._fixture(spark, n=10)
+        empty = spark.createDataFrame([], "cell long, c array<long>, cn long")
+        monkeypatch.setattr(r7, "_DESCENT_MAX_PIVOT_ROWS", 40)
+        assert greedy_assign(v, empty, 3000).count() == 0
 
 
 class TestSemDedupIvf:

@@ -38,9 +38,15 @@ def main() -> None:
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_greedy_recall.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf10"
-    probes = [
-        int(p) for p in (sys.argv[3] if len(sys.argv) > 3 else "1,2,4").split(",")
-    ]
+    # tokens: "4" = fixed nprobe 4; "m0.1:16" = adaptive margin 0.1
+    # with width cap 16 (VERDICT r10 Next #6)
+    probes: list[tuple[int, float | None]] = []
+    for tok in (sys.argv[3] if len(sys.argv) > 3 else "1,2,4").split(","):
+        if tok.startswith("m"):
+            m_s, _, cap_s = tok[1:].partition(":")
+            probes.append((int(cap_s or 16), float(m_s)))
+        else:
+            probes.append((int(tok), None))
     geometry = os.environ.get("SPARK_GRAFT_CENSUS_GEOMETRY", "uniform")
 
     from oroboro_dw_dbt_spark.operators.round7_suite import (
@@ -93,10 +99,13 @@ def main() -> None:
             F.transform(F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")),
         )
 
-    def run(assign: str, nprobe: int) -> tuple[float, set]:
+    def run(assign: str, nprobe: int, margin: float | None = None) -> tuple[float, set]:
         load0 = _host_load()
         t0 = time.monotonic()
-        sem = semdedup_ivf_core(build_v(), n_cells, assign=assign, nprobe=nprobe)
+        sem = semdedup_ivf_core(
+            build_v(), n_cells, assign=assign, nprobe=nprobe,
+            probe_margin=margin,
+        )
         victims = {
             r["vec_id"] for r in sem.where("keep = 0").select("vec_id").collect()
         }
@@ -114,13 +123,14 @@ def main() -> None:
         "wall": exact_wall, "victims": len(exact_v), "steal": steal,
     }
     greedy_wall = None
-    for p in probes:
-        wall, vic, steal = run("greedy", p)
-        if p == 1:
+    for p, margin in probes:
+        wall, vic, steal = run("greedy", p, margin)
+        if p == 1 and margin is None:
             greedy_wall = wall
+        key = f"greedy_np{p}" if margin is None else f"greedy_m{margin}x{p}"
         inter = len(exact_v & vic)
         union = len(exact_v | vic)
-        out["modes"][f"greedy_np{p}"] = {
+        out["modes"][key] = {
             "wall": wall,
             "victims": len(vic),
             "steal": steal,
@@ -130,7 +140,7 @@ def main() -> None:
             "speedup_vs_exact": round(exact_wall / wall, 2) if wall else None,
             "wall_vs_np1": round(wall / greedy_wall, 2) if greedy_wall else None,
         }
-        print(json.dumps({f"greedy_np{p}": out["modes"][f"greedy_np{p}"]}))
+        print(json.dumps({key: out["modes"][key]}))
 
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
