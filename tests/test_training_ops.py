@@ -710,6 +710,94 @@ class TestDataSelectionSignals:
             }
         assert out == {0: 1.0}
 
+    def test_quantized_log_inputs_clear_rounding_boundaries(self, spark):
+        """ADVICE r10: floor(log(x)·1e6 + 0.5) has a cross-engine flip
+        channel — a last-ulp libm difference between DuckDB and the
+        JVM flips the bucket when log(x)·1e6 + 0.5 lands within an ulp
+        of an integer. This pins, at the GATE corpora, that every
+        quantizer input clears the nearest boundary by ≥ 8 ulps, so a
+        ≤1-ulp libm divergence cannot flip a certified hash. Accepted
+        failure mode (documented here, per the advice): a future
+        corpus whose ratio lands inside that band would need the
+        quantum bumped or the entry relaxed to a rows-only check —
+        this test is the tripwire that says so BEFORE the driver gate
+        reddens."""
+        import numpy as np
+
+        from oroboro_dw_dbt_spark.operators.training_suite import _DSIR_B
+
+        def min_boundary_ulps(vals):
+            v = np.asarray(sorted(set(vals)), dtype=np.float64)
+            if len(v) == 0:
+                return np.inf
+            dist = np.abs(v - np.rint(v))
+            ulp = np.spacing(np.abs(v) + 1.0)
+            return float((dist / ulp).min())
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            docs = load_table(spark, sf, "documents")
+            # char entropy: log2 runs on distinct per-doc char counts
+            # and per-doc totals — exact integers on both engines
+            counts = (
+                docs.select(
+                    "doc_id",
+                    F.explode(
+                        F.expr(
+                            "CASE WHEN length(text) > 0 THEN"
+                            " transform(sequence(1, length(text)),"
+                            " i -> substring(text, i, 1))"
+                            " ELSE CAST(array() AS array<string>) END"
+                        )
+                    ).alias("c"),
+                )
+                .groupBy("doc_id", "c")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            cnts = {r["cnt"] for r in counts.select("cnt").distinct().collect()}
+            ns = {
+                r["n"]
+                for r in counts.groupBy("doc_id")
+                .agg(F.sum("cnt").alias("n"))
+                .select("n")
+                .distinct()
+                .collect()
+            }
+            ent_inputs = [np.log2(float(x)) * 1e6 + 0.5 for x in cnts | ns]
+            assert min_boundary_ulps(ent_inputs) >= 8.0
+
+            # DSIR: ln runs on the exact-integer smoothed ratio
+            from oroboro_dw_dbt_spark.operators.training_suite import (
+                _dsir_bucket,
+                tokens,
+            )
+
+            feats = docs.select(
+                "doc_id", "source", F.explode(tokens("text")).alias("t")
+            ).withColumn("b", _dsir_bucket(F.col("t")))
+            tgt_src = docs.agg(F.min("source").alias("s"))
+            raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+            tgt = (
+                feats.join(F.broadcast(tgt_src), F.col("source") == F.col("s"))
+                .groupBy("b")
+                .agg(F.count(F.lit(1)).alias("ct"))
+            )
+            n_r = raw.agg(F.sum("cr")).collect()[0][0]
+            n_t = tgt.agg(F.sum("ct")).collect()[0][0] or 0
+            pairs = {
+                (r["cr"], r["ct"] or 0)
+                for r in raw.join(tgt, "b", "left").collect()
+            }
+            lr_inputs = [
+                np.log(
+                    float((ct + 1) * (n_r + _DSIR_B))
+                    / float((cr + 1) * (n_t + _DSIR_B))
+                )
+                * 1e6
+                + 0.5
+                for cr, ct in pairs
+            ]
+            assert min_boundary_ulps(lr_inputs) >= 8.0
+
     def test_char_entropy_bounded_on_corpus(self, spark):
         from oroboro_dw_dbt_spark.operators import training_suite as ts
 
