@@ -968,13 +968,16 @@ def _routed_greedy_assign(
         st = closure_route(P, "cell", "c", "cn", 1)
         for j in range(i):
             st = _route_level(st, anns[j], 1, salts)
+        # each annotated level feeds ≥3 consumers (the pivot chain,
+        # the centroid grouping, the vector probe) — materialize once
+        # so the TopK selection + routing isn't re-derived per consumer
         anns.append(
             st.select(
                 "g",
                 F.col("id").alias("cell"),
                 F.col("vi").alias("c"),
                 F.col("n").alias("cn"),
-            )
+            ).localCheckpoint(eager=True)
         )
 
     # centroid grouping (p = 1) and the vector probe (p = nprobe)
