@@ -1004,7 +1004,10 @@ def _routed_greedy_assign(
 _GREEDY_GATE_G = _descent_level_sizes(_IVF_CELLS)[-1]
 
 
-def _greedy_assign_sql(src: str, out: str, g_n: int, nprobe: int = 1) -> str:
+def _greedy_assign_sql(
+    src: str, out: str, g_n: int, nprobe: int = 1,
+    margin: float | None = None,
+) -> str:
     """DuckDB restatement of one :func:`greedy_assign` round at the
     gate depth (d = 2): ``src`` is a CTE named (cell, c, cn); emits
     CTEs ``{out}piv`` (the md5-hash-sampled pivots), ``{out}cg``
@@ -1014,7 +1017,43 @@ def _greedy_assign_sql(src: str, out: str, g_n: int, nprobe: int = 1) -> str:
     groups, ties to the lowest cell id) — exactly the descent +
     cogroup-argmin + min_by fold the Spark kernels compute in int64.
     The probed pivot groups partition the cells, so the final
-    row_number argmin sees each candidate cell once at any nprobe."""
+    row_number argmin sees each candidate cell once at any nprobe.
+
+    ``margin``: the adaptive-multiprobe filter — a pivot survives
+    only when its TRUE squared distance (exact BIGINT: ‖x‖² + rel) is
+    ≤ (1+margin) × the vector's best. The single double multiply of
+    an exact sub-2⁵³ integer is identically rounded on both engines,
+    so the filter cannot drift cross-engine."""
+    if margin is None:
+        vg = f"""
+    {out}vg AS (
+      SELECT vec_id, g FROM (
+        SELECT x.vec_id, p.g,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY p.sgn - 2 * CAST(list_dot_product(x.vi, p.sg)
+                                           AS BIGINT),
+                          p.g) AS rk
+        FROM v x CROSS JOIN {out}piv p) t WHERE rk <= {nprobe}
+    ),"""
+    else:
+        vg = f"""
+    {out}vg AS (
+      SELECT vec_id, g FROM (
+        SELECT vec_id, g, d2,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY rel, g) AS rk,
+               min(d2) OVER (PARTITION BY vec_id) AS best
+        FROM (
+          SELECT x.vec_id, p.g,
+                 p.sgn - 2 * CAST(list_dot_product(x.vi, p.sg)
+                                  AS BIGINT) AS rel,
+                 CAST(list_dot_product(x.vi, x.vi) AS BIGINT) + p.sgn
+                   - 2 * CAST(list_dot_product(x.vi, p.sg)
+                              AS BIGINT) AS d2
+          FROM v x CROSS JOIN {out}piv p) s) t
+      WHERE rk <= {nprobe} AND d2 <= (1.0 + {margin}) * best
+    ),"""
     return f"""
     {out}piv AS (
       SELECT cell AS g, c AS sg, cn AS sgn FROM {src}
@@ -1029,17 +1068,7 @@ def _greedy_assign_sql(src: str, out: str, g_n: int, nprobe: int = 1) -> str:
                                            AS BIGINT),
                           p.g) AS rk
         FROM {src} s CROSS JOIN {out}piv p) t WHERE rk = 1
-    ),
-    {out}vg AS (
-      SELECT vec_id, g FROM (
-        SELECT x.vec_id, p.g,
-               row_number() OVER (
-                 PARTITION BY x.vec_id
-                 ORDER BY p.sgn - 2 * CAST(list_dot_product(x.vi, p.sg)
-                                           AS BIGINT),
-                          p.g) AS rk
-        FROM v x CROSS JOIN {out}piv p) t WHERE rk <= {nprobe}
-    ),
+    ),{vg}
     {out} AS (
       SELECT vec_id, cell FROM (
         SELECT x.vec_id, s.cell,
@@ -1217,6 +1246,92 @@ def dd_semdedup_ivf_greedy_np2(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = ivf_cells_capped(v.count())
     return semdedup_ivf_core(
         v, n_cells, assign="greedy", occupancy_cap=8 * 128, nprobe=2
+    )
+
+
+_MARGIN_GATE = 0.1  # certified adaptive-margin literal
+
+
+@query(
+    "dd_semdedup_ivf_greedy_margin",
+    # Adaptive multiprobe (VERDICT r10 Next #6), certified: identical
+    # pipeline to dd_semdedup_ivf_greedy but a pivot is probed only
+    # when its TRUE squared distance is within (1+0.1)× of the best
+    # (width-capped at 16 ≥ the gate's 4 pivots). The margin compare
+    # multiplies an exact sub-2⁵³ BIGINT by the same double literal on
+    # both engines — one identically-rounded IEEE op — so the filter
+    # cannot drift cross-engine.
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {_IVF_FP}) AS BIGINT)) AS vi
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS cell, vi AS c,
+             CAST(list_dot_product(vi, vi) AS BIGINT) AS cn
+      FROM v ORDER BY vec_id LIMIT {_IVF_CELLS}
+    ),
+    {_greedy_assign_sql("seeds", "a0", _GREEDY_GATE_G, nprobe=16, margin=_MARGIN_GATE)},
+    dims AS (
+      SELECT a0.cell, u.i AS i,
+             CAST(CAST(sum(x.vi[u.i]) AS BIGINT)
+                  // CAST(count(*) AS BIGINT) AS BIGINT) AS cd
+      FROM v x JOIN a0 ON a0.vec_id = x.vec_id,
+           unnest(range(1, {_IVF_DIM} + 1)) AS u(i)
+      GROUP BY a0.cell, u.i
+    ),
+    cents AS (
+      SELECT cell, list(cd ORDER BY i) AS c FROM dims GROUP BY cell
+    ),
+    cents2 AS (
+      SELECT cell, c, CAST(list_dot_product(c, c) AS BIGINT) AS cn
+      FROM cents
+    ),
+    {_greedy_assign_sql("cents2", "a1", _GREEDY_GATE_G, nprobe=16, margin=_MARGIN_GATE)},
+    b AS (
+      SELECT x.vec_id, a1.cell, x.v,
+             sqrt(list_dot_product(x.v, x.v)) AS nrm
+      FROM v x JOIN a1 ON a1.vec_id = x.vec_id
+    ),
+    dom AS (
+      SELECT c.vec_id AS victim, CAST(min(q.vec_id) AS BIGINT) AS removed_by
+      FROM b q JOIN b c ON q.cell = c.cell AND q.vec_id < c.vec_id
+      WHERE round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+            >= {_IVF_TAU}
+      GROUP BY c.vec_id
+    )
+    SELECT b.vec_id, CAST(b.cell AS INT) AS cell,
+           CAST(d.victim IS NULL AS INT) AS keep,
+           d.removed_by
+    FROM b LEFT JOIN dom d ON d.victim = b.vec_id
+    """,
+    survey_ref="beyond-reference: boundary-adaptive multiprobe greedy "
+    "SemDeDup — a pivot is probed only within (1+m)× of the best true "
+    "distance, so the multiprobe spend concentrates on boundary "
+    "vectors (VERDICT r10 Next #6)",
+)
+def dd_semdedup_ivf_greedy_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd_semdedup_ivf_greedy with ``probe_margin=0.1`` (cap 16): the
+    descent probes extra pivots only where the vector actually sits
+    near a pivot boundary — interior vectors keep paying nprobe-1
+    cost. The uniform-geometry recall census measures what the margin
+    buys per wall-second (SCALE.md r11)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+    ).withColumn(
+        "vi",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")
+        ),
+    )
+    n_cells = ivf_cells_capped(v.count())
+    return semdedup_ivf_core(
+        v, n_cells, assign="greedy", occupancy_cap=8 * 128, nprobe=16,
+        probe_margin=_MARGIN_GATE,
     )
 
 
