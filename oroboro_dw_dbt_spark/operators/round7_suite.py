@@ -906,6 +906,23 @@ def _routed_greedy_assign(
     spark = v.sparkSession
     salts = _salt_count(v, n_rows)
 
+    def level_salts(i: int) -> int:
+        """Per-level salt count: a salt replicates the ENTIRE level
+        table (oversized by definition here), so only salt where the
+        left side actually concentrates — i.e. when the previous
+        level has few parents. Deeper levels have ~level-size groups
+        and per-group left rows ≈ N·p/parents, which is already
+        task-sized; replicating a 10⁸-row level ×512 there would cost
+        more than the skew it prevents."""
+        if n_rows is None:
+            return 1
+        parents = (
+            closure_sizes[-1] if (i == 0 and closure_sizes)
+            else (1 if i == 0 else dist_sizes[i - 1])
+        )
+        per_group = max(1, (n_rows * max(1, nprobe)) // max(1, parents))
+        return max(1, min(salts, -(-per_group // _SALT_TARGET_ROWS)))
+
     levels = children = None
     if closure_sizes:
         pivot_rows = (
@@ -967,7 +984,7 @@ def _routed_greedy_assign(
         )
         st = closure_route(P, "cell", "c", "cn", 1)
         for j in range(i):
-            st = _route_level(st, anns[j], 1, salts)
+            st = _route_level(st, anns[j], 1, level_salts(j))
         # each annotated level feeds ≥3 consumers (the pivot chain,
         # the centroid grouping, the vector probe) — materialize once
         # so the TopK selection + routing isn't re-derived per consumer
@@ -983,8 +1000,8 @@ def _routed_greedy_assign(
     # centroid grouping (p = 1) and the vector probe (p = nprobe)
     # through the same ladder
     cent_state = closure_route(cent_df, "cell", "c", "cn", 1)
-    for ann in anns:
-        cent_state = _route_level(cent_state, ann, 1, salts)
+    for j, ann in enumerate(anns):
+        cent_state = _route_level(cent_state, ann, 1, level_salts(j))
     cent_side = cent_state.select(
         "g",
         F.col("id").alias("cell"),
@@ -992,8 +1009,8 @@ def _routed_greedy_assign(
         F.col("n").alias("cn"),
     )
     cand = closure_route(v, "vec_id", "vi", None, nprobe)
-    for ann in anns:
-        cand = _route_level(cand, ann, nprobe, salts)
+    for j, ann in enumerate(anns):
+        cand = _route_level(cand, ann, nprobe, level_salts(j))
     cand = cand.select(F.col("id").alias("vec_id"), "vi", "g")
     return _score_groups(cand, cent_side, salts)
 
