@@ -188,10 +188,15 @@ def minhash_lsh_pairs(
 
 
 # Candidate-id sets up to this many rows broadcast for the verify's
-# semi-join reduction (~32 MB of packed longs at the cap — well under
-# the session's 64 MB autoBroadcast threshold); beyond it the
-# reduction falls back to a shuffled semi-join that AQE sizes.
-_CAND_BCAST_MAX = 4_000_000
+# semi-join reduction (explicit F.broadcast hint — ~128 MB of packed
+# longs at the cap, fine for any executor and turning the verify's
+# corpus scan into a map-side filter with ZERO corpus shuffle); beyond
+# it the reduction falls back to a shuffled semi-join that AQE sizes.
+# Raised 4 M → 16 M after the first sf1000 attempt died on disk: at
+# 50 M docs a star-candidate set can clear 4 M on ordinary dup rates,
+# and the fallback's price there is re-shuffling corpus text — GBs of
+# shuffle files against a 128 MB broadcast.
+_CAND_BCAST_MAX = 16_000_000
 
 # --- auto-selection of the verify/checkpoint spelling ----------------
 # Measured per-doc footprint of the carry spelling's checkpoint

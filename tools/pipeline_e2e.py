@@ -85,8 +85,25 @@ def main() -> None:
     # rung. lz4-compressing serialized blocks trades a little CPU in a
     # stage that is md5-bound anyway for ~3-4× disk. Executor-local
     # disks on a cluster see the same ratio.
-    extra = {"spark.rdd.compress": "true"} if ckpt_level == "disk" else None
-    spark = get_spark("pipeline_e2e", extra_conf=extra)
+    extra = None
+    n_shuffle = None
+    if ckpt_level == "disk":
+        extra = {
+            "spark.rdd.compress": "true",
+            # shuffle files of a truncated lineage (everything behind
+            # an eager checkpoint) are garbage the cleaner only
+            # reclaims after a JVM GC; the default 30 min periodicGC
+            # let ~15 GB of dead shuffle files coexist with the live
+            # stage at the first sf1000 attempt (disk-full abort).
+            "spark.cleaner.periodicGC.interval": "2min",
+        }
+        # ≥ 2× defaultParallelism shuffle partitions: (a) ~75 MB not
+        # ~600 MB per reduce partition at 50 M docs, (b) the corpus
+        # checkpoint inherits enough partitions that the LSH stage's
+        # "too few splits" guard never pays a 19 GB corpus-text
+        # repartition shuffle just to widen parallelism.
+        n_shuffle = 256
+    spark = get_spark("pipeline_e2e", shuffle_partitions=n_shuffle, extra_conf=extra)
     spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
 
     def free_dead_state():
@@ -133,6 +150,11 @@ def main() -> None:
     corpus = ckpt(docs.join(q.where("keep").select("doc_id"), "doc_id"))
     counts["corpus"] = corpus.count()
     stages["quality_filter"] = round(time.monotonic() - t0, 3)
+    # the checkpoint truncated the lineage: the quality join's corpus
+    # shuffle is dead NOW — reclaim it before the LSH stage needs the
+    # same disk, not at the next stage boundary
+    docs = q = None
+    free_dead_state()
 
     # -- 2. near-dup removal ----------------------------------------------
     # star spelling, lean materialization: the pair spelling measured
