@@ -644,6 +644,7 @@ def greedy_assign(
     n_rows: int | None = None,
     nprobe: int = 1,
     probe_margin: float | None = None,
+    group_spill: float | None = None,
 ) -> DataFrame:
     """Deterministic d-level GREEDY nearest-centroid descent:
     vector → nearest of n_1 = ⌈C^(1/d)⌉ level-1 pivots → nearest
@@ -673,6 +674,18 @@ def greedy_assign(
     margin spends the extra groups exactly there — the uniform-
     geometry census reaches the same recall at a fraction of the
     wall (SCALE.md r11 census). None = fixed top-nprobe (certified).
+
+    ``group_spill`` (cell-side multi-assignment, SOAR-style): a CELL
+    joins every pivot group within (1+m)× of its best — so even an
+    nprobe=1 vector sees neighboring groups' boundary cells. The
+    complementary recall lever to the vector-side knobs: no
+    per-vector fan-out, no fold; cost = duplicated boundary cells in
+    the group tables (group sizes grow by the spill factor). The
+    grouping stops being a partition, which is fine: a vector may
+    score a spilled cell through two groups and min_by folds the
+    duplicate (score, cell) rows exactly. Centroid-GROUPING for the
+    Lloyd update is unaffected — spill only widens what the final
+    argmin sees.
 
     This is the pipeline's cells ∝ N operating point (pairs with
     :func:`ivf_cells_capped`). It is NOT exact nearest-centroid — a
@@ -709,10 +722,10 @@ def greedy_assign(
         # C > cap² (~6.9×10¹⁰ cells): no closure-sized ladder exists.
         # Route the oversized levels as distributed tables instead of
         # raising (VERDICT r10 Next #5) — same descent, same victims.
-        if probe_margin is not None:
+        if probe_margin is not None or group_spill is not None:
             raise ValueError(
-                "probe_margin is not wired on the distributed-routing "
-                "descent; use fixed nprobe at this C"
+                "probe_margin/group_spill are not wired on the "
+                "distributed-routing descent; use fixed nprobe at this C"
             )
         return _routed_greedy_assign(v, cent_df, n_cells, n_rows, nprobe)
     pivot_rows = (
@@ -731,16 +744,20 @@ def greedy_assign(
         return _closure_descend(levels, children, mat, p, m)
 
     def group_cents(batches):
+        spill_cap = 8 if group_spill is not None else 1
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cm = np.stack(pdf["c"].to_numpy()).astype(np.int64, copy=False)
+            gs = _descend(cm, spill_cap, group_spill)
+            reps = (gs >= 0).sum(axis=1)
+            idx = np.repeat(np.arange(len(pdf)), reps)
             yield pd.DataFrame(
                 {
-                    "g": _descend(cm, 1)[:, 0],
-                    "cell": pdf["cell"].to_numpy(dtype=np.int64),
-                    "c": pdf["c"],
-                    "cn": pdf["cn"].to_numpy(dtype=np.int64),
+                    "g": gs[gs >= 0],
+                    "cell": pdf["cell"].to_numpy(dtype=np.int64)[idx],
+                    "c": pdf["c"].to_numpy()[idx],
+                    "cn": pdf["cn"].to_numpy(dtype=np.int64)[idx],
                 }
             )
 
@@ -1514,6 +1531,7 @@ def semdedup_ivf_core(
     occupancy_cap: int | None = None,
     nprobe: int = 1,
     probe_margin: float | None = None,
+    group_spill: float | None = None,
 ) -> DataFrame:
     """The reusable trained-cell SemDeDup pipeline: seed → assign →
     exact integer Lloyd update → re-assign → per-cell GEMM dominance.
@@ -1549,7 +1567,7 @@ def semdedup_ivf_core(
         def assign_fn(v_, cent_, n_, n_rows=None):
             return greedy_assign(
                 v_, cent_, n_, n_rows=n_rows, nprobe=nprobe,
-                probe_margin=probe_margin,
+                probe_margin=probe_margin, group_spill=group_spill,
             )
     # ‖x‖² once per vector: both hierarchical assignments' pruning
     # bounds need it, and it checkpoints with the rest of the frame

@@ -606,6 +606,55 @@ class TestGreedyAssign:
         sat = cells(nprobe=n_cells, probe_margin=1e12)
         assert sat == expect  # saturating margin = exact argmin
 
+    def test_group_spill_pointwise_and_saturates(self, spark):
+        """group_spill (cell-side multi-assignment): (a) pointwise at
+        least as good as np1 — spilled groups are supersets, so the
+        argmin can only improve; (b) a saturating spill (every cell in
+        every one of ≤8 pivot groups) collapses np1 to the exact flat
+        argmin; (c) deterministic."""
+        import numpy as np
+
+        from oroboro_dw_dbt_spark.operators.round7_suite import greedy_assign
+
+        rng = np.random.default_rng(41)
+        n, n_cells, dim = 300, 48, 8  # G = ceil(sqrt(48)) = 7 <= 8
+        vi = rng.integers(-(10**6), 10**6, (n, dim)).astype(np.int64)
+        ci = rng.integers(-(10**6), 10**6, (n_cells, dim)).astype(np.int64)
+        v = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in vi[i]], int((vi[i] * vi[i]).sum()))
+                for i in range(n)
+            ],
+            "vec_id long, vi array<long>, xn long",
+        ).localCheckpoint(eager=True)
+        cents = spark.createDataFrame(
+            [
+                (int(i), [int(x) for x in ci[i]], int((ci[i] * ci[i]).sum()))
+                for i in range(n_cells)
+            ],
+            "cell long, c array<long>, cn long",
+        ).localCheckpoint(eager=True)
+        cn = (ci * ci).sum(axis=1)
+
+        def cells(**kw):
+            return {
+                r["vec_id"]: r["cell"]
+                for r in greedy_assign(v, cents, n_cells, **kw).collect()
+            }
+
+        def dist(m):
+            return {i: int(cn[c] - 2 * (vi[i] @ ci[c])) for i, c in m.items()}
+
+        one = dist(cells())
+        sp = cells(group_spill=0.1)
+        dsp = dist(sp)
+        assert set(dsp) == set(one) == set(range(n))
+        assert all(dsp[i] <= one[i] for i in one)
+        assert sp == cells(group_spill=0.1)  # deterministic
+        scores = cn[None, :] - 2 * (vi @ ci.T)
+        expect = {i: int(scores[i].argmin()) for i in range(n)}
+        assert cells(group_spill=1e12) == expect  # saturating spill
+
     def test_core_greedy_keep_semantics(self, spark):
         from oroboro_dw_dbt_spark.operators.round7_suite import (
             semdedup_ivf_core,

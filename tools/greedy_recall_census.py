@@ -39,14 +39,20 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_greedy_recall.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf10"
     # tokens: "4" = fixed nprobe 4; "m0.1:16" = adaptive margin 0.1
-    # with width cap 16 (VERDICT r10 Next #6)
-    probes: list[tuple[int, float | None]] = []
+    # with width cap 16 (VERDICT r10 Next #6); an ":sX" suffix adds
+    # cell-side spill margin X (SOAR-style multi-assignment), e.g.
+    # "1:s0.1" = np1 with spill 0.1, "m0.1:8:s0.2" = both knobs
+    probes: list[tuple[int, float | None, float | None]] = []
     for tok in (sys.argv[3] if len(sys.argv) > 3 else "1,2,4").split(","):
+        spill = None
+        if ":s" in tok:
+            tok, _, sp = tok.rpartition(":s")
+            spill = float(sp)
         if tok.startswith("m"):
             m_s, _, cap_s = tok[1:].partition(":")
-            probes.append((int(cap_s or 16), float(m_s)))
+            probes.append((int(cap_s or 16), float(m_s), spill))
         else:
-            probes.append((int(tok), None))
+            probes.append((int(tok), None, spill))
     geometry = os.environ.get("SPARK_GRAFT_CENSUS_GEOMETRY", "uniform")
 
     from oroboro_dw_dbt_spark.operators.round7_suite import (
@@ -99,12 +105,15 @@ def main() -> None:
             F.transform(F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")),
         )
 
-    def run(assign: str, nprobe: int, margin: float | None = None) -> tuple[float, set]:
+    def run(
+        assign: str, nprobe: int, margin: float | None = None,
+        spill: float | None = None,
+    ) -> tuple[float, set]:
         load0 = _host_load()
         t0 = time.monotonic()
         sem = semdedup_ivf_core(
             build_v(), n_cells, assign=assign, nprobe=nprobe,
-            probe_margin=margin,
+            probe_margin=margin, group_spill=spill,
         )
         victims = {
             r["vec_id"] for r in sem.where("keep = 0").select("vec_id").collect()
@@ -123,11 +132,13 @@ def main() -> None:
         "wall": exact_wall, "victims": len(exact_v), "steal": steal,
     }
     greedy_wall = None
-    for p, margin in probes:
-        wall, vic, steal = run("greedy", p, margin)
-        if p == 1 and margin is None:
+    for p, margin, spill in probes:
+        wall, vic, steal = run("greedy", p, margin, spill)
+        if p == 1 and margin is None and spill is None:
             greedy_wall = wall
         key = f"greedy_np{p}" if margin is None else f"greedy_m{margin}x{p}"
+        if spill is not None:
+            key += f"_s{spill}"
         inter = len(exact_v & vic)
         union = len(exact_v | vic)
         out["modes"][key] = {
