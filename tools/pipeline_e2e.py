@@ -225,6 +225,12 @@ def main() -> None:
         # probe the best nprobe pivots per descent level at ~nprobe×
         # the probe cost, still ≪ the exact path's C dots per vector
         nprobe = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_NPROBE", "1"))
+        # recall knobs (SCALE.md r11 census): adaptive vector-side
+        # margin and cell-side spill; unset = the certified np1 point
+        margin_s = os.environ.get("SPARK_GRAFT_SEMDEDUP_MARGIN")
+        spill_s = os.environ.get("SPARK_GRAFT_SEMDEDUP_SPILL")
+        probe_margin = float(margin_s) if margin_s else None
+        group_spill = float(spill_s) if spill_s else None
         n_cells = ivf_cells_capped(n_vec, occ)
         # compact storage (default ON): v as array<float>, vi as
         # array<int> — halves the corpus checkpoint the stage pins
@@ -243,7 +249,8 @@ def main() -> None:
         # is what the cap bounds to N·cap
         sem = semdedup_ivf_core(
             v, n_cells, assign="greedy", occupancy_cap=8 * occ,
-            nprobe=nprobe,
+            nprobe=nprobe, probe_margin=probe_margin,
+            group_spill=group_spill,
         )
     sem_victims = sem.where("keep = 0").select(
         F.col("vec_id").alias("doc_id")
