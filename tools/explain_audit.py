@@ -68,6 +68,11 @@ NESTED_LOOP_OK = {
     # same shape: per-iteration dangling-mass scalar (1-row aggregate)
     # broadcast-crossed onto the |V|-row rank state
     "gr_pagerank",
+    # same shape: the (n_r, n_t) token-total scalar (1-row aggregate)
+    # broadcast-crossed onto the ≤B-row DSIR likelihood-ratio dim —
+    # rows never multiply; the corpus-sized stream only ever meets the
+    # ≤B-row lr dim in a broadcast HASH join on b
+    "t_dsir_weights",
     # same shape: the global value total (1-row aggregate of the
     # per-part frame) broadcast-crossed back for the HAVING threshold
     # (TPC-H Q11's uncorrelated scalar subquery)
