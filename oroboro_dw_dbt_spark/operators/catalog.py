@@ -165,9 +165,16 @@ FRESH_PRIORITY: tuple[str, ...] = (
 # dd_minhash_lsh_star via minhash_lsh_victims' arg validation +
 # auto-spelling hook (computation on the certified call path is
 # unchanged, but the function body was edited).
+# Also this round: greedy_assign was refactored (closure helpers
+# extracted, hierarchical children — identical for d ≤ 3 ladders,
+# margin/spill plumbing, routed-descent dispatch), so the two greedy
+# entries' bodies changed while their certified-path results are
+# oracle-CLI-verified bit-identical; they re-earn driver rows anyway.
 RECERTIFY: tuple[str, ...] = (
     "t_char_entropy",
     "dd_minhash_lsh_star",
+    "dd_semdedup_ivf_greedy",
+    "dd_semdedup_ivf_greedy_np2",
 )
 
 
