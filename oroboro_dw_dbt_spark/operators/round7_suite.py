@@ -645,6 +645,7 @@ def greedy_assign(
     nprobe: int = 1,
     probe_margin: float | None = None,
     group_spill: float | None = None,
+    spill_cap: int = 8,
 ) -> DataFrame:
     """Deterministic d-level GREEDY nearest-centroid descent:
     vector → nearest of n_1 = ⌈C^(1/d)⌉ level-1 pivots → nearest
@@ -685,7 +686,12 @@ def greedy_assign(
     score a spilled cell through two groups and min_by folds the
     duplicate (score, cell) rows exactly. Centroid-GROUPING for the
     Lloyd update is unaffected — spill only widens what the final
-    argmin sees.
+    argmin sees. Spill membership is width-capped at ``spill_cap``
+    (default 8) groups per cell per level (ADVICE r11: the cap used
+    to be silent) — for ladders whose per-level fan-in exceeds the
+    cap a wide spill margin silently saturates at spill_cap groups;
+    raise it explicitly for large-C censuses that assume uncapped
+    spill. The DuckDB oracle restates the same cap.
 
     This is the pipeline's cells ∝ N operating point (pairs with
     :func:`ivf_cells_capped`). It is NOT exact nearest-centroid — a
@@ -744,12 +750,12 @@ def greedy_assign(
         return _closure_descend(levels, children, mat, p, m)
 
     def group_cents(batches):
-        spill_cap = 8 if group_spill is not None else 1
+        cap = spill_cap if group_spill is not None else 1
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cm = np.stack(pdf["c"].to_numpy()).astype(np.int64, copy=False)
-            gs = _descend(cm, spill_cap, group_spill)
+            gs = _descend(cm, cap, group_spill)
             reps = (gs >= 0).sum(axis=1)
             idx = np.repeat(np.arange(len(pdf)), reps)
             yield pd.DataFrame(
@@ -1040,7 +1046,8 @@ _GREEDY_GATE_G = _descent_level_sizes(_IVF_CELLS)[-1]
 
 def _greedy_assign_sql(
     src: str, out: str, g_n: int, nprobe: int = 1,
-    margin: float | None = None,
+    margin: float | None = None, spill: float | None = None,
+    spill_cap: int = 8,
 ) -> str:
     """DuckDB restatement of one :func:`greedy_assign` round at the
     gate depth (d = 2): ``src`` is a CTE named (cell, c, cn); emits
@@ -1057,7 +1064,16 @@ def _greedy_assign_sql(
     only when its TRUE squared distance (exact BIGINT: ‖x‖² + rel) is
     ≤ (1+margin) × the vector's best. The single double multiply of
     an exact sub-2⁵³ integer is identically rounded on both engines,
-    so the filter cannot drift cross-engine."""
+    so the filter cannot drift cross-engine.
+
+    ``spill``: the cell-side multi-assignment knob (group_spill) — a
+    CELL joins every pivot group within (1+spill)× of its best true
+    squared distance (exact BIGINT: ‖cell‖² + rel), width-capped at
+    ``spill_cap`` (the runtime kernel's cap; can't bind at the gate's
+    4 pivots). The grouping stops being a partition, so the final
+    argmin may see a spilled cell through several groups — the tied
+    (score, cell) rows project identically, so the rk = 1 pick stays
+    deterministic, mirroring the Spark min_by fold of duplicates."""
     if margin is None:
         vg = f"""
     {out}vg AS (
@@ -1088,11 +1104,8 @@ def _greedy_assign_sql(
           FROM v x CROSS JOIN {out}piv p) s) t
       WHERE rk <= {nprobe} AND d2 <= (1.0 + {margin}) * best
     ),"""
-    return f"""
-    {out}piv AS (
-      SELECT cell AS g, c AS sg, cn AS sgn FROM {src}
-      ORDER BY md5('pv|' || CAST(cell AS VARCHAR)), cell LIMIT {g_n}
-    ),
+    if spill is None:
+        cg = f"""
     {out}cg AS (
       SELECT cell, c, cn, g FROM (
         SELECT s.cell, s.c, s.cn, p.g,
@@ -1102,7 +1115,29 @@ def _greedy_assign_sql(
                                            AS BIGINT),
                           p.g) AS rk
         FROM {src} s CROSS JOIN {out}piv p) t WHERE rk = 1
-    ),{vg}
+    ),"""
+    else:
+        cg = f"""
+    {out}cg AS (
+      SELECT cell, c, cn, g FROM (
+        SELECT cell, c, cn, g, d2,
+               row_number() OVER (
+                 PARTITION BY cell ORDER BY rel, g) AS rk,
+               min(d2) OVER (PARTITION BY cell) AS best
+        FROM (
+          SELECT s.cell, s.c, s.cn, p.g,
+                 p.sgn - 2 * CAST(list_dot_product(s.c, p.sg)
+                                  AS BIGINT) AS rel,
+                 s.cn + p.sgn - 2 * CAST(list_dot_product(s.c, p.sg)
+                                         AS BIGINT) AS d2
+          FROM {src} s CROSS JOIN {out}piv p) s0) t
+      WHERE rk <= {spill_cap} AND d2 <= (1.0 + {spill}) * best
+    ),"""
+    return f"""
+    {out}piv AS (
+      SELECT cell AS g, c AS sg, cn AS sgn FROM {src}
+      ORDER BY md5('pv|' || CAST(cell AS VARCHAR)), cell LIMIT {g_n}
+    ),{cg}{vg}
     {out} AS (
       SELECT vec_id, cell FROM (
         SELECT x.vec_id, s.cell,
@@ -1369,6 +1404,145 @@ def dd_semdedup_ivf_greedy_margin(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_SPILL_GATE = 0.3  # certified group-spill literal (SCALE.md census point)
+
+
+def _greedy_entry_oracle(
+    nprobe: int = 1, margin: float | None = None, spill: float | None = None
+) -> str:
+    """The shared DuckDB skeleton of every greedy-SemDeDup catalog
+    entry (seed → descend → exact integer Lloyd → re-descend → per-
+    cell dominance), parameterized on the descent knobs. The three
+    r09–r11 entries predate this helper and carry the same skeleton
+    as literals; equality for their knob points is pytest-pinned so
+    the two spellings can never drift."""
+    a0 = _greedy_assign_sql(
+        "seeds", "a0", _GREEDY_GATE_G, nprobe=nprobe, margin=margin,
+        spill=spill,
+    )
+    a1 = _greedy_assign_sql(
+        "cents2", "a1", _GREEDY_GATE_G, nprobe=nprobe, margin=margin,
+        spill=spill,
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {_IVF_FP}) AS BIGINT)) AS vi
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS cell, vi AS c,
+             CAST(list_dot_product(vi, vi) AS BIGINT) AS cn
+      FROM v ORDER BY vec_id LIMIT {_IVF_CELLS}
+    ),
+    {a0},
+    dims AS (
+      SELECT a0.cell, u.i AS i,
+             CAST(CAST(sum(x.vi[u.i]) AS BIGINT)
+                  // CAST(count(*) AS BIGINT) AS BIGINT) AS cd
+      FROM v x JOIN a0 ON a0.vec_id = x.vec_id,
+           unnest(range(1, {_IVF_DIM} + 1)) AS u(i)
+      GROUP BY a0.cell, u.i
+    ),
+    cents AS (
+      SELECT cell, list(cd ORDER BY i) AS c FROM dims GROUP BY cell
+    ),
+    cents2 AS (
+      SELECT cell, c, CAST(list_dot_product(c, c) AS BIGINT) AS cn
+      FROM cents
+    ),
+    {a1},
+    b AS (
+      SELECT x.vec_id, a1.cell, x.v,
+             sqrt(list_dot_product(x.v, x.v)) AS nrm
+      FROM v x JOIN a1 ON a1.vec_id = x.vec_id
+    ),
+    dom AS (
+      SELECT c.vec_id AS victim, CAST(min(q.vec_id) AS BIGINT) AS removed_by
+      FROM b q JOIN b c ON q.cell = c.cell AND q.vec_id < c.vec_id
+      WHERE round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+            >= {_IVF_TAU}
+      GROUP BY c.vec_id
+    )
+    SELECT b.vec_id, CAST(b.cell AS INT) AS cell,
+           CAST(d.victim IS NULL AS INT) AS keep,
+           d.removed_by
+    FROM b LEFT JOIN dom d ON d.victim = b.vec_id
+    """
+
+
+def _load_greedy_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+    ).withColumn(
+        "vi",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")
+        ),
+    )
+
+
+@query(
+    "dd_semdedup_ivf_greedy_spill",
+    # Cell-side spill (SOAR-style multi-assignment), certified
+    # (VERDICT r11 Next #1): identical pipeline to
+    # dd_semdedup_ivf_greedy but a CELL joins every pivot group
+    # within (1+0.3)× of its best true squared distance (cap 8 ≥ the
+    # gate's 4 pivots, so the cap cannot bind). The spill compare
+    # multiplies an exact sub-2⁵³ BIGINT by the same double literal
+    # on both engines — one identically-rounded IEEE op.
+    oracle=_greedy_entry_oracle(spill=_SPILL_GATE),
+    survey_ref="beyond-reference: cell-side spill greedy SemDeDup — "
+    "boundary cells join every pivot group within (1+s)× of their "
+    "best, so even an nprobe=1 vector sees neighboring groups' "
+    "boundary cells (VERDICT r11 Next #1; the recall lever the "
+    "production pipeline engages via --group-spill)",
+)
+def dd_semdedup_ivf_greedy_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd_semdedup_ivf_greedy with ``group_spill=0.3``: the recall
+    knob the r11 census measured (uniform floor 0.849 at 1.35× np1
+    for spill alone; SCALE.md). Certifies the exact code path
+    tools/pipeline_e2e.py engages with --group-spill 0.3."""
+    v = _load_greedy_vectors(spark, sf_dir)
+    n_cells = ivf_cells_capped(v.count())
+    return semdedup_ivf_core(
+        v, n_cells, assign="greedy", occupancy_cap=8 * 128,
+        group_spill=_SPILL_GATE,
+    )
+
+
+@query(
+    "dd_semdedup_ivf_greedy_ms",
+    # THE headline recall configuration (m0.1 + s0.3 — the operating
+    # point SCALE.md leads with: uniform-floor recall 0.882 at 1.75×
+    # np1, clustered geometry bit-exact vs the exact assignment),
+    # certified end-to-end (VERDICT r11 Next #1): vector-side margin
+    # AND cell-side spill composed in one descent.
+    oracle=_greedy_entry_oracle(
+        nprobe=16, margin=_MARGIN_GATE, spill=_SPILL_GATE
+    ),
+    survey_ref="beyond-reference: the pipeline's headline recall "
+    "operating point — adaptive vector margin (m=0.1, cap 16) + "
+    "cell spill (s=0.3) composed; the spelling the sf1000 rung runs "
+    "(VERDICT r11 Next #1)",
+)
+def dd_semdedup_ivf_greedy_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd_semdedup_ivf_greedy with BOTH recall knobs — probe_margin
+    0.1 (cap 16) and group_spill 0.3 — the m0.1+s0.3 census point
+    SCALE.md's banner number rides. Until r12 this exact spelling was
+    pytest-pinned only; this entry gives it the same hash-green
+    driver row as every other dedup spelling."""
+    v = _load_greedy_vectors(spark, sf_dir)
+    n_cells = ivf_cells_capped(v.count())
+    return semdedup_ivf_core(
+        v, n_cells, assign="greedy", occupancy_cap=8 * 128, nprobe=16,
+        probe_margin=_MARGIN_GATE, group_spill=_SPILL_GATE,
+    )
+
+
 @query(
     "dd_semdedup_ivf",
     # Quantizer arithmetic is exact end-to-end: micro-scaled BIGINT
@@ -1532,6 +1706,7 @@ def semdedup_ivf_core(
     nprobe: int = 1,
     probe_margin: float | None = None,
     group_spill: float | None = None,
+    spill_cap: int = 8,
 ) -> DataFrame:
     """The reusable trained-cell SemDeDup pipeline: seed → assign →
     exact integer Lloyd update → re-assign → per-cell GEMM dominance.
@@ -1568,6 +1743,7 @@ def semdedup_ivf_core(
             return greedy_assign(
                 v_, cent_, n_, n_rows=n_rows, nprobe=nprobe,
                 probe_margin=probe_margin, group_spill=group_spill,
+                spill_cap=spill_cap,
             )
     # ‖x‖² once per vector: both hierarchical assignments' pruning
     # bounds need it, and it checkpoints with the rest of the frame

@@ -654,6 +654,38 @@ class TestGreedyAssign:
         scores = cn[None, :] - 2 * (vi @ ci.T)
         expect = {i: int(scores[i].argmin()) for i in range(n)}
         assert cells(group_spill=1e12) == expect  # saturating spill
+        # spill_cap (ADVICE r11): the width cap is explicit now —
+        # cap 1 forces best-group-only membership, i.e. plain np1,
+        # even under a saturating margin
+        assert cells(group_spill=1e12, spill_cap=1) == cells()
+
+    def test_greedy_oracle_helper_matches_literals(self):
+        """_greedy_entry_oracle (r12) parameterizes the skeleton the
+        r09–r11 entries carry as literals; the certified knob points
+        must reproduce those literals BYTE-for-byte, so the two
+        spellings can never drift (the new spill/ms entries are the
+        helper's output at their own knob points)."""
+        import oroboro_dw_dbt_spark.operators.round7_suite as r7
+        from oroboro_dw_dbt_spark.operators.catalog import QUERIES
+
+        assert r7._greedy_entry_oracle() == QUERIES[
+            "dd_semdedup_ivf_greedy"
+        ].oracle
+        assert r7._greedy_entry_oracle(nprobe=2) == QUERIES[
+            "dd_semdedup_ivf_greedy_np2"
+        ].oracle
+        assert r7._greedy_entry_oracle(
+            nprobe=16, margin=r7._MARGIN_GATE
+        ) == QUERIES["dd_semdedup_ivf_greedy_margin"].oracle
+        # the new entries ARE helper outputs at their knob points
+        assert QUERIES["dd_semdedup_ivf_greedy_spill"].oracle == (
+            r7._greedy_entry_oracle(spill=r7._SPILL_GATE)
+        )
+        assert QUERIES["dd_semdedup_ivf_greedy_ms"].oracle == (
+            r7._greedy_entry_oracle(
+                nprobe=16, margin=r7._MARGIN_GATE, spill=r7._SPILL_GATE
+            )
+        )
 
     def test_core_greedy_keep_semantics(self, spark):
         from oroboro_dw_dbt_spark.operators.round7_suite import (
