@@ -597,7 +597,15 @@ def _closure_descend(levels, children, mat, p, margin=None):
         # group rows by their probed-parent tuple: each group
         # scores ONE merged candidate set with ONE sub-GEMM
         keys, inv = np.unique(cur, axis=0, return_inverse=True)
-        nxt = np.full((len(mat), cur.shape[1]), -1, dtype=np.int64)
+        # width = min(p, level size), NOT the previous level's width:
+        # a ladder whose level 0 is narrower than p (15 pivots, p=16)
+        # can still merge ≥ p candidates at level 1 — allocating at
+        # cur.shape[1] made the take assignment crash there (found by
+        # the r12 routed margin/spill equality tests; unreachable for
+        # every certified entry — the gate ladder is single-level)
+        nxt = np.full(
+            (len(mat), min(p, len(levels[i][0]))), -1, dtype=np.int64
+        )
         width = 0
         for kidx in range(len(keys)):
             rows = np.flatnonzero(inv == kidx)
@@ -728,12 +736,14 @@ def greedy_assign(
         # C > cap² (~6.9×10¹⁰ cells): no closure-sized ladder exists.
         # Route the oversized levels as distributed tables instead of
         # raising (VERDICT r10 Next #5) — same descent, same victims.
-        if probe_margin is not None or group_spill is not None:
-            raise ValueError(
-                "probe_margin/group_spill are not wired on the "
-                "distributed-routing descent; use fixed nprobe at this C"
-            )
-        return _routed_greedy_assign(v, cent_df, n_cells, n_rows, nprobe)
+        # margin/spill compose with the routing since r12 (VERDICT r11
+        # Next #3): the routed kernels carry true norms, so the same
+        # (1+m)× filter runs after each level's cross-group fold.
+        return _routed_greedy_assign(
+            v, cent_df, n_cells, n_rows, nprobe,
+            probe_margin=probe_margin, group_spill=group_spill,
+            spill_cap=spill_cap,
+        )
     pivot_rows = (
         cent_df.orderBy(_pivot_hash_col(), "cell")
         .limit(sizes[-1])
@@ -792,7 +802,10 @@ def greedy_assign(
     return _score_groups(cand, cent_side, _salt_count(v, n_rows))
 
 
-def _route_level(left: DataFrame, pivots_ann: DataFrame, p: int, salts: int) -> DataFrame:
+def _route_level(
+    left: DataFrame, pivots_ann: DataFrame, p: int, salts: int,
+    margin: float | None = None,
+) -> DataFrame:
     """One DISTRIBUTED descent level: ``left`` (id, vi, n, g) meets
     the level's parent-annotated pivot table ``pivots_ann``
     (g, cell, c, cn) in a salted cogroup on g — the equi-join spelling
@@ -802,7 +815,17 @@ def _route_level(left: DataFrame, pivots_ann: DataFrame, p: int, salts: int) -> 
     union's top-p because the groups partition the candidates, and
     the (score, cell) struct sort reproduces the closure path's
     stable lowest-cell tie-break bit-for-bit. Returns the same
-    (id, vi, n, g) shape with g = the new parent pivot's cell id."""
+    (id, vi, n, g) shape with g = the new parent pivot's cell id.
+
+    ``margin`` (VERDICT r11 Next #3): the (1+m)× true-distance filter
+    the closure kernel applies inside ``_take``, re-spelled AFTER the
+    cross-group fold — the fold's sorted top-p is the same merged
+    candidate set the closure level sees, its head is the same global
+    best (lowest-cell ties included), and d² = n + score is the same
+    exact sub-2⁵³ BIGINT, so long→double + one IEEE multiply round
+    identically on both paths. Requires ``left.n`` to be the TRUE
+    ‖row‖² (the margin-blind probe passes n = 0, which only shifts
+    scores uniformly and never reaches a filter)."""
     import numpy as np
     import pandas as pd
 
@@ -869,18 +892,29 @@ def _route_level(left: DataFrame, pivots_ann: DataFrame, p: int, salts: int) -> 
             )
             .select("id", "m.vi", "m.n", "m.g")
         )
-    return (
-        scored.groupBy("id")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct("score", "g", "vi", "n"))
-                ),
-                1,
-                p,
-            ).alias("ms")
+    agged = scored.groupBy("id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct("score", "g", "vi", "n"))
+            ),
+            1,
+            p,
+        ).alias("ms")
+    )
+    if margin is not None:
+        best = F.element_at(F.col("ms"), 1)
+        thr = F.lit(1.0 + margin) * (
+            (best["score"] + best["n"]).cast("double")
         )
-        .select("id", F.explode("ms").alias("m"))
+        agged = agged.withColumn(
+            "ms",
+            F.filter(
+                "ms",
+                lambda x: (x["score"] + x["n"]).cast("double") <= thr,
+            ),
+        )
+    return (
+        agged.select("id", F.explode("ms").alias("m"))
         .select("id", "m.vi", "m.n", "m.g")
     )
 
@@ -891,6 +925,9 @@ def _routed_greedy_assign(
     n_cells: int,
     n_rows: int | None = None,
     nprobe: int = 1,
+    probe_margin: float | None = None,
+    group_spill: float | None = None,
+    spill_cap: int = 8,
 ) -> DataFrame:
     """:func:`greedy_assign` for C past the closure budget: the SAME
     d-level greedy descent, with pivot levels larger than
@@ -908,7 +945,14 @@ def _routed_greedy_assign(
     probed via :func:`_route_level`. Assignments are identical to the
     closure path by construction — same pivot sets, same int64
     scores, same (score, lowest-cell) tie-breaks — which the
-    cap-monkeypatched equality test pins.
+    cap-monkeypatched equality test pins. Since r12 the recall knobs
+    compose here too (VERDICT r11 Next #3): ``probe_margin`` filters
+    the vector probe after each level's cross-group fold (the fold's
+    head is the level's global best, so the (1+m)× compare sees the
+    same exact BIGINT d² the closure kernel does), and ``group_spill``
+    runs the cell stream at width ``spill_cap`` with the same filter —
+    equality vs the closure path at every knob point is pinned by the
+    same monkeypatched tests.
 
     Scale shape: per oversized level, one TopK selection + one salted
     cogroup whose per-task work is ~fan-in GEMM dots per row — no
@@ -961,13 +1005,20 @@ def _routed_greedy_assign(
         return spark.createDataFrame([], "vec_id long, cell long")
 
     def closure_route(
-        df: DataFrame, id_col: str, coord_col: str, norm_col: str | None, p: int
+        df: DataFrame, id_col: str, coord_col: str, norm_col: str | None,
+        p: int, margin: float | None = None,
     ) -> DataFrame:
         """(id, vi, n, g) rows — one per probed closure-leaf parent
-        (g = −1 single global group when no level fits the closure)."""
-        n_expr = (
-            F.col(norm_col).cast("long") if norm_col else F.lit(0).cast("long")
-        )
+        (g = −1 single global group when no level fits the closure).
+        With ``margin``, n must be the TRUE ‖row‖² — the routed
+        levels' filter needs it — so a norm-less stream derives it
+        from the coordinates (one Column dot, no extra pass)."""
+        if norm_col:
+            n_expr = F.col(norm_col).cast("long")
+        elif margin is not None:
+            n_expr = _int_dot(F.col(coord_col), F.col(coord_col))
+        else:
+            n_expr = F.lit(0).cast("long")
         base = df.select(
             F.col(id_col).alias("id"),
             F.col(coord_col).alias("vi"),
@@ -981,7 +1032,7 @@ def _routed_greedy_assign(
                 if len(pdf) == 0:
                     continue
                 m = np.stack(pdf["vi"].to_numpy()).astype(np.int64, copy=False)
-                gs = _closure_descend(levels, children, m, p)
+                gs = _closure_descend(levels, children, m, p, margin)
                 reps = (gs >= 0).sum(axis=1)
                 idx = np.repeat(np.arange(len(pdf)), reps)
                 yield pd.DataFrame(
@@ -1020,20 +1071,23 @@ def _routed_greedy_assign(
             ).localCheckpoint(eager=True)
         )
 
-    # centroid grouping (p = 1) and the vector probe (p = nprobe)
-    # through the same ladder
-    cent_state = closure_route(cent_df, "cell", "c", "cn", 1)
+    # centroid grouping (p = 1, or the spill fan-out) and the vector
+    # probe (p = nprobe, margin-filtered) through the same ladder
+    cell_p = spill_cap if group_spill is not None else 1
+    cent_state = closure_route(cent_df, "cell", "c", "cn", cell_p, group_spill)
     for j, ann in enumerate(anns):
-        cent_state = _route_level(cent_state, ann, 1, level_salts(j))
+        cent_state = _route_level(
+            cent_state, ann, cell_p, level_salts(j), group_spill
+        )
     cent_side = cent_state.select(
         "g",
         F.col("id").alias("cell"),
         F.col("vi").alias("c"),
         F.col("n").alias("cn"),
     )
-    cand = closure_route(v, "vec_id", "vi", None, nprobe)
+    cand = closure_route(v, "vec_id", "vi", None, nprobe, probe_margin)
     for j, ann in enumerate(anns):
-        cand = _route_level(cand, ann, nprobe, level_salts(j))
+        cand = _route_level(cand, ann, nprobe, level_salts(j), probe_margin)
     cand = cand.select(F.col("id").alias("vec_id"), "vi", "g")
     return _score_groups(cand, cent_side, salts)
 

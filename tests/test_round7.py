@@ -780,6 +780,44 @@ class TestRoutedDescent:
         assert self._assign(spark, v, cents, 3000) == base1
         assert self._assign(spark, v, cents, 3000, nprobe=2) == base2
 
+    def test_routed_margin_and_spill_equal_closure(self, spark, monkeypatch):
+        """VERDICT r11 Next #3: the recall knobs compose with the
+        routing — margin, spill, and margin+spill each produce
+        bit-identical assignments on the routed path (single routed
+        level), because the cross-group fold's head is the level's
+        global best and the (1+m)x compare sees the same exact BIGINT
+        d² the closure kernel filters on."""
+        import oroboro_dw_dbt_spark.operators.round7_suite as r7
+
+        v, cents = self._fixture(spark)
+        base_m = self._assign(spark, v, cents, 3000, nprobe=16,
+                              probe_margin=0.1)
+        base_s = self._assign(spark, v, cents, 3000, group_spill=0.3)
+        base_ms = self._assign(spark, v, cents, 3000, nprobe=16,
+                               probe_margin=0.1, group_spill=0.3)
+        monkeypatch.setattr(r7, "_DESCENT_MAX_PIVOT_ROWS", 40)
+        assert self._assign(spark, v, cents, 3000, nprobe=16,
+                            probe_margin=0.1) == base_m
+        assert self._assign(spark, v, cents, 3000,
+                            group_spill=0.3) == base_s
+        assert self._assign(spark, v, cents, 3000, nprobe=16,
+                            probe_margin=0.1, group_spill=0.3) == base_ms
+
+    def test_routed_margin_spill_two_levels(self, spark, monkeypatch):
+        """Same equality with a closure prefix + routed level (d=3
+        ladder, fan-in 16, cap 40): the knobs must filter identically
+        at BOTH the closure-prefix level (inside mapInPandas) and the
+        routed level (post-fold Column filter)."""
+        import oroboro_dw_dbt_spark.operators.round7_suite as r7
+
+        v, cents = self._fixture(spark)
+        monkeypatch.setattr(r7, "_DESCENT_FANIN", 16)
+        base = self._assign(spark, v, cents, 3000, nprobe=16,
+                            probe_margin=0.1, group_spill=0.3)
+        monkeypatch.setattr(r7, "_DESCENT_MAX_PIVOT_ROWS", 40)
+        assert self._assign(spark, v, cents, 3000, nprobe=16,
+                            probe_margin=0.1, group_spill=0.3) == base
+
     def test_salted_routed_equals_unsalted(self, spark, monkeypatch):
         """n_rows forces salts > 1 on the routed cogroups; subgroup
         minima of a min are the min, so victims are salt-invariant."""
