@@ -116,11 +116,14 @@ def _await_quiet_host() -> dict:
     Returns the gate record for the artifact so the judge can see
     what the box looked like."""
     rate_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RATE_MAX", "8"))
-    load_max = float(
-        os.environ.get(
-            "SPARK_GRAFT_BENCH_LOADAVG_MAX", str(0.25 * (os.cpu_count() or 32))
-        )
-    )
+    # Default tightened 0.25×nproc → 2.0 (VERDICT r11 Wrong #1): the
+    # r11 driver bench started at loadavg 5.24 — under the old 8.0
+    # threshold — and every one of 33 sub-second queries inflated a
+    # uniform 1.0–1.7× vs r10 with zero code cause. For sub-second
+    # queries on this box, "quiet" means low single digits of runnable
+    # threads; anything above competes for the same 32 cores every
+    # local[32] stage wants all of.
+    load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_MAX", "2.0"))
     max_waits = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAITS", "10"))
     gate = {
         "waits": 0,
@@ -222,6 +225,64 @@ def main() -> None:
                 timings[name] = t
                 steal_of_min[name] = st
 
+    # Relative-inflation tripwire (VERDICT r11 Next #2): the start
+    # gate can pass and contention still arrive mid-run — r11's 33
+    # shared queries drifted a uniform 1.0–1.7× vs r10 with zero code
+    # cause. Compare this run's minima against the previous same-SF
+    # artifact; a median drift past the threshold re-waits for quiet
+    # and runs ONE more full pass (min-folded), so a stolen run
+    # self-corrects instead of polluting the cross-round series. A
+    # genuine repo-wide regression still shows: the extra pass records
+    # honest times and the artifact says the tripwire fired.
+    trip: dict = {"median_ratio": None, "retriggered": False}
+    trip_ratio = float(os.environ.get("SPARK_GRAFT_BENCH_TRIP_RATIO", "1.25"))
+    ref_timings = None
+    here = os.path.dirname(__file__) or "."
+    # per-SF snapshot first (probes at other SFs overwrite the plain
+    # BENCH_LAST.json between rounds), then the plain file if its SF
+    # matches this run's
+    for ref_name in (f"BENCH_LAST_sf{sf}.json", "BENCH_LAST.json"):
+        try:
+            with open(os.path.join(here, ref_name)) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if str(prior.get("sf")) == str(
+            float(sf) if sf.replace(".", "").isdigit() else sf
+        ):
+            ref_timings = prior.get("queries") or None
+            trip["reference"] = ref_name
+            break
+    shared = (
+        [q for q in timings if q in ref_timings and ref_timings[q] > 0]
+        if ref_timings
+        else []
+    )
+    if len(shared) >= 8:  # too few shared queries = no stable median
+        import statistics
+
+        med = statistics.median(timings[q] / ref_timings[q] for q in shared)
+        trip["median_ratio"] = round(med, 3)
+        trip["shared_queries"] = len(shared)
+        if med > trip_ratio:
+            trip["retriggered"] = True
+            trip["regate"] = _await_quiet_host()
+            for name in headline:
+                if name not in QUERIES:
+                    continue
+                t, st = run_once(name)
+                passes_raw.setdefault(name, []).append(t)
+                steal_raw.setdefault(name, []).append(st)
+                if t < timings.get(name, float("inf")):
+                    timings[name] = t
+                    steal_of_min[name] = st
+            trip["median_ratio_after"] = round(
+                statistics.median(
+                    timings[q] / ref_timings[q] for q in shared
+                ),
+                3,
+            )
+
     load_after = _host_load()
     steal_delta = (
         load_after.get("steal_jiffies", 0) - load_before.get("steal_jiffies", 0)
@@ -239,6 +300,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "steal_gate": gate,
+        "inflation_tripwire": trip,
         "load": {
             "before": load_before,
             "after": load_after,
@@ -258,6 +320,13 @@ def main() -> None:
     )
     try:
         with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LAST.json"), "w") as f:
+            json.dump(full, f, indent=1)
+        # per-SF snapshot: the tripwire's reference for the NEXT run
+        # at this SF, immune to interleaved probes at other SFs
+        with open(
+            os.path.join(os.path.dirname(__file__) or ".", f"BENCH_LAST_sf{sf}.json"),
+            "w",
+        ) as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass
