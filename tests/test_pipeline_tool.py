@@ -1,0 +1,81 @@
+"""tools/pipeline_e2e.py CLI surface (VERDICT r11 Next #7): the
+recall knobs are promoted from typo-silent env strings to CLI args,
+and the artifact records what a rung actually ran with."""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tools.pipeline_e2e import _parse_args, _resolve_knob, main  # noqa: E402
+
+
+class TestKnobResolution:
+    def test_cli_wins_over_env(self, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_SEMDEDUP_MARGIN", "0.5")
+        assert _resolve_knob(0.1, "SPARK_GRAFT_SEMDEDUP_MARGIN", float) == (
+            0.1,
+            "cli",
+        )
+
+    def test_env_fallback(self, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_SEMDEDUP_SPILL", "0.3")
+        assert _resolve_knob(None, "SPARK_GRAFT_SEMDEDUP_SPILL", float) == (
+            0.3,
+            "env",
+        )
+
+    def test_default_off(self, monkeypatch):
+        monkeypatch.delenv("SPARK_GRAFT_SEMDEDUP_MARGIN", raising=False)
+        assert _resolve_knob(None, "SPARK_GRAFT_SEMDEDUP_MARGIN", float) == (
+            None,
+            "default",
+        )
+
+    def test_parse_args_positional_compat(self):
+        a = _parse_args(["OUT.json", "/x/sf0.1"])
+        assert a.out_path == "OUT.json" and a.sf_dir == "/x/sf0.1"
+        assert a.margin is None and a.spill is None and a.nprobe is None
+        a = _parse_args(
+            ["o.json", "/d", "--margin", "0.1", "--spill", "0.3",
+             "--nprobe", "16"]
+        )
+        assert (a.margin, a.spill, a.nprobe) == (0.1, 0.3, 16)
+
+
+class TestPipelineSmoke:
+    def test_chain_with_cli_knobs(self, spark, tmp_path, monkeypatch):
+        """One full chain at the smoke SF with the headline knobs on
+        the CLI: the artifact must carry recall_knobs with source=cli
+        and the usual stage walls/counts. (get_spark reuses the test
+        session, so this is in-process, not a second JVM.)"""
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_WAITS", "0")
+        monkeypatch.delenv("SPARK_GRAFT_SEMDEDUP_MARGIN", raising=False)
+        monkeypatch.delenv("SPARK_GRAFT_SEMDEDUP_SPILL", raising=False)
+        monkeypatch.delenv("SPARK_GRAFT_SEMDEDUP_NPROBE", raising=False)
+        out = tmp_path / "pipe.json"
+        main(
+            [str(out), "/root/testdata/sf0.001", "--margin", "0.1",
+             "--spill", "0.3", "--nprobe", "16"]
+        )
+        rec = json.loads(out.read_text())
+        assert rec["recall_knobs"] == {
+            "nprobe": 16,
+            "probe_margin": 0.1,
+            "group_spill": 0.3,
+            "source": {
+                "nprobe": "cli",
+                "probe_margin": "cli",
+                "group_spill": "cli",
+            },
+        }
+        assert rec["counts"]["corpus"] > 0
+        assert rec["counts"]["after_semantic"] <= rec["counts"]["after_near_dup"]
+        assert set(rec["stages"]) == {
+            "quality_filter",
+            "minhash_lsh_dedup",
+            "semdedup_ivf",
+            "pack_shards",
+        }
+        assert rec["semdedup_mode"] == "linear"

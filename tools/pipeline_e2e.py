@@ -22,7 +22,14 @@ Stage boundaries are materialized with localCheckpoint so each stage's
 wall is its own (no lazy-evaluation bleed into the next timer).
 
 Usage: python tools/pipeline_e2e.py OUT.json [SF_DIR]
+                [--margin M] [--spill S] [--nprobe N]
 Prints one JSON line; full record written to OUT.json.
+
+The recall knobs are CLI args (VERDICT r11 Next #7 — env strings are
+typo-silent; the artifact must say what a rung ran with). The old env
+vars (SPARK_GRAFT_SEMDEDUP_MARGIN/SPILL/NPROBE) still work as
+defaults; an explicit flag wins, and the resolved values plus their
+source land in the artifact's ``recall_knobs`` field either way.
 """
 
 from __future__ import annotations
@@ -40,9 +47,44 @@ from bench import _await_quiet_host, _host_load  # noqa: E402
 from oroboro_dw_dbt_spark.session import get_spark  # noqa: E402
 
 
-def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_pipeline_e2e.json"
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+def _parse_args(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("out_path", nargs="?", default="BENCH_pipeline_e2e.json")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--margin", type=float, default=None,
+        help="semantic-stage probe_margin (adaptive vector-side "
+        "multiprobe; default: SPARK_GRAFT_SEMDEDUP_MARGIN env or off)",
+    )
+    ap.add_argument(
+        "--spill", type=float, default=None,
+        help="semantic-stage group_spill (cell-side multi-assignment; "
+        "default: SPARK_GRAFT_SEMDEDUP_SPILL env or off)",
+    )
+    ap.add_argument(
+        "--nprobe", type=int, default=None,
+        help="pivots probed per descent level (margin makes this a "
+        "width cap; default: SPARK_GRAFT_SEMDEDUP_NPROBE env or 1)",
+    )
+    return ap.parse_args(argv)
+
+
+def _resolve_knob(cli_val, env_name, cast):
+    """(value, source) — explicit CLI wins, env is the fallback."""
+    if cli_val is not None:
+        return cli_val, "cli"
+    env_s = os.environ.get(env_name)
+    if env_s:
+        return cast(env_s), "env"
+    return None, "default"
+
+
+def main(argv=None) -> None:
+    args = _parse_args(argv)
+    out_path = args.out_path
+    sf_dir = args.sf_dir
 
     from oroboro_dw_dbt_spark.dedup.dedup import minhash_lsh_victims
     from oroboro_dw_dbt_spark.operators.round7_suite import (
@@ -215,6 +257,7 @@ def main() -> None:
         )
     )
     mode = os.environ.get("SPARK_GRAFT_SEMDEDUP_MODE", "linear")
+    recall_knobs = None  # sqrt mode has no descent knobs
     n_vec = v.count()
     if mode == "sqrt":
         n_cells = ivf_cells_for(n_vec)
@@ -223,14 +266,31 @@ def main() -> None:
         occ = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_OCC", "128"))
         # nprobe > 1 = the recall middle point (VERDICT r09 Next #4):
         # probe the best nprobe pivots per descent level at ~nprobe×
-        # the probe cost, still ≪ the exact path's C dots per vector
-        nprobe = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_NPROBE", "1"))
+        # the probe cost, still ≪ the exact path's C dots per vector.
         # recall knobs (SCALE.md r11 census): adaptive vector-side
-        # margin and cell-side spill; unset = the certified np1 point
-        margin_s = os.environ.get("SPARK_GRAFT_SEMDEDUP_MARGIN")
-        spill_s = os.environ.get("SPARK_GRAFT_SEMDEDUP_SPILL")
-        probe_margin = float(margin_s) if margin_s else None
-        group_spill = float(spill_s) if spill_s else None
+        # margin and cell-side spill; unset = the certified np1 point.
+        # CLI flags override the env vars (VERDICT r11 Next #7);
+        # resolved values + source recorded in the artifact below.
+        nprobe, nprobe_src = _resolve_knob(
+            args.nprobe, "SPARK_GRAFT_SEMDEDUP_NPROBE", int
+        )
+        nprobe = nprobe or 1
+        probe_margin, margin_src = _resolve_knob(
+            args.margin, "SPARK_GRAFT_SEMDEDUP_MARGIN", float
+        )
+        group_spill, spill_src = _resolve_knob(
+            args.spill, "SPARK_GRAFT_SEMDEDUP_SPILL", float
+        )
+        recall_knobs = {
+            "nprobe": nprobe,
+            "probe_margin": probe_margin,
+            "group_spill": group_spill,
+            "source": {
+                "nprobe": nprobe_src,
+                "probe_margin": margin_src,
+                "group_spill": spill_src,
+            },
+        }
         n_cells = ivf_cells_capped(n_vec, occ)
         # compact storage (default ON): v as array<float>, vi as
         # array<int> — halves the corpus checkpoint the stage pins
@@ -283,6 +343,7 @@ def main() -> None:
         "counts": counts,
         "n_cells": n_cells,
         "semdedup_mode": mode,
+        "recall_knobs": recall_knobs,
         "quiet_gate": gate,
         "lsh_spelling": {
             "verify": lsh_verify,
