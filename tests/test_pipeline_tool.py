@@ -79,3 +79,33 @@ class TestPipelineSmoke:
             "pack_shards",
         }
         assert rec["semdedup_mode"] == "linear"
+
+
+class TestChainPlanAudit:
+    def test_chain_plans_have_zero_flags(self, spark):
+        """VERDICT r11 Next #8, wired into the round's routine: the
+        4-stage chain AS pipeline_e2e composes it (stage-boundary
+        checkpoints included, headline recall knobs on) must audit
+        clean — no cartesian/BNLJ, no BatchEvalPython, no wide scans,
+        no unreduced scaling-table broadcast hints — at the smoke SF.
+        The sf30 run is the round's manual routine; this keeps the
+        composition from drifting into a flag unnoticed."""
+        from tools.explain_audit import (
+            audit_broadcast_hints,
+            audit_one,
+            chain_plan_frames,
+            plan_text,
+        )
+
+        frames = chain_plan_frames(spark, "/root/testdata/sf0.001")
+        assert set(frames) == {
+            "chain:quality_filter",
+            "chain:minhash_lsh_dedup",
+            "chain:semdedup_ivf",
+            "chain:pack_shards",
+        }
+        all_flags = {
+            name: audit_one(name, plan_text(df)) + audit_broadcast_hints(df)
+            for name, df in frames.items()
+        }
+        assert all(not f for f in all_flags.values()), all_flags

@@ -215,7 +215,91 @@ def build_plan_frames(spark, sf_dir: str) -> dict[str, "object"]:
     return {f"build:{n}": df for n, df in graph.plan_frames(spark).items()}
 
 
+def chain_plan_frames(
+    spark, sf_dir: str, margin: float = 0.1, spill: float = 0.3,
+    nprobe: int = 16, occ: int = 128,
+) -> dict[str, "object"]:
+    """The 4-stage training-data chain EXACTLY as tools/pipeline_e2e.py
+    composes it (VERDICT r11 Next #8) — same ops, same stage-boundary
+    eager checkpoints, headline recall knobs on — yielding each stage's
+    pre-checkpoint frame so the audit sees the tree that stage actually
+    executes on top of the previous stage's truncated lineage. The
+    per-entry catalog audit can't see these: a stage plan built over a
+    checkpoint boundary is a different tree than the same operator over
+    a parquet scan. Composition changes in pipeline_e2e must be
+    mirrored here; the sf0.001 chain-audit pytest catches drift that
+    introduces flags."""
+    from pyspark.sql import functions as F
+
+    from oroboro_dw_dbt_spark.dedup.dedup import minhash_lsh_victims
+    from oroboro_dw_dbt_spark.operators.round7_suite import (
+        _IVF_FP,
+        ivf_cells_capped,
+        semdedup_ivf_core,
+    )
+    from oroboro_dw_dbt_spark.similarity.search import _as_double
+    from oroboro_dw_dbt_spark.text.pipeline import pack_shards, quality_filter
+
+    frames: dict[str, object] = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    q = quality_filter(docs)
+    corpus_pre = docs.join(q.where("keep").select("doc_id"), "doc_id")
+    frames["chain:quality_filter"] = corpus_pre
+    corpus = corpus_pre.localCheckpoint(eager=True)
+    n_corpus = corpus.count()
+    victims = minhash_lsh_victims(corpus, approx_docs=n_corpus)
+    deduped_pre = corpus.join(victims, "doc_id", "left_anti")
+    frames["chain:minhash_lsh_dedup"] = deduped_pre
+    deduped = deduped_pre.localCheckpoint(eager=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").join(
+        deduped.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    v = emb.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "vi",
+        F.transform(F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")),
+    )
+    v = v.select(
+        "vec_id",
+        F.transform("v", lambda x: x.cast("float")).alias("v"),
+        F.transform("vi", lambda x: x.cast("int")).alias("vi"),
+    )
+    n_vec = v.count()
+    sem = semdedup_ivf_core(
+        v, ivf_cells_capped(n_vec, occ), assign="greedy",
+        occupancy_cap=8 * occ, nprobe=nprobe, probe_margin=margin,
+        group_spill=spill,
+    )
+    frames["chain:semdedup_ivf"] = sem
+    sem_victims = sem.where("keep = 0").select(F.col("vec_id").alias("doc_id"))
+    final_pre = deduped.join(sem_victims, "doc_id", "left_anti")
+    final = final_pre.localCheckpoint(eager=True)
+    frames["chain:pack_shards"] = pack_shards(final, budget=2000)
+    return frames
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--chain":
+        # chain mode: audit the composed pipeline's stage plans
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf30"
+        spark = get_spark("plan_audit_chain")
+        out_dir = Path("/tmp/plan_audit")
+        out_dir.mkdir(exist_ok=True)
+        n_flags = 0
+        frames = chain_plan_frames(spark, sf_dir)
+        for name, df in frames.items():
+            plan = plan_text(df)
+            (out_dir / f"{name.replace(':', '_')}.txt").write_text(plan)
+            flags = audit_one(name, plan) + audit_broadcast_hints(df)
+            if flags:
+                n_flags += len(flags)
+                print(f"FLAG {name}: {'; '.join(flags)}")
+            else:
+                print(f"pass {name}")
+        print(f"\n{n_flags} flags across {len(frames)} chain plans")
+        return 1 if n_flags else 0
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or [n for n in QUERIES if n not in SKIP]
     spark = get_spark("plan_audit")
