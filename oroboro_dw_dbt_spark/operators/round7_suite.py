@@ -1553,13 +1553,15 @@ def _load_greedy_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boundary cells join every pivot group within (1+s)× of their "
     "best, so even an nprobe=1 vector sees neighboring groups' "
     "boundary cells (VERDICT r11 Next #1; the recall lever the "
-    "production pipeline engages via --group-spill)",
+    "production pipeline engages via --spill)",
 )
 def dd_semdedup_ivf_greedy_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd_semdedup_ivf_greedy with ``group_spill=0.3``: the recall
-    knob the r11 census measured (uniform floor 0.849 at 1.35× np1
-    for spill alone; SCALE.md). Certifies the exact code path
-    tools/pipeline_e2e.py engages with --group-spill 0.3."""
+    """dd_semdedup_ivf_greedy with ``group_spill=0.3``: the cell-side
+    lever of the m0.1+s0.3 census point (spill alone on the uniform
+    floor: s0.2 = 0.723 victim-Jaccard at ~1× np1's wall, s0.4 =
+    0.763 at 1.07× — nearly free because it adds GEMM columns, not
+    per-vector fan-out; SCALE.md r11 census). Certifies the exact
+    code path tools/pipeline_e2e.py engages with --spill 0.3."""
     v = _load_greedy_vectors(spark, sf_dir)
     n_cells = ivf_cells_capped(v.count())
     return semdedup_ivf_core(
