@@ -282,6 +282,14 @@ def main() -> None:
                 ),
                 3,
             )
+    # A run that tripped and STAYED inflated must not become the next
+    # run's reference — overwriting would rebase the series on the
+    # contaminated numbers and suppress the very detection that just
+    # fired. Keep the old per-SF snapshot in that case.
+    trip["reference_updated"] = not (
+        trip["retriggered"]
+        and trip.get("median_ratio_after", 0.0) > trip_ratio
+    )
 
     load_after = _host_load()
     steal_delta = (
@@ -322,12 +330,14 @@ def main() -> None:
         with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LAST.json"), "w") as f:
             json.dump(full, f, indent=1)
         # per-SF snapshot: the tripwire's reference for the NEXT run
-        # at this SF, immune to interleaved probes at other SFs
-        with open(
-            os.path.join(os.path.dirname(__file__) or ".", f"BENCH_LAST_sf{sf}.json"),
-            "w",
-        ) as f:
-            json.dump(full, f, indent=1)
+        # at this SF, immune to interleaved probes at other SFs —
+        # NOT updated by a run that tripped and stayed inflated
+        if trip["reference_updated"]:
+            with open(
+                os.path.join(os.path.dirname(__file__) or ".", f"BENCH_LAST_sf{sf}.json"),
+                "w",
+            ) as f:
+                json.dump(full, f, indent=1)
     except OSError:
         pass
     print(json.dumps(out, separators=(",", ":")))

@@ -214,17 +214,23 @@ def _per_jvm_heap_bytes(df: DataFrame) -> int:
     sc = df.sparkSession.sparkContext
     conf = sc.getConf()
     drv = conf.get("spark.driver.memory", None)
+    if drv is not None:
+        drv_b = _parse_mem(drv)
+    else:
+        # Runtime.maxMemory() runs ON the driver JVM — the accurate
+        # answer whether local or cluster. Without it a cluster
+        # session with driver.memory unset (Spark default 1g) would
+        # be sized by executor memory alone and the gate would wave
+        # through a build the 1g driver must collect and hash — the
+        # exact OOM the gate exists to prevent.
+        try:
+            drv_b = int(sc._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        except Exception:
+            drv_b = 1 << 30
     if conf.get("spark.master", "local").startswith("local"):
-        if drv is None:
-            try:
-                return int(
-                    sc._jvm.java.lang.Runtime.getRuntime().maxMemory()
-                )
-            except Exception:
-                return 1 << 30
-        return _parse_mem(drv)
+        return drv_b
     per_exec = _parse_mem(conf.get("spark.executor.memory", "4g"))
-    return min(per_exec, _parse_mem(drv)) if drv else per_exec
+    return min(per_exec, drv_b)
 
 # --- auto-selection of the verify/checkpoint spelling ----------------
 # Measured per-doc footprint of the carry spelling's checkpoint

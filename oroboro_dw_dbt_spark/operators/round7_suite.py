@@ -1206,258 +1206,7 @@ def _greedy_assign_sql(
     )"""
 
 
-@query(
-    "dd_semdedup_ivf_greedy",
-    # Full oracle (VERDICT r09 Next #3): pivot sampling is the
-    # portable md5 hash (the _minhash_cte idiom), so DuckDB restates
-    # the ENTIRE greedy path — pivot choice, two-level descent with
-    # lowest-pivot/lowest-cell ties, exact integer Lloyd update,
-    # re-descent, per-cell dominance. Every score is BIGINT on both
-    # engines; the occupancy cap (8×128 = 1024) cannot trigger at the
-    # gate SF (500 vectors over ≥16 cells), so the capped key ≡ the
-    # quantizer cell and the oracle omits the split arm — the same
-    # never-fires argument the exact twin's oracle makes for its
-    # assignment spelling.
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(floor(x * {_IVF_FP}) AS BIGINT)) AS vi
-      FROM embeddings
-    ),
-    seeds AS (
-      SELECT vec_id AS cell, vi AS c,
-             CAST(list_dot_product(vi, vi) AS BIGINT) AS cn
-      FROM v ORDER BY vec_id LIMIT {_IVF_CELLS}
-    ),
-    {_greedy_assign_sql("seeds", "a0", _GREEDY_GATE_G)},
-    dims AS (
-      SELECT a0.cell, u.i AS i,
-             CAST(CAST(sum(x.vi[u.i]) AS BIGINT)
-                  // CAST(count(*) AS BIGINT) AS BIGINT) AS cd
-      FROM v x JOIN a0 ON a0.vec_id = x.vec_id,
-           unnest(range(1, {_IVF_DIM} + 1)) AS u(i)
-      GROUP BY a0.cell, u.i
-    ),
-    cents AS (
-      SELECT cell, list(cd ORDER BY i) AS c FROM dims GROUP BY cell
-    ),
-    cents2 AS (
-      SELECT cell, c, CAST(list_dot_product(c, c) AS BIGINT) AS cn
-      FROM cents
-    ),
-    {_greedy_assign_sql("cents2", "a1", _GREEDY_GATE_G)},
-    b AS (
-      SELECT x.vec_id, a1.cell, x.v,
-             sqrt(list_dot_product(x.v, x.v)) AS nrm
-      FROM v x JOIN a1 ON a1.vec_id = x.vec_id
-    ),
-    dom AS (
-      SELECT c.vec_id AS victim, CAST(min(q.vec_id) AS BIGINT) AS removed_by
-      FROM b q JOIN b c ON q.cell = c.cell AND q.vec_id < c.vec_id
-      WHERE round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
-            >= {_IVF_TAU}
-      GROUP BY c.vec_id
-    )
-    SELECT b.vec_id, CAST(b.cell AS INT) AS cell,
-           CAST(d.victim IS NULL AS INT) AS keep,
-           d.removed_by
-    FROM b LEFT JOIN dom d ON d.victim = b.vec_id
-    """,
-    survey_ref="beyond-reference: SemDeDup at the cells ∝ N operating "
-    "point — greedy d-level descent + occupancy-capped dominance, "
-    "the chained pipeline's production semantic stage (VERDICT r08 "
-    "Next #2; oracle-checkable since r10 via md5 pivot sampling, "
-    "VERDICT r09 Next #3)",
-)
-def dd_semdedup_ivf_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production (pipeline) spelling of semantic dedup: cells
-    ∝ N via :func:`ivf_cells_capped`, assignment via
-    :func:`greedy_assign`, dominance occupancy-capped at 8× the
-    target. At gate SFs the corpus sits on the 16-cell floor and the
-    cap never triggers, so this certifies exactly the code path
-    tools/pipeline_e2e.py runs at sf300."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        _as_double("embedding").alias("v"),
-    ).withColumn(
-        "vi",
-        F.transform(
-            F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")
-        ),
-    )
-    n_cells = ivf_cells_capped(v.count())
-    return semdedup_ivf_core(
-        v, n_cells, assign="greedy", occupancy_cap=8 * 128
-    )
-
-
-@query(
-    "dd_semdedup_ivf_greedy_np2",
-    # The multiprobe middle point (VERDICT r09 Next #4), certified:
-    # identical pipeline to dd_semdedup_ivf_greedy but the descent
-    # keeps the best 2 pivots per level (rk <= 2 in the vg CTEs).
-    # Probed groups partition the cells, so the final argmin sees
-    # each candidate once; everything else is the greedy oracle.
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(floor(x * {_IVF_FP}) AS BIGINT)) AS vi
-      FROM embeddings
-    ),
-    seeds AS (
-      SELECT vec_id AS cell, vi AS c,
-             CAST(list_dot_product(vi, vi) AS BIGINT) AS cn
-      FROM v ORDER BY vec_id LIMIT {_IVF_CELLS}
-    ),
-    {_greedy_assign_sql("seeds", "a0", _GREEDY_GATE_G, nprobe=2)},
-    dims AS (
-      SELECT a0.cell, u.i AS i,
-             CAST(CAST(sum(x.vi[u.i]) AS BIGINT)
-                  // CAST(count(*) AS BIGINT) AS BIGINT) AS cd
-      FROM v x JOIN a0 ON a0.vec_id = x.vec_id,
-           unnest(range(1, {_IVF_DIM} + 1)) AS u(i)
-      GROUP BY a0.cell, u.i
-    ),
-    cents AS (
-      SELECT cell, list(cd ORDER BY i) AS c FROM dims GROUP BY cell
-    ),
-    cents2 AS (
-      SELECT cell, c, CAST(list_dot_product(c, c) AS BIGINT) AS cn
-      FROM cents
-    ),
-    {_greedy_assign_sql("cents2", "a1", _GREEDY_GATE_G, nprobe=2)},
-    b AS (
-      SELECT x.vec_id, a1.cell, x.v,
-             sqrt(list_dot_product(x.v, x.v)) AS nrm
-      FROM v x JOIN a1 ON a1.vec_id = x.vec_id
-    ),
-    dom AS (
-      SELECT c.vec_id AS victim, CAST(min(q.vec_id) AS BIGINT) AS removed_by
-      FROM b q JOIN b c ON q.cell = c.cell AND q.vec_id < c.vec_id
-      WHERE round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
-            >= {_IVF_TAU}
-      GROUP BY c.vec_id
-    )
-    SELECT b.vec_id, CAST(b.cell AS INT) AS cell,
-           CAST(d.victim IS NULL AS INT) AS keep,
-           d.removed_by
-    FROM b LEFT JOIN dom d ON d.victim = b.vec_id
-    """,
-    survey_ref="beyond-reference: multiprobe greedy SemDeDup (nprobe=2 "
-    "per descent level) — the recall middle point between the nprobe=1 "
-    "production default and the exact argmin (VERDICT r09 Next #4)",
-)
-def dd_semdedup_ivf_greedy_np2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd_semdedup_ivf_greedy at nprobe=2: the descent scores the two
-    best pivots per level (~2× probe work, still ≪ the exact path's C
-    dots) and :func:`_score_groups`' min_by folds the multi-group
-    winners exactly. The recall census (tools/greedy_recall_census.py)
-    measures what the extra probe buys on uniform geometry."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        _as_double("embedding").alias("v"),
-    ).withColumn(
-        "vi",
-        F.transform(
-            F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")
-        ),
-    )
-    n_cells = ivf_cells_capped(v.count())
-    return semdedup_ivf_core(
-        v, n_cells, assign="greedy", occupancy_cap=8 * 128, nprobe=2
-    )
-
-
 _MARGIN_GATE = 0.1  # certified adaptive-margin literal
-
-
-@query(
-    "dd_semdedup_ivf_greedy_margin",
-    # Adaptive multiprobe (VERDICT r10 Next #6), certified: identical
-    # pipeline to dd_semdedup_ivf_greedy but a pivot is probed only
-    # when its TRUE squared distance is within (1+0.1)× of the best
-    # (width-capped at 16 ≥ the gate's 4 pivots). The margin compare
-    # multiplies an exact sub-2⁵³ BIGINT by the same double literal on
-    # both engines — one identically-rounded IEEE op — so the filter
-    # cannot drift cross-engine.
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(floor(x * {_IVF_FP}) AS BIGINT)) AS vi
-      FROM embeddings
-    ),
-    seeds AS (
-      SELECT vec_id AS cell, vi AS c,
-             CAST(list_dot_product(vi, vi) AS BIGINT) AS cn
-      FROM v ORDER BY vec_id LIMIT {_IVF_CELLS}
-    ),
-    {_greedy_assign_sql("seeds", "a0", _GREEDY_GATE_G, nprobe=16, margin=_MARGIN_GATE)},
-    dims AS (
-      SELECT a0.cell, u.i AS i,
-             CAST(CAST(sum(x.vi[u.i]) AS BIGINT)
-                  // CAST(count(*) AS BIGINT) AS BIGINT) AS cd
-      FROM v x JOIN a0 ON a0.vec_id = x.vec_id,
-           unnest(range(1, {_IVF_DIM} + 1)) AS u(i)
-      GROUP BY a0.cell, u.i
-    ),
-    cents AS (
-      SELECT cell, list(cd ORDER BY i) AS c FROM dims GROUP BY cell
-    ),
-    cents2 AS (
-      SELECT cell, c, CAST(list_dot_product(c, c) AS BIGINT) AS cn
-      FROM cents
-    ),
-    {_greedy_assign_sql("cents2", "a1", _GREEDY_GATE_G, nprobe=16, margin=_MARGIN_GATE)},
-    b AS (
-      SELECT x.vec_id, a1.cell, x.v,
-             sqrt(list_dot_product(x.v, x.v)) AS nrm
-      FROM v x JOIN a1 ON a1.vec_id = x.vec_id
-    ),
-    dom AS (
-      SELECT c.vec_id AS victim, CAST(min(q.vec_id) AS BIGINT) AS removed_by
-      FROM b q JOIN b c ON q.cell = c.cell AND q.vec_id < c.vec_id
-      WHERE round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
-            >= {_IVF_TAU}
-      GROUP BY c.vec_id
-    )
-    SELECT b.vec_id, CAST(b.cell AS INT) AS cell,
-           CAST(d.victim IS NULL AS INT) AS keep,
-           d.removed_by
-    FROM b LEFT JOIN dom d ON d.victim = b.vec_id
-    """,
-    survey_ref="beyond-reference: boundary-adaptive multiprobe greedy "
-    "SemDeDup — a pivot is probed only within (1+m)× of the best true "
-    "distance, so the multiprobe spend concentrates on boundary "
-    "vectors (VERDICT r10 Next #6)",
-)
-def dd_semdedup_ivf_greedy_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd_semdedup_ivf_greedy with ``probe_margin=0.1`` (cap 16): the
-    descent probes extra pivots only where the vector actually sits
-    near a pivot boundary — interior vectors keep paying nprobe-1
-    cost. The uniform-geometry recall census measures what the margin
-    buys per wall-second (SCALE.md r11)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        _as_double("embedding").alias("v"),
-    ).withColumn(
-        "vi",
-        F.transform(
-            F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")
-        ),
-    )
-    n_cells = ivf_cells_capped(v.count())
-    return semdedup_ivf_core(
-        v, n_cells, assign="greedy", occupancy_cap=8 * 128, nprobe=16,
-        probe_margin=_MARGIN_GATE,
-    )
-
-
 _SPILL_GATE = 0.3  # certified group-spill literal (SCALE.md census point)
 
 
@@ -1466,10 +1215,24 @@ def _greedy_entry_oracle(
 ) -> str:
     """The shared DuckDB skeleton of every greedy-SemDeDup catalog
     entry (seed → descend → exact integer Lloyd → re-descend → per-
-    cell dominance), parameterized on the descent knobs. The three
-    r09–r11 entries predate this helper and carry the same skeleton
-    as literals; equality for their knob points is pytest-pinned so
-    the two spellings can never drift."""
+    cell dominance), parameterized on the descent knobs. All five
+    entries' oracles are this helper's output at their knob points
+    (r12: the r09–r11 literals were replaced by calls the moment
+    byte-equality was pinned); the certified text at each point is
+    md5-pinned in tests, so an accidental edit here cannot silently
+    rewrite a certified oracle — changing this function is a
+    deliberate act that re-queues every greedy entry.
+
+    Why the skeleton is oracle-able at all (VERDICT r09 Next #3):
+    pivot sampling is the portable md5 hash (the _minhash_cte idiom),
+    so DuckDB restates the ENTIRE greedy path — pivot choice, gate-
+    depth descent with lowest-pivot/lowest-cell ties, exact integer
+    Lloyd update, re-descent, per-cell dominance. Every score is
+    BIGINT on both engines; the occupancy cap (8×128 = 1024) cannot
+    trigger at the gate SF (500 vectors over ≥16 cells), so the
+    capped key ≡ the quantizer cell and the oracle omits the split
+    arm — the same never-fires argument the exact twin's oracle
+    makes for its assignment spelling."""
     a0 = _greedy_assign_sql(
         "seeds", "a0", _GREEDY_GATE_G, nprobe=nprobe, margin=margin,
         spill=spill,
@@ -1537,6 +1300,93 @@ def _load_greedy_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")
         ),
     )
+
+
+
+@query(
+    "dd_semdedup_ivf_greedy",
+    # Full oracle (VERDICT r09 Next #3): the shared skeleton in
+    # _greedy_entry_oracle restates the ENTIRE greedy path portably;
+    # see its docstring for the oracle-ability argument.
+    oracle=_greedy_entry_oracle(),
+    survey_ref="beyond-reference: SemDeDup at the cells ∝ N operating "
+    "point — greedy d-level descent + occupancy-capped dominance, "
+    "the chained pipeline's production semantic stage (VERDICT r08 "
+    "Next #2; oracle-checkable since r10 via md5 pivot sampling, "
+    "VERDICT r09 Next #3)",
+)
+def dd_semdedup_ivf_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production (pipeline) spelling of semantic dedup: cells
+    ∝ N via :func:`ivf_cells_capped`, assignment via
+    :func:`greedy_assign`, dominance occupancy-capped at 8× the
+    target. At gate SFs the corpus sits on the 16-cell floor and the
+    cap never triggers, so this certifies exactly the code path
+    tools/pipeline_e2e.py runs at sf300."""
+    v = _load_greedy_vectors(spark, sf_dir)
+    n_cells = ivf_cells_capped(v.count())
+    return semdedup_ivf_core(
+        v, n_cells, assign="greedy", occupancy_cap=8 * 128
+    )
+
+
+
+
+@query(
+    "dd_semdedup_ivf_greedy_np2",
+    # The multiprobe middle point (VERDICT r09 Next #4), certified:
+    # identical pipeline to dd_semdedup_ivf_greedy but the descent
+    # keeps the best 2 pivots per level (rk <= 2 in the vg CTEs).
+    # Probed groups partition the cells, so the final argmin sees
+    # each candidate once; everything else is the greedy oracle.
+    oracle=_greedy_entry_oracle(nprobe=2),
+    survey_ref="beyond-reference: multiprobe greedy SemDeDup (nprobe=2 "
+    "per descent level) — the recall middle point between the nprobe=1 "
+    "production default and the exact argmin (VERDICT r09 Next #4)",
+)
+def dd_semdedup_ivf_greedy_np2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd_semdedup_ivf_greedy at nprobe=2: the descent scores the two
+    best pivots per level (~2× probe work, still ≪ the exact path's C
+    dots) and :func:`_score_groups`' min_by folds the multi-group
+    winners exactly. The recall census (tools/greedy_recall_census.py)
+    measures what the extra probe buys on uniform geometry."""
+    v = _load_greedy_vectors(spark, sf_dir)
+    n_cells = ivf_cells_capped(v.count())
+    return semdedup_ivf_core(
+        v, n_cells, assign="greedy", occupancy_cap=8 * 128, nprobe=2
+    )
+
+
+
+
+@query(
+    "dd_semdedup_ivf_greedy_margin",
+    # Adaptive multiprobe (VERDICT r10 Next #6), certified: identical
+    # pipeline to dd_semdedup_ivf_greedy but a pivot is probed only
+    # when its TRUE squared distance is within (1+0.1)x of the best
+    # (width-capped at 16 >= the gate's 4 pivots). The margin compare
+    # multiplies an exact sub-2^53 BIGINT by the same double literal
+    # on both engines - one identically-rounded IEEE op - so the
+    # filter cannot drift cross-engine.
+    oracle=_greedy_entry_oracle(nprobe=16, margin=_MARGIN_GATE),
+    survey_ref="beyond-reference: boundary-adaptive multiprobe greedy "
+    "SemDeDup — a pivot is probed only within (1+m)× of the best true "
+    "distance, so the multiprobe spend concentrates on boundary "
+    "vectors (VERDICT r10 Next #6)",
+)
+def dd_semdedup_ivf_greedy_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd_semdedup_ivf_greedy with ``probe_margin=0.1`` (cap 16): the
+    descent probes extra pivots only where the vector actually sits
+    near a pivot boundary — interior vectors keep paying nprobe-1
+    cost. The uniform-geometry recall census measures what the margin
+    buys per wall-second (SCALE.md r11)."""
+    v = _load_greedy_vectors(spark, sf_dir)
+    n_cells = ivf_cells_capped(v.count())
+    return semdedup_ivf_core(
+        v, n_cells, assign="greedy", occupancy_cap=8 * 128, nprobe=16,
+        probe_margin=_MARGIN_GATE,
+    )
+
+
 
 
 @query(

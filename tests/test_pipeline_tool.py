@@ -64,10 +64,12 @@ class TestPipelineSmoke:
             "nprobe": 16,
             "probe_margin": 0.1,
             "group_spill": 0.3,
+            "spill_cap": 8,
             "source": {
                 "nprobe": "cli",
                 "probe_margin": "cli",
                 "group_spill": "cli",
+                "spill_cap": "default",
             },
         }
         assert rec["counts"]["corpus"] > 0

@@ -659,33 +659,28 @@ class TestGreedyAssign:
         # even under a saturating margin
         assert cells(group_spill=1e12, spill_cap=1) == cells()
 
-    def test_greedy_oracle_helper_matches_literals(self):
-        """_greedy_entry_oracle (r12) parameterizes the skeleton the
-        r09–r11 entries carry as literals; the certified knob points
-        must reproduce those literals BYTE-for-byte, so the two
-        spellings can never drift (the new spill/ms entries are the
-        helper's output at their own knob points)."""
-        import oroboro_dw_dbt_spark.operators.round7_suite as r7
+    def test_greedy_oracle_text_md5_pinned(self):
+        """All five greedy entries' oracles are _greedy_entry_oracle
+        outputs (the r09–r11 literals were replaced by calls after
+        byte-equality was pinned pre-swap), so the DRIVER-CERTIFIED
+        text at each knob point is pinned by md5 here: an accidental
+        edit to the helper or _greedy_assign_sql cannot silently
+        rewrite a certified oracle — a hash change must be deliberate
+        and re-queues every greedy entry for recertification."""
+        import hashlib
+
         from oroboro_dw_dbt_spark.operators.catalog import QUERIES
 
-        assert r7._greedy_entry_oracle() == QUERIES[
-            "dd_semdedup_ivf_greedy"
-        ].oracle
-        assert r7._greedy_entry_oracle(nprobe=2) == QUERIES[
-            "dd_semdedup_ivf_greedy_np2"
-        ].oracle
-        assert r7._greedy_entry_oracle(
-            nprobe=16, margin=r7._MARGIN_GATE
-        ) == QUERIES["dd_semdedup_ivf_greedy_margin"].oracle
-        # the new entries ARE helper outputs at their knob points
-        assert QUERIES["dd_semdedup_ivf_greedy_spill"].oracle == (
-            r7._greedy_entry_oracle(spill=r7._SPILL_GATE)
-        )
-        assert QUERIES["dd_semdedup_ivf_greedy_ms"].oracle == (
-            r7._greedy_entry_oracle(
-                nprobe=16, margin=r7._MARGIN_GATE, spill=r7._SPILL_GATE
-            )
-        )
+        pins = {
+            "dd_semdedup_ivf_greedy": "867dd346f5b5ca4c6229918a007dc931",
+            "dd_semdedup_ivf_greedy_np2": "6ae929d9582540f6b89e06e60ae00ee7",
+            "dd_semdedup_ivf_greedy_margin": "3d66486aef8c5f927e1d97a0d18d6cbd",
+            "dd_semdedup_ivf_greedy_spill": "35fcec9d83601f43df356a3063063307",
+            "dd_semdedup_ivf_greedy_ms": "c9706ca4d3039ffe52eb05e5ad63e229",
+        }
+        for name, want in pins.items():
+            got = hashlib.md5(QUERIES[name].oracle.encode()).hexdigest()
+            assert got == want, f"{name} certified oracle text changed"
 
     def test_core_greedy_keep_semantics(self, spark):
         from oroboro_dw_dbt_spark.operators.round7_suite import (

@@ -258,38 +258,44 @@ class TestDedup:
         assert _parse_mem(" 24G ") == 24 << 30
         assert _parse_mem("1.5g") == int(1.5 * (1 << 30))
 
-    def test_default_verify_is_auto_and_heap_gate(self, spark):
+    def test_default_verify_is_auto_and_heap_gate(self, spark, monkeypatch):
         """VERDICT r11 Next #5: the library default must not preserve
         the sf1000 OOM path — minhash_lsh_victims() with no args
         resolves the spelling via the auto rule. Plus the broadcast
-        heap gate (ADVICE r11): the hashed-relation estimate uses the
-        smallest JVM's heap, not just a fixed row count."""
+        heap gate (ADVICE r11), BEHAVIORALLY: with the normal heap the
+        candidate reduction takes the F.broadcast hint; with the heap
+        forced tiny the gate must skip the hint (shuffled semi-join
+        fallback) and victims must be identical — the fallback is a
+        pure filter, never an OOM."""
         import inspect
 
-        from oroboro_dw_dbt_spark.dedup.dedup import (
-            _BCAST_HEAP_SHARE,
-            _BCAST_ROW_BYTES,
-            _per_jvm_heap_bytes,
-            minhash_lsh_victims,
-        )
+        import oroboro_dw_dbt_spark.dedup.dedup as dd
 
-        sig = inspect.signature(minhash_lsh_victims)
+        sig = inspect.signature(dd.minhash_lsh_victims)
         assert sig.parameters["verify"].default == "auto"
         docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-        # default call resolves auto and produces the pinned victims
-        dflt = {r["doc_id"] for r in minhash_lsh_victims(docs).collect()}
+
+        calls = []
+        real_broadcast = dd.F.broadcast
+        monkeypatch.setattr(
+            dd.F, "broadcast",
+            lambda df: calls.append(1) or real_broadcast(df),
+        )
+        heap = dd._per_jvm_heap_bytes(docs)
+        assert heap > 0
+        dflt = {r["doc_id"] for r in dd.minhash_lsh_victims(docs).collect()}
+        assert dflt and calls  # normal heap: the hint fires
+        # force the gate shut: even 1 candidate row must not broadcast
+        calls.clear()
+        monkeypatch.setattr(dd, "_per_jvm_heap_bytes", lambda df: 1)
+        gated = {r["doc_id"] for r in dd.minhash_lsh_victims(docs).collect()}
+        assert not calls  # tiny heap: hint skipped, fallback ran
+        assert gated == dflt  # the reduction is a pure filter
         carry = {
             r["doc_id"]
-            for r in minhash_lsh_victims(docs, verify="carry").collect()
+            for r in dd.minhash_lsh_victims(docs, verify="carry").collect()
         }
-        assert dflt and dflt == carry
-        heap = _per_jvm_heap_bytes(docs)
-        assert heap > 0
-        # on the local test session the 16 M-row cap must still be
-        # heap-bounded: rows that pass the cap but not the heap share
-        # would fall back to the shuffled semi-join, never OOM
-        assert _BCAST_ROW_BYTES * 16_000_000 > 0
-        assert 0 < _BCAST_HEAP_SHARE < 1
+        assert dflt == carry  # auto resolves to carry at this SF
 
     def test_verify_out_matches_direct_hash(self, spark):
         """with_minhash_signature(verify_out=…) emits the distinct

@@ -219,63 +219,42 @@ def chain_plan_frames(
     spark, sf_dir: str, margin: float = 0.1, spill: float = 0.3,
     nprobe: int = 16, occ: int = 128,
 ) -> dict[str, "object"]:
-    """The 4-stage training-data chain EXACTLY as tools/pipeline_e2e.py
-    composes it (VERDICT r11 Next #8) — same ops, same stage-boundary
-    eager checkpoints, headline recall knobs on — yielding each stage's
-    pre-checkpoint frame so the audit sees the tree that stage actually
-    executes on top of the previous stage's truncated lineage. The
-    per-entry catalog audit can't see these: a stage plan built over a
-    checkpoint boundary is a different tree than the same operator over
-    a parquet scan. Composition changes in pipeline_e2e must be
-    mirrored here; the sf0.001 chain-audit pytest catches drift that
-    introduces flags."""
-    from pyspark.sql import functions as F
-
-    from oroboro_dw_dbt_spark.dedup.dedup import minhash_lsh_victims
-    from oroboro_dw_dbt_spark.operators.round7_suite import (
-        _IVF_FP,
-        ivf_cells_capped,
-        semdedup_ivf_core,
+    """The 4-stage training-data chain (VERDICT r11 Next #8), built
+    from THE SAME stage builders tools/pipeline_e2e.py main() times
+    (corpus_frame/neardup_frame/semantic_frame/final_frame/
+    shards_frame — one composition, three consumers, so the audited
+    plan cannot drift from what the rungs run), with the same
+    stage-boundary eager checkpoints and the headline recall knobs on.
+    Yields each stage's pre-checkpoint frame: the tree that stage
+    actually executes on top of the previous stage's truncated
+    lineage, which the per-entry catalog audit can't see."""
+    from tools.pipeline_e2e import (
+        corpus_frame,
+        final_frame,
+        neardup_frame,
+        resolve_lsh_spelling,
+        semantic_frame,
+        semantic_vectors,
+        shards_frame,
     )
-    from oroboro_dw_dbt_spark.similarity.search import _as_double
-    from oroboro_dw_dbt_spark.text.pipeline import pack_shards, quality_filter
 
     frames: dict[str, object] = {}
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "source"
-    )
-    q = quality_filter(docs)
-    corpus_pre = docs.join(q.where("keep").select("doc_id"), "doc_id")
+    corpus_pre = corpus_frame(spark, sf_dir)
     frames["chain:quality_filter"] = corpus_pre
     corpus = corpus_pre.localCheckpoint(eager=True)
     n_corpus = corpus.count()
-    victims = minhash_lsh_victims(corpus, approx_docs=n_corpus)
-    deduped_pre = corpus.join(victims, "doc_id", "left_anti")
+    lsh_verify, lsh_ckpt, _ = resolve_lsh_spelling(corpus, n_corpus, None)
+    deduped_pre = neardup_frame(corpus, n_corpus, lsh_verify, lsh_ckpt)
     frames["chain:minhash_lsh_dedup"] = deduped_pre
     deduped = deduped_pre.localCheckpoint(eager=True)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").join(
-        deduped.select(F.col("doc_id").alias("vec_id")), "vec_id"
-    )
-    v = emb.select("vec_id", _as_double("embedding").alias("v")).withColumn(
-        "vi",
-        F.transform(F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")),
-    )
-    v = v.select(
-        "vec_id",
-        F.transform("v", lambda x: x.cast("float")).alias("v"),
-        F.transform("vi", lambda x: x.cast("int")).alias("vi"),
-    )
-    n_vec = v.count()
-    sem = semdedup_ivf_core(
-        v, ivf_cells_capped(n_vec, occ), assign="greedy",
-        occupancy_cap=8 * occ, nprobe=nprobe, probe_margin=margin,
+    v = semantic_vectors(spark, sf_dir, deduped)
+    sem, _ = semantic_frame(
+        v, v.count(), occ=occ, nprobe=nprobe, probe_margin=margin,
         group_spill=spill,
     )
     frames["chain:semdedup_ivf"] = sem
-    sem_victims = sem.where("keep = 0").select(F.col("vec_id").alias("doc_id"))
-    final_pre = deduped.join(sem_victims, "doc_id", "left_anti")
-    final = final_pre.localCheckpoint(eager=True)
-    frames["chain:pack_shards"] = pack_shards(final, budget=2000)
+    final = final_frame(deduped, sem).localCheckpoint(eager=True)
+    frames["chain:pack_shards"] = shards_frame(final)
     return frames
 
 

@@ -32,44 +32,27 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_lsh_stage.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1000"
 
-    from oroboro_dw_dbt_spark.dedup.dedup import (
-        _auto_lsh_spelling,
-        minhash_lsh_victims,
+    # THE pipeline's own conf resolution + stage builders (shared with
+    # pipeline_e2e main() and the chain plan audit): the probe honors
+    # SPARK_GRAFT_PIPE_CKPT_LEVEL exactly like a rung run would, so it
+    # cannot measure a different spelling than the rung it adjudicates.
+    from tools.pipeline_e2e import (
+        corpus_frame,
+        neardup_frame,
+        resolve_lsh_spelling,
+        resolve_stage_confs,
     )
-    from oroboro_dw_dbt_spark.text.pipeline import quality_filter
 
-    # same conf block as pipeline_e2e's disk rung (footer-estimated)
-    import glob
-
-    import pyarrow.parquet as pq
-
-    paths = glob.glob(f"{sf_dir}/documents.parquet/*.parquet") or glob.glob(
-        f"{sf_dir}/documents.parquet"
-    )
-    est_docs = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
-    heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-    from oroboro_dw_dbt_spark.dedup.dedup import _parse_mem
-
-    disk = est_docs * 1200 > 0.25 * _parse_mem(heap)
-    extra = (
-        {
-            "spark.rdd.compress": "true",
-            "spark.cleaner.periodicGC.interval": "2min",
-        }
-        if disk
-        else None
-    )
+    ckpt_level, extra, n_shuffle = resolve_stage_confs(sf_dir)
     spark = get_spark(
-        "lsh_stage_probe",
-        shuffle_partitions=256 if disk else None,
-        extra_conf=extra,
+        "lsh_stage_probe", shuffle_partitions=n_shuffle, extra_conf=extra
     )
     spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
 
     from pyspark.storagelevel import StorageLevel
 
     def ckpt(df):
-        if disk:
+        if ckpt_level == "disk":
             return df.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.DISK_ONLY
             )
@@ -80,14 +63,9 @@ def main() -> None:
 
     # stage 1 (untimed headline; must run to reproduce the corpus)
     t0 = time.monotonic()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "source"
-    )
-    q = quality_filter(docs)
-    corpus = ckpt(docs.join(q.where("keep").select("doc_id"), "doc_id"))
+    corpus = ckpt(corpus_frame(spark, sf_dir))
     n_corpus = corpus.count()
     quality_wall = round(time.monotonic() - t0, 3)
-    docs = q = None
     import gc
 
     gc.collect()
@@ -100,8 +78,9 @@ def main() -> None:
     # can pass and a steal window open mid-run (the exact ambiguity
     # this probe exists to resolve), so a stolen attempt re-gates and
     # re-runs once (bounded), keeping every attempt in the artifact.
-    verify, auto_ckpt, decision = _auto_lsh_spelling(corpus, n_corpus)
-    lsh_ckpt = "disk" if disk else auto_ckpt
+    verify, lsh_ckpt, decision = resolve_lsh_spelling(
+        corpus, n_corpus, ckpt_level
+    )
     steal_rate_max = float(
         os.environ.get("SPARK_GRAFT_BENCH_STEAL_RATE_MAX", "8")
     )
@@ -112,13 +91,7 @@ def main() -> None:
             gate = _await_quiet_host()
         load_stage = _host_load()
         t0 = time.monotonic()
-        victims = minhash_lsh_victims(
-            corpus,
-            checkpoint_level=lsh_ckpt,
-            verify=verify,
-            approx_docs=n_corpus,
-        )
-        deduped = ckpt(corpus.join(victims, "doc_id", "left_anti"))
+        deduped = ckpt(neardup_frame(corpus, n_corpus, verify, lsh_ckpt))
         n_after = deduped.count()
         lsh_wall = round(time.monotonic() - t0, 3)
         load_after = _host_load()
@@ -135,7 +108,7 @@ def main() -> None:
                 "after": load_after,
             }
         )
-        victims = deduped = None
+        deduped = None
         if steal_d / max(lsh_wall, 1e-9) <= steal_rate_max:
             break
 

@@ -68,6 +68,13 @@ def _parse_args(argv=None):
         help="pivots probed per descent level (margin makes this a "
         "width cap; default: SPARK_GRAFT_SEMDEDUP_NPROBE env or 1)",
     )
+    ap.add_argument(
+        "--spill-cap", type=int, default=None, dest="spill_cap",
+        help="max pivot groups a spilled cell may join per level — a "
+        "wide --spill silently saturates here, so large-C censuses "
+        "must raise it (default: SPARK_GRAFT_SEMDEDUP_SPILL_CAP env "
+        "or 8)",
+    )
     return ap.parse_args(argv)
 
 
@@ -81,31 +88,42 @@ def _resolve_knob(cli_val, env_name, cast):
     return None, "default"
 
 
-def main(argv=None) -> None:
-    args = _parse_args(argv)
-    out_path = args.out_path
-    sf_dir = args.sf_dir
+# --- shared stage machinery -------------------------------------------
+# These are THE chain's stage definitions: main() times them,
+# tools/lsh_stage_probe.py re-runs stages 1–2 in isolation, and
+# tools/explain_audit.py --chain audits their plans. One composition,
+# three consumers — so a composition change cannot drift between the
+# rung artifacts and the audit (code-review r12 finding).
 
-    from oroboro_dw_dbt_spark.dedup.dedup import minhash_lsh_victims
-    from oroboro_dw_dbt_spark.operators.round7_suite import (
-        _IVF_FP,
-        ivf_cells_capped,
-        ivf_cells_for,
-        semdedup_ivf_core,
-    )
-    from oroboro_dw_dbt_spark.similarity.search import _as_double
-    from oroboro_dw_dbt_spark.text.pipeline import pack_shards, quality_filter
 
-    # SPARK_GRAFT_PIPE_CKPT_LEVEL=disk routes every corpus-sized
-    # stage-boundary checkpoint (and the LSH stage's per-doc frame) to
-    # DISK_ONLY: at the sf1000 rung the cumulative pinned state
-    # (corpus + deduped + LSH base + semantic vectors) overran a 64 g
-    # heap; from disk the same chain runs clean. A cluster spreads
-    # these bytes thin and the default (memory+disk) is right there.
-    # Unset = AUTO (VERDICT r10 Next #4): estimate the doc count from
-    # the parquet footers (no JVM needed) and go DISK_ONLY when ~2
-    # live text checkpoints (~1.2 KB/doc) would overrun 25% of the
-    # driver heap — the same sizing rule the LSH spelling uses.
+def resolve_stage_confs(sf_dir: str):
+    """(ckpt_level, extra_conf, n_shuffle) for the chain session.
+
+    SPARK_GRAFT_PIPE_CKPT_LEVEL=disk routes every corpus-sized
+    stage-boundary checkpoint (and the LSH stage's per-doc frame) to
+    DISK_ONLY: at the sf1000 rung the cumulative pinned state
+    (corpus + deduped + LSH base + semantic vectors) overran a 64 g
+    heap; from disk the same chain runs clean. A cluster spreads
+    these bytes thin and the default (memory+disk) is right there.
+    Unset = AUTO (VERDICT r10 Next #4): estimate the doc count from
+    the parquet footers (no JVM needed) and go DISK_ONLY when ~2
+    live text checkpoints (~1.2 KB/doc) would overrun 25% of the
+    driver heap — the same sizing rule the LSH spelling uses.
+
+    DISK_ONLY blocks are serialized but UNcompressed by default
+    (spark.rdd.compress=false); a corpus-text checkpoint that is
+    6.7 GB as snappy parquet re-expands to ~20 GB raw on the block
+    store — more than half the single box's free disk at the sf1000
+    rung. lz4-compressing serialized blocks trades a little CPU in a
+    stage that is md5-bound anyway for ~3-4× disk. And ≥ 2×
+    defaultParallelism shuffle partitions: (a) ~75 MB not ~600 MB per
+    reduce partition at 50 M docs, (b) the corpus checkpoint inherits
+    enough partitions that the LSH stage's "too few splits" guard
+    never pays a 19 GB corpus-text repartition shuffle. Shuffle files
+    of a truncated lineage are garbage the cleaner only reclaims
+    after a JVM GC; 2 min periodicGC keeps ~15 GB of dead shuffle
+    files from coexisting with the live stage (the first sf1000
+    attempt's disk-full abort)."""
     ckpt_level = os.environ.get("SPARK_GRAFT_PIPE_CKPT_LEVEL")
     if ckpt_level is None:
         import glob
@@ -120,31 +138,138 @@ def main(argv=None) -> None:
         from oroboro_dw_dbt_spark.dedup.dedup import _parse_mem
 
         ckpt_level = "disk" if est_docs * 1200 > 0.25 * _parse_mem(heap) else None
-    # DISK_ONLY blocks are serialized but UNcompressed by default
-    # (spark.rdd.compress=false); a corpus-text checkpoint that is
-    # 6.7 GB as snappy parquet re-expands to ~20 GB raw on the block
-    # store — more than half the single box's free disk at the sf1000
-    # rung. lz4-compressing serialized blocks trades a little CPU in a
-    # stage that is md5-bound anyway for ~3-4× disk. Executor-local
-    # disks on a cluster see the same ratio.
     extra = None
     n_shuffle = None
     if ckpt_level == "disk":
         extra = {
             "spark.rdd.compress": "true",
-            # shuffle files of a truncated lineage (everything behind
-            # an eager checkpoint) are garbage the cleaner only
-            # reclaims after a JVM GC; the default 30 min periodicGC
-            # let ~15 GB of dead shuffle files coexist with the live
-            # stage at the first sf1000 attempt (disk-full abort).
             "spark.cleaner.periodicGC.interval": "2min",
         }
-        # ≥ 2× defaultParallelism shuffle partitions: (a) ~75 MB not
-        # ~600 MB per reduce partition at 50 M docs, (b) the corpus
-        # checkpoint inherits enough partitions that the LSH stage's
-        # "too few splits" guard never pays a 19 GB corpus-text
-        # repartition shuffle just to widen parallelism.
         n_shuffle = 256
+    return ckpt_level, extra, n_shuffle
+
+
+def resolve_lsh_spelling(corpus, n_corpus: int, ckpt_level):
+    """(verify, checkpoint_level, decision-record) for stage 2.
+
+    AUTO by default (VERDICT r10 Next #4): carry+memory when
+    ~0.7 KB/doc of verify state fits 25% of executor storage (sf30),
+    reshingle+disk when it doesn't (the single-box sf1000 rung).
+    SPARK_GRAFT_LSH_VERIFY overrides for A/B probes; a disk-level
+    chain forces the LSH checkpoint to disk either way."""
+    lsh_verify = os.environ.get("SPARK_GRAFT_LSH_VERIFY", "auto")
+    if lsh_verify == "auto":
+        from oroboro_dw_dbt_spark.dedup.dedup import _auto_lsh_spelling
+
+        lsh_verify, auto_ckpt, decision = _auto_lsh_spelling(corpus, n_corpus)
+        lsh_ckpt = "disk" if ckpt_level == "disk" else auto_ckpt
+    else:
+        decision = {"choice": lsh_verify, "source": "env-override"}
+        lsh_ckpt = "disk" if ckpt_level == "disk" else None
+    return lsh_verify, lsh_ckpt, decision
+
+
+def corpus_frame(spark, sf_dir: str):
+    """Stage 1 (pre-checkpoint): quality_filter keep-set joined back."""
+    from oroboro_dw_dbt_spark.text.pipeline import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    q = quality_filter(docs)
+    return docs.join(q.where("keep").select("doc_id"), "doc_id")
+
+
+def neardup_frame(corpus, n_corpus: int, lsh_verify, lsh_ckpt):
+    """Stage 2 (pre-checkpoint): star-spelling LSH victims removed."""
+    from oroboro_dw_dbt_spark.dedup.dedup import minhash_lsh_victims
+
+    victims = minhash_lsh_victims(
+        corpus,
+        checkpoint_level=lsh_ckpt,
+        verify=lsh_verify,
+        approx_docs=n_corpus,
+    )
+    return corpus.join(victims, "doc_id", "left_anti")
+
+
+def semantic_vectors(spark, sf_dir: str, deduped, compact: bool = True):
+    """Stage-3 input: micro-scaled int vectors of the SURVIVORS only
+    (vec_id keys doc_id — a doc removed upstream must not dominate
+    anyone downstream; that is what "chained" means). ``compact``
+    (default ON) stores v as array<float> / vi as array<int> — halves
+    the corpus checkpoint the stage pins (the r09 sf1000 probe hit
+    GCLocker retries at ~22 GB on a 24 g heap; the full-width r10
+    rerun OOMed). Kernels upcast to f64/i64 at compute time so
+    victims are unchanged; micro coords |vi| ≤ ~3e7 fit int32 by
+    construction."""
+    from oroboro_dw_dbt_spark.operators.round7_suite import _IVF_FP
+    from oroboro_dw_dbt_spark.similarity.search import _as_double
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").join(
+        deduped.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    v = emb.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "vi",
+        F.transform(F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")),
+    )
+    if compact:
+        v = v.select(
+            "vec_id",
+            F.transform("v", lambda x: x.cast("float")).alias("v"),
+            F.transform("vi", lambda x: x.cast("int")).alias("vi"),
+        )
+    return v
+
+
+def semantic_frame(
+    v, n_vec: int, occ: int = 128, nprobe: int = 1,
+    probe_margin=None, group_spill=None, spill_cap: int = 8,
+):
+    """Stage 3 (pre-checkpoint): the cells ∝ N greedy operating point
+    (VERDICT r08 Next #2) — occupancy-capped cells + d-level descent,
+    dominance work N·occ. Occupancy cap at 8× the target: greedy
+    cells skew (measured p99 ≈ 9× average at sf10), and Σ occ² — the
+    dominance GEMM — is what the cap bounds to N·cap. Returns
+    (sem, n_cells)."""
+    from oroboro_dw_dbt_spark.operators.round7_suite import (
+        ivf_cells_capped,
+        semdedup_ivf_core,
+    )
+
+    n_cells = ivf_cells_capped(n_vec, occ)
+    sem = semdedup_ivf_core(
+        v, n_cells, assign="greedy", occupancy_cap=8 * occ,
+        nprobe=nprobe, probe_margin=probe_margin,
+        group_spill=group_spill, spill_cap=spill_cap,
+    )
+    return sem, n_cells
+
+
+def final_frame(deduped, sem):
+    """Stage 3½ (pre-checkpoint): dominated vectors' docs removed."""
+    sem_victims = sem.where("keep = 0").select(F.col("vec_id").alias("doc_id"))
+    return deduped.join(sem_victims, "doc_id", "left_anti")
+
+
+def shards_frame(final):
+    """Stage 4: per-source token-budget shard assignment."""
+    from oroboro_dw_dbt_spark.text.pipeline import pack_shards
+
+    return pack_shards(final, budget=2000)
+
+
+def main(argv=None) -> None:
+    args = _parse_args(argv)
+    out_path = args.out_path
+    sf_dir = args.sf_dir
+
+    from oroboro_dw_dbt_spark.operators.round7_suite import (
+        ivf_cells_for,
+        semdedup_ivf_core,
+    )
+
+    ckpt_level, extra, n_shuffle = resolve_stage_confs(sf_dir)
     spark = get_spark("pipeline_e2e", shuffle_partitions=n_shuffle, extra_conf=extra)
     spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
 
@@ -185,17 +310,12 @@ def main(argv=None) -> None:
 
     # -- 1. corpus build ---------------------------------------------------
     t0 = time.monotonic()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "source"
-    )
-    q = quality_filter(docs)
-    corpus = ckpt(docs.join(q.where("keep").select("doc_id"), "doc_id"))
+    corpus = ckpt(corpus_frame(spark, sf_dir))
     counts["corpus"] = corpus.count()
     stages["quality_filter"] = round(time.monotonic() - t0, 3)
     # the checkpoint truncated the lineage: the quality join's corpus
     # shuffle is dead NOW — reclaim it before the LSH stage needs the
     # same disk, not at the next stage boundary
-    docs = q = None
     free_dead_state()
 
     # -- 2. near-dup removal ----------------------------------------------
@@ -204,73 +324,36 @@ def main(argv=None) -> None:
     # corpus-wide shingle-array checkpoint (~3× the text) thrashing
     # the block manager, not the pair count (SCALE.md "sf100 rung")
     t0 = time.monotonic()
-    # Spelling selection is AUTO by default (VERDICT r10 Next #4):
-    # carry+memory when ~0.7 KB/doc of verify state fits 25% of
-    # executor storage (sf30), reshingle+disk when it doesn't
-    # (the single-box sf1000 rung). Env overrides for A/B probes.
-    lsh_verify = os.environ.get("SPARK_GRAFT_LSH_VERIFY", "auto")
-    if lsh_verify == "auto":
-        from oroboro_dw_dbt_spark.dedup.dedup import _auto_lsh_spelling
-
-        lsh_verify, auto_ckpt, lsh_decision = _auto_lsh_spelling(
-            corpus, counts["corpus"]
-        )
-        lsh_ckpt = "disk" if ckpt_level == "disk" else auto_ckpt
-    else:
-        lsh_decision = {"choice": lsh_verify, "source": "env-override"}
-        lsh_ckpt = "disk" if ckpt_level == "disk" else None
-    victims = minhash_lsh_victims(
-        corpus,
-        checkpoint_level=lsh_ckpt,
-        verify=lsh_verify,
-        approx_docs=counts["corpus"],
+    lsh_verify, lsh_ckpt, lsh_decision = resolve_lsh_spelling(
+        corpus, counts["corpus"], ckpt_level
     )
-    deduped = ckpt(corpus.join(victims, "doc_id", "left_anti"))
+    deduped = ckpt(neardup_frame(corpus, counts["corpus"], lsh_verify, lsh_ckpt))
     counts["after_near_dup"] = deduped.count()
     stages["minhash_lsh_dedup"] = round(time.monotonic() - t0, 3)
     # corpus ckpt + the LSH stage's internal checkpoints (index/edges/
     # vh) are dead once `deduped` is materialized
-    corpus = q = victims = None
+    corpus = None
     free_dead_state()
 
     # -- 3. semantic dedup -------------------------------------------------
-    # over the embeddings OF THE SURVIVORS only (vec_id keys doc_id):
-    # a doc removed upstream must not dominate anyone downstream —
-    # that is what "chained" means.
-    # Operating point (VERDICT r08 Next #2): occupancy-capped cells
-    # (C = ceil(N/occ), cells ∝ N) + the greedy two-level descent —
-    # dominance work N·occ and assignment ~2√C GEMM dots per vector,
-    # replacing the √-scaled exact point whose N^1.5 dominance term
-    # was 72% of the sf100 wall. SPARK_GRAFT_SEMDEDUP_MODE=sqrt
-    # restores the r08 exact operating point for A/B probes.
+    # SPARK_GRAFT_SEMDEDUP_MODE=sqrt restores the r08 exact operating
+    # point (√-scaled cells, exact assignment) for A/B probes; the
+    # default is the linear greedy point (semantic_frame).
     t0 = time.monotonic()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").join(
-        deduped.select(F.col("doc_id").alias("vec_id")), "vec_id"
-    )
-    v = (
-        emb.select("vec_id", _as_double("embedding").alias("v"))
-        .withColumn(
-            "vi",
-            F.transform(
-                F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")
-            ),
-        )
-    )
     mode = os.environ.get("SPARK_GRAFT_SEMDEDUP_MODE", "linear")
     recall_knobs = None  # sqrt mode has no descent knobs
-    n_vec = v.count()
     if mode == "sqrt":
+        v = semantic_vectors(spark, sf_dir, deduped, compact=False)
+        n_vec = v.count()
         n_cells = ivf_cells_for(n_vec)
         sem = semdedup_ivf_core(v, n_cells, assign="exact")
     else:
         occ = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_OCC", "128"))
-        # nprobe > 1 = the recall middle point (VERDICT r09 Next #4):
-        # probe the best nprobe pivots per descent level at ~nprobe×
-        # the probe cost, still ≪ the exact path's C dots per vector.
-        # recall knobs (SCALE.md r11 census): adaptive vector-side
-        # margin and cell-side spill; unset = the certified np1 point.
-        # CLI flags override the env vars (VERDICT r11 Next #7);
-        # resolved values + source recorded in the artifact below.
+        # nprobe > 1 = the recall middle point (VERDICT r09 Next #4);
+        # margin/spill = the adaptive knobs (SCALE.md r11 census);
+        # unset = the certified np1 point. CLI flags override the env
+        # vars (VERDICT r11 Next #7); resolved values + source
+        # recorded in the artifact below.
         nprobe, nprobe_src = _resolve_knob(
             args.nprobe, "SPARK_GRAFT_SEMDEDUP_NPROBE", int
         )
@@ -281,49 +364,40 @@ def main(argv=None) -> None:
         group_spill, spill_src = _resolve_knob(
             args.spill, "SPARK_GRAFT_SEMDEDUP_SPILL", float
         )
+        spill_cap, cap_src = _resolve_knob(
+            args.spill_cap, "SPARK_GRAFT_SEMDEDUP_SPILL_CAP", int
+        )
+        spill_cap = spill_cap or 8
         recall_knobs = {
             "nprobe": nprobe,
             "probe_margin": probe_margin,
             "group_spill": group_spill,
+            "spill_cap": spill_cap,
             "source": {
                 "nprobe": nprobe_src,
                 "probe_margin": margin_src,
                 "group_spill": spill_src,
+                "spill_cap": cap_src,
             },
         }
-        n_cells = ivf_cells_capped(n_vec, occ)
-        # compact storage (default ON): v as array<float>, vi as
-        # array<int> — halves the corpus checkpoint the stage pins
-        # (the r09 sf1000 probe hit GCLocker retries at ~22 GB on a
-        # 24 g heap; the full-width r10 rerun OOMed). Kernels upcast
-        # to f64/i64 at compute time so victims are unchanged; micro
-        # coords |vi| ≤ ~3e7 fit int32 by construction.
-        if os.environ.get("SPARK_GRAFT_SEMDEDUP_COMPACT", "1") == "1":
-            v = v.select(
-                "vec_id",
-                F.transform("v", lambda x: x.cast("float")).alias("v"),
-                F.transform("vi", lambda x: x.cast("int")).alias("vi"),
-            )
-        # occupancy cap at 8× the target: greedy cells skew (measured
-        # p99 ≈ 9× average at sf10), and Σ occ² — the dominance GEMM —
-        # is what the cap bounds to N·cap
-        sem = semdedup_ivf_core(
-            v, n_cells, assign="greedy", occupancy_cap=8 * occ,
-            nprobe=nprobe, probe_margin=probe_margin,
-            group_spill=group_spill,
+        v = semantic_vectors(
+            spark, sf_dir, deduped,
+            compact=os.environ.get("SPARK_GRAFT_SEMDEDUP_COMPACT", "1") == "1",
         )
-    sem_victims = sem.where("keep = 0").select(
-        F.col("vec_id").alias("doc_id")
-    )
-    final = ckpt(deduped.join(sem_victims, "doc_id", "left_anti"))
+        n_vec = v.count()
+        sem, n_cells = semantic_frame(
+            v, n_vec, occ=occ, nprobe=nprobe, probe_margin=probe_margin,
+            group_spill=group_spill, spill_cap=spill_cap,
+        )
+    final = ckpt(final_frame(deduped, sem))
     counts["after_semantic"] = final.count()
     stages["semdedup_ivf"] = round(time.monotonic() - t0, 3)
-    deduped = emb = v = sem = sem_victims = None
+    deduped = v = sem = None
     free_dead_state()
 
     # -- 4. pack shards ----------------------------------------------------
     t0 = time.monotonic()
-    shards = pack_shards(final, budget=2000)
+    shards = shards_frame(final)
     summary = shards.agg(
         F.countDistinct("source", "shard_id").alias("n_shards"),
         F.sum("n_tokens").alias("total_tokens"),
