@@ -119,3 +119,73 @@ class TestGenScale:
             """
         ).fetchone()[0]
         assert bad == 0
+
+    def test_chained_generation_manufactures_no_text_dups(
+        self, scaled, spark, tmp_path_factory
+    ):
+        """Chain a second generation on top of the first (sf2x -> sf4x)
+        and require ZERO manufactured exact-text duplicates: only the
+        source's own duplicate pairs may replicate (×4 here).
+
+        Regression for the r11 sf1000 corpus artifact: with r=0 skipping
+        perturbation, chained replica paths with the same nonzero suffix
+        sequence — (x,0) vs (0,x) — produced byte-identical text, a
+        10.0% exact-dup excess at sf1000 (native rate 0.16%) that
+        inflated the LSH stage's per-doc wall and masqueraded as a
+        superlinear engine term (VERDICT r11 Missing #3)."""
+        from gen_scale import generate
+
+        out = str(tmp_path_factory.mktemp("chained") / "sf4x")
+        generate(spark, scaled, out, replicas=2,
+                 tables=("documents", "embeddings"))
+        con = duckdb.connect()
+        src_dups = con.execute(
+            f"SELECT count(*) - count(DISTINCT text) "
+            f"FROM '{SRC}/documents.parquet'"
+        ).fetchone()[0]
+        chained_dups = con.execute(
+            f"SELECT count(*) - count(DISTINCT text) "
+            f"FROM '{out}/documents.parquet/*.parquet'"
+        ).fetchone()[0]
+        assert chained_dups == 4 * src_dups, (chained_dups, src_dups)
+
+    def test_chained_embeddings_distinct_and_norm_preserved(
+        self, scaled, spark, tmp_path_factory
+    ):
+        """Shifts alone compose additively, so chained paths (x,0) and
+        (0,x) land on the same rotation: without the (stride, r)-seeded
+        sign pattern the sf4x chain would hold vector pairs that are
+        float-identical. Require zero manufactured identical vectors
+        and exact norm preservation through BOTH levels."""
+        from gen_scale import generate
+
+        out = str(tmp_path_factory.mktemp("chained_vec") / "sf4x")
+        generate(spark, scaled, out, replicas=2,
+                 tables=("documents", "embeddings"))
+        con = duckdb.connect()
+        src_vec_dups = con.execute(
+            f"SELECT count(*) - count(DISTINCT embedding::VARCHAR) "
+            f"FROM '{SRC}/embeddings.parquet'"
+        ).fetchone()[0]
+        chained_vec_dups = con.execute(
+            f"SELECT count(*) - count(DISTINCT embedding::VARCHAR) "
+            f"FROM '{out}/embeddings.parquet/*.parquet'"
+        ).fetchone()[0]
+        assert chained_vec_dups == 4 * src_vec_dups, (
+            chained_vec_dups, src_vec_dups,
+        )
+        # norm preservation through two composed orthogonal transforms
+        bad = con.execute(
+            f"""
+            SELECT count(*) FROM
+              (SELECT vec_id % (SELECT max(vec_id)+1
+                                FROM '{SRC}/embeddings.parquet') AS base,
+                      list_sum(list_transform(embedding, x -> x*x)) AS n2
+               FROM '{out}/embeddings.parquet/*.parquet') r
+            JOIN (SELECT vec_id AS base,
+                         list_sum(list_transform(embedding, x -> x*x)) AS n2
+                  FROM '{SRC}/embeddings.parquet') o USING (base)
+            WHERE abs(r.n2 - o.n2) > 1e-4
+            """
+        ).fetchone()[0]
+        assert bad == 0

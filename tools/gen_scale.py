@@ -8,14 +8,21 @@ constant).
 
 Shape-preserving perturbations keep the non-relational operators honest:
 
-- ``documents.text``: replicas > 0 get every 3rd token suffixed with the
-  replica id — token count unchanged, but w-shingles break, so MinHash/LSH
-  sees each replica as a DISTINCT document (the within-replica near-dup
-  rate — the statistic dedup cost depends on — is preserved; a verbatim
-  copy would instead manufacture K-fold duplicate clusters and overstate
-  LSH bucket load).
-- ``embeddings.embedding``: circular shift by the replica index — norm
-  preserved, replicas decorrelated, so ANN top-k at sfN isn't K copies at
+- ``documents.text``: EVERY replica (r=0 included) gets every 3rd token
+  suffixed with the replica id — token count unchanged, but w-shingles
+  break, so MinHash/LSH sees each replica as a DISTINCT document (the
+  within-replica near-dup rate — the statistic dedup cost depends on —
+  is preserved; a verbatim copy would instead manufacture K-fold
+  duplicate clusters and overstate LSH bucket load). Suffixing r=0 too
+  makes CHAINED generations safe: each text encodes its full replica
+  path, so no two paths collide (with r=0 skipped, paths (x,y,0) and
+  (x,0,y) were byte-identical — 10.0% manufactured exact dups on the
+  r11 sf1000 dir vs the 0.16% native rate).
+- ``embeddings.embedding``: circular shift by the replica index + a
+  (stride, r)-seeded ±1 sign pattern (diagonal orthogonal transform) —
+  norms and within-replica inner products exactly preserved, replicas
+  decorrelated even under chaining (shifts alone compose additively and
+  collide on reordered paths), so ANN top-k at sfN isn't K copies at
   distance zero.
 - ``region``/``nation`` stay fixed (TPC-H semantics: constant dims).
 
@@ -102,9 +109,18 @@ def generate(
     vecs = need("embeddings", "vec_id")
 
     def perturb_doc(df: DataFrame, r: int) -> DataFrame:
-        if r == 0:
-            return df
-        # suffix every 3rd token: length-preserving shingle breaker
+        # Suffix every 3rd token: length-preserving shingle breaker.
+        # ALL replicas get the suffix, r=0 INCLUDED: chained
+        # generations (sfA -> sfB -> sfC) compose suffix strings, and
+        # when r=0 skipped perturbation, any two replica paths with
+        # the same NONZERO suffix sequence — (x,y,0) and (x,0,y) —
+        # produced byte-identical text. On the r11 sf1000 dir
+        # (sf100×10 on sf10×10) that manufactured a 10.0% exact-dup
+        # excess (native sf0.1 rate: 0.16%) and inflated the LSH
+        # stage's per-doc wall 43.5 -> 56+ µs — a corpus artifact the
+        # r11 VERDICT flagged as a possible superlinear engine term.
+        # With "~0" emitted too, a text encodes its FULL replica path,
+        # so paths collide only when they are the same path.
         return df.withColumn(
             "text",
             F.array_join(
@@ -119,18 +135,37 @@ def generate(
         ).withColumn("n_chars", F.length("text").cast("bigint"))
 
     def perturb_vec(df: DataFrame, r: int) -> DataFrame:
-        # shift must wrap at the vector dim: with replicas > dim a raw
-        # r produces a negative slice length and the write crashes
-        # (hit at 100 replicas × dim-64 vectors)
-        if r == 0:
-            return df
+        # Circular shift (wrapped at the vector dim: with replicas >
+        # dim a raw r produces a negative slice length — hit at 100
+        # replicas × dim-64 vectors) + a (stride, r)-seeded ±1 sign
+        # pattern. The shift alone is NOT chain-safe: shifts compose
+        # ADDITIVELY, so chained paths (x,0) and (0,x) land on the
+        # same total rotation and produce identical vectors — the
+        # vector-side twin of the text-suffix collision above. The
+        # sign pattern is a diagonal orthogonal transform shared by
+        # every vector of a replica: norms and all WITHIN-replica
+        # inner products are preserved exactly (the statistics the
+        # semantic-dedup probes depend on), while xxhash64(i, r,
+        # stride) makes the composed transform distinct per level
+        # even at the same total shift.
         n = F.size("embedding")
         s = F.lit(r) % n
+        shifted = F.concat(
+            F.slice("embedding", s + 1, n - s),
+            F.slice("embedding", F.lit(1), s),
+        )
         return df.withColumn(
             "embedding",
-            F.concat(
-                F.slice("embedding", s + 1, n - s),
-                F.slice("embedding", F.lit(1), s),
+            F.transform(
+                shifted,
+                lambda v, i: v
+                * (
+                    1
+                    - 2
+                    * F.pmod(
+                        F.xxhash64(i, F.lit(r), F.lit(vecs)), F.lit(2)
+                    ).cast("int")
+                ).cast("float"),
             ),
         )
 
