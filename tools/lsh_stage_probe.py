@@ -127,6 +127,11 @@ def main() -> None:
             "checkpoint_level": lsh_ckpt,
             "decision": decision,
         },
+        "session": {
+            "ckpt_level": ckpt_level,
+            "n_shuffle": n_shuffle,
+            "extra_conf": extra,
+        },
         "quiet_gate": gate,
         "load": {"before": load_before},
     }

@@ -123,17 +123,30 @@ def resolve_stage_confs(sf_dir: str):
     of a truncated lineage are garbage the cleaner only reclaims
     after a JVM GC; 2 min periodicGC keeps ~15 GB of dead shuffle
     files from coexisting with the live stage (the first sf1000
-    attempt's disk-full abort)."""
+    attempt's disk-full abort).
+
+    Shuffle WIDTH scales with the corpus, not a constant: the r12
+    clean-corpus ladder still showed 48.3 µs/doc (sf300) -> 58.4
+    (sf1000) on the LSH stage with both rungs pinned at 256 reduce
+    partitions — 44 k docs/partition at sf300 vs 147 k at sf1000, so
+    the reduce-side hash aggregations cross their in-memory threshold
+    only at the top rung. The rule targets ≤ ~50 k docs per reduce
+    partition (the largest measured-healthy density), power-of-two,
+    floor 256: sf300 stays exactly at its certified 256; sf1000 gets
+    1024. When the rule widens past 256 the AQE advisory partition
+    size drops to 24 MB to match — otherwise coalescePartitions
+    (64 MB default target) would merge the 1024 ~18 MB outputs right
+    back to ~290 and silently undo the width."""
     ckpt_level = os.environ.get("SPARK_GRAFT_PIPE_CKPT_LEVEL")
+    import glob
+
+    import pyarrow.parquet as pq
+
+    paths = glob.glob(f"{sf_dir}/documents.parquet/*.parquet") or glob.glob(
+        f"{sf_dir}/documents.parquet"
+    )
+    est_docs = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
     if ckpt_level is None:
-        import glob
-
-        import pyarrow.parquet as pq
-
-        paths = glob.glob(f"{sf_dir}/documents.parquet/*.parquet") or glob.glob(
-            f"{sf_dir}/documents.parquet"
-        )
-        est_docs = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
         heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
         from oroboro_dw_dbt_spark.dedup.dedup import _parse_mem
 
@@ -145,8 +158,21 @@ def resolve_stage_confs(sf_dir: str):
             "spark.rdd.compress": "true",
             "spark.cleaner.periodicGC.interval": "2min",
         }
-        n_shuffle = 256
+        n_shuffle = _shuffle_width(est_docs)
+        if n_shuffle > 256:
+            extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "24m"
     return ckpt_level, extra, n_shuffle
+
+
+def _shuffle_width(est_docs: int, docs_per_partition: int = 50_000) -> int:
+    """Reduce-partition count for disk rungs: smallest power of two
+    ≥ est_docs / docs_per_partition, floor 256, cap 4096 (task-launch
+    overhead dominates past ~128× the core count on one box; a real
+    cluster sizes this to 2× total cores instead)."""
+    n = 256
+    while n * docs_per_partition < est_docs and n < 4096:
+        n *= 2
+    return n
 
 
 def resolve_lsh_spelling(corpus, n_corpus: int, ckpt_level):
