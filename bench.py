@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 from oroboro_dw_dbt_spark.operators import QUERIES
@@ -38,7 +39,34 @@ def _host_load() -> dict:
             cpu = f.readline().split()  # cpu user nice system idle iowait irq softirq steal ...
         if len(cpu) > 8:
             snap["steal_jiffies"] = int(cpu[8])
+            snap["iowait_jiffies"] = int(cpu[5])
     except (OSError, ValueError):
+        pass
+    # Disk I/O cumulative sectors (512 B each), whole physical devices
+    # only (skip partitions/loop/ram): lets per-stage artifact deltas
+    # separate CPU-bound from I/O-saturated walls — the r12 width A/B
+    # left the sf300→sf1000 in-chain per-doc uptick attributed to
+    # neither width nor steal, and single-box disk saturation is the
+    # leading open hypothesis.
+    try:
+        rd = wr = 0
+        with open("/proc/diskstats") as f:
+            for line in f:
+                p = line.split()
+                name = p[2]
+                if name.startswith(("loop", "ram", "dm-")):
+                    continue
+                # partitions: vda1, sda2, nvme0n1p3 — but nvme0n1 and
+                # mmcblk0 are whole devices despite the trailing digit
+                if re.search(r"p\d+$", name) if name.startswith(
+                    ("nvme", "mmcblk")
+                ) else name[-1].isdigit():
+                    continue
+                rd += int(p[5])
+                wr += int(p[9])
+        snap["disk_sectors_read"] = rd
+        snap["disk_sectors_written"] = wr
+    except (OSError, ValueError, IndexError):
         pass
     return snap
 

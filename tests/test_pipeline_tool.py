@@ -113,39 +113,19 @@ class TestChainPlanAudit:
         assert all(not f for f in all_flags.values()), all_flags
 
 
-class TestShuffleWidthRule:
-    """Disk-rung shuffle width targets ≤ ~50k docs per reduce partition
-    (power-of-two, floor 256, cap 4096): the r12 clean-corpus ladder
-    measured healthy hash-agg density at sf300's 44k/partition (256)
-    and spill-grade density at sf1000's 147k (also 256 before the
-    rule). Memory rungs keep n_shuffle=None (session default)."""
+class TestShuffleWidth:
+    """Disk-rung shuffle width is a CONSTANT 256: the r12 2×2 A/B on
+    the clean sf1000 corpus measured a corpus-scaled width (1024)
+    dead even in-chain on the LSH stage, +37% on the semantic stage,
+    and +6% on the rung total — the scaled rule was reverted
+    (SCALE.md round 12). SPARK_GRAFT_PIPE_SHUFFLE overrides for A/B
+    probes; widening past 256 must drop the AQE advisory to 24m or
+    coalescePartitions merges the extra partitions straight back.
+    Memory rungs keep n_shuffle=None (session default)."""
 
-    def test_width_scales_with_docs(self, monkeypatch):
-        from tools.pipeline_e2e import _shuffle_width, resolve_stage_confs
-
-        cases = {  # est_docs -> expected width
-            11_288_259: 256,   # sf300: unchanged vs the certified rung
-            37_629_259: 1024,  # sf1000
-            1_128_159: 256,    # floor
-            500_000_000: 4096,  # cap
-        }
-        for docs, want in cases.items():
-            assert _shuffle_width(docs) == want, (docs, want)
-        # boundary: exactly at the threshold stays, one past doubles
-        assert _shuffle_width(256 * 50_000) == 256
-        assert _shuffle_width(256 * 50_000 + 1) == 512
-        # the real resolver on the sf0.001 dir: memory rung, no width
-        monkeypatch.delenv("SPARK_GRAFT_PIPE_CKPT_LEVEL", raising=False)
-        ck, extra, n = resolve_stage_confs("/root/testdata/sf0.001")
-        assert ck is None and extra is None and n is None
-
-    def test_advisory_set_only_when_widened(self, monkeypatch, tmp_path):
-        """Widened rungs must drop the AQE advisory size to 24m or
-        coalescing merges the extra partitions straight back."""
+    def _tiny_dir(self, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq
-
-        from tools.pipeline_e2e import resolve_stage_confs
 
         d = tmp_path / "documents.parquet"
         d.mkdir()
@@ -153,7 +133,30 @@ class TestShuffleWidthRule:
             pa.table({"doc_id": pa.array(range(8), pa.int64())}),
             d / "part-0.parquet",
         )
+        return str(tmp_path)
+
+    def test_disk_rung_constant_width(self, monkeypatch, tmp_path):
+        from tools.pipeline_e2e import resolve_stage_confs
+
         monkeypatch.setenv("SPARK_GRAFT_PIPE_CKPT_LEVEL", "disk")
-        ck, extra, n = resolve_stage_confs(str(tmp_path))
+        monkeypatch.delenv("SPARK_GRAFT_PIPE_SHUFFLE", raising=False)
+        ck, extra, n = resolve_stage_confs(self._tiny_dir(tmp_path))
         assert n == 256
         assert "spark.sql.adaptive.advisoryPartitionSizeInBytes" not in extra
+
+    def test_override_widens_and_sets_advisory(self, monkeypatch, tmp_path):
+        from tools.pipeline_e2e import resolve_stage_confs
+
+        monkeypatch.setenv("SPARK_GRAFT_PIPE_CKPT_LEVEL", "disk")
+        monkeypatch.setenv("SPARK_GRAFT_PIPE_SHUFFLE", "1024")
+        ck, extra, n = resolve_stage_confs(self._tiny_dir(tmp_path))
+        assert n == 1024
+        assert extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == "24m"
+
+    def test_memory_rung_no_width(self, monkeypatch):
+        from tools.pipeline_e2e import resolve_stage_confs
+
+        monkeypatch.delenv("SPARK_GRAFT_PIPE_CKPT_LEVEL", raising=False)
+        monkeypatch.delenv("SPARK_GRAFT_PIPE_SHUFFLE", raising=False)
+        ck, extra, n = resolve_stage_confs("/root/testdata/sf0.001")
+        assert ck is None and extra is None and n is None

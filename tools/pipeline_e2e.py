@@ -125,18 +125,22 @@ def resolve_stage_confs(sf_dir: str):
     files from coexisting with the live stage (the first sf1000
     attempt's disk-full abort).
 
-    Shuffle WIDTH scales with the corpus, not a constant: the r12
-    clean-corpus ladder still showed 48.3 µs/doc (sf300) -> 58.4
-    (sf1000) on the LSH stage with both rungs pinned at 256 reduce
-    partitions — 44 k docs/partition at sf300 vs 147 k at sf1000, so
-    the reduce-side hash aggregations cross their in-memory threshold
-    only at the top rung. The rule targets ≤ ~50 k docs per reduce
-    partition (the largest measured-healthy density), power-of-two,
-    floor 256: sf300 stays exactly at its certified 256; sf1000 gets
-    1024. When the rule widens past 256 the AQE advisory partition
-    size drops to 24 MB to match — otherwise coalescePartitions
-    (64 MB default target) would merge the 1024 ~18 MB outputs right
-    back to ~290 and silently undo the width."""
+    Shuffle WIDTH stays a CONSTANT 256 — a corpus-scaled width rule
+    (≤ ~50 k docs per reduce partition → 1024 at sf1000) was built,
+    measured in a full 2×2 on the clean sf1000 corpus, and REVERTED:
+    stage-only the wider LSH shuffle won ~8% (50.4 → 46.4 µs/doc,
+    BENCH_r12_lsh_sf1000_w256clean/w1024.json), but in-chain it was
+    dead even (58.4 vs 58.5, BENCH_r12_pipe_sf1000{,_w1024}.json) and
+    the global width regressed the semantic stage +37% (661 → 908 s
+    — finer partitions dilute the per-cell GEMM batches), total rung
+    +6%. Victim/survivor counts were bit-identical at both widths.
+    SPARK_GRAFT_PIPE_SHUFFLE overrides for A/B probes; when the
+    override widens past 256 the AQE advisory partition size drops to
+    24 MB so coalescePartitions (64 MB target) cannot merge the extra
+    partitions straight back. The open sf300→sf1000 in-chain per-doc
+    uptick is attributed to neither width nor steal; per-stage
+    iowait/disk-sector deltas are now in the artifacts to adjudicate
+    the I/O-saturation hypothesis."""
     ckpt_level = os.environ.get("SPARK_GRAFT_PIPE_CKPT_LEVEL")
     import glob
 
@@ -158,21 +162,11 @@ def resolve_stage_confs(sf_dir: str):
             "spark.rdd.compress": "true",
             "spark.cleaner.periodicGC.interval": "2min",
         }
-        n_shuffle = _shuffle_width(est_docs)
+        width_env = os.environ.get("SPARK_GRAFT_PIPE_SHUFFLE")
+        n_shuffle = int(width_env) if width_env else 256
         if n_shuffle > 256:
             extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "24m"
     return ckpt_level, extra, n_shuffle
-
-
-def _shuffle_width(est_docs: int, docs_per_partition: int = 50_000) -> int:
-    """Reduce-partition count for disk rungs: smallest power of two
-    ≥ est_docs / docs_per_partition, floor 256, cap 4096 (task-launch
-    overhead dominates past ~128× the core count on one box; a real
-    cluster sizes this to 2× total cores instead)."""
-    n = 256
-    while n * docs_per_partition < est_docs and n < 4096:
-        n *= 2
-    return n
 
 
 def resolve_lsh_spelling(corpus, n_corpus: int, ckpt_level):
@@ -331,6 +325,7 @@ def main(argv=None) -> None:
     gate = _await_quiet_host()
     load_before = _host_load()
     stages: dict[str, float] = {}
+    stage_load: dict[str, dict] = {}
     counts: dict[str, int] = {}
     t_all = time.monotonic()
 
@@ -339,6 +334,7 @@ def main(argv=None) -> None:
     corpus = ckpt(corpus_frame(spark, sf_dir))
     counts["corpus"] = corpus.count()
     stages["quality_filter"] = round(time.monotonic() - t0, 3)
+    stage_load["quality_filter"] = _host_load()
     # the checkpoint truncated the lineage: the quality join's corpus
     # shuffle is dead NOW — reclaim it before the LSH stage needs the
     # same disk, not at the next stage boundary
@@ -356,6 +352,7 @@ def main(argv=None) -> None:
     deduped = ckpt(neardup_frame(corpus, counts["corpus"], lsh_verify, lsh_ckpt))
     counts["after_near_dup"] = deduped.count()
     stages["minhash_lsh_dedup"] = round(time.monotonic() - t0, 3)
+    stage_load["minhash_lsh_dedup"] = _host_load()
     # corpus ckpt + the LSH stage's internal checkpoints (index/edges/
     # vh) are dead once `deduped` is materialized
     corpus = None
@@ -418,6 +415,7 @@ def main(argv=None) -> None:
     final = ckpt(final_frame(deduped, sem))
     counts["after_semantic"] = final.count()
     stages["semdedup_ivf"] = round(time.monotonic() - t0, 3)
+    stage_load["semdedup_ivf"] = _host_load()
     deduped = v = sem = None
     free_dead_state()
 
@@ -431,6 +429,7 @@ def main(argv=None) -> None:
     counts["n_shards"] = int(summary["n_shards"])
     counts["total_tokens"] = int(summary["total_tokens"])
     stages["pack_shards"] = round(time.monotonic() - t0, 3)
+    stage_load["pack_shards"] = _host_load()
 
     total = round(time.monotonic() - t_all, 3)
     load_after = _host_load()
@@ -440,6 +439,7 @@ def main(argv=None) -> None:
         "unit": "sec",
         "sf_dir": sf_dir,
         "stages": stages,
+        "stage_load": stage_load,
         "counts": counts,
         "n_cells": n_cells,
         "semdedup_mode": mode,
@@ -451,6 +451,11 @@ def main(argv=None) -> None:
             "decision": lsh_decision,
         },
         "stage_checkpoint_level": ckpt_level or "memory_and_disk",
+        "session": {
+            "ckpt_level": ckpt_level,
+            "n_shuffle": n_shuffle,
+            "extra_conf": extra,
+        },
         "load": {
             "before": load_before,
             "after": load_after,
