@@ -40,12 +40,16 @@ from oroboro_dw_dbt_spark.functions import st_distance_meters
 ANCHOR_DATE = "1998-06-15"
 
 
-def stacked_users_partners_df(
+def attribution_routes(
     eclm: DataFrame, ec: DataFrame, ece: DataFrame, eci: DataFrame,
     ecic: DataFrame, us: DataFrame, up: DataFrame, upic: DataFrame,
     uu: DataFrame, act: DataFrame,
 ) -> DataFrame:
-    """ref: models/intermediate/stacked_users_partners.sql:1-118."""
+    """The 4-route attribution union (stacked_users_partners.sql:1-98),
+    pre-dedup: (educator_id, learner_id, site_id, site_name, partner_id,
+    partner_name, partner_code, classroom_id, classroom_name,
+    classroom_code). Factored out so the single-pass dedup below — and
+    its old-vs-new equivalence test — share one route builder."""
     null_long = F.lit(None).cast("long")
     null_str = F.lit(None).cast("string")
 
@@ -121,22 +125,47 @@ def stacked_users_partners_df(
         ))
     )
 
-    attributions = r1.unionByName(r2).unionByName(r3).unionByName(r4)
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)
 
-    # GROUP BY 1..9 == distinct over the 9 selected columns (SURVEY §2.4 A2)
-    def keyed(id_col: str) -> DataFrame:
-        return (
-            attributions.filter(F.col(id_col).isNotNull())
-            .select(
-                F.col(id_col).alias("user_id"),
-                "partner_id", "partner_name", "partner_code",
-                "classroom_id", "classroom_name", "classroom_code",
-                "site_id", "site_name",
-            )
-            .dropDuplicates()
+
+def stacked_users_partners_df(
+    eclm: DataFrame, ec: DataFrame, ece: DataFrame, eci: DataFrame,
+    ecic: DataFrame, us: DataFrame, up: DataFrame, upic: DataFrame,
+    uu: DataFrame, act: DataFrame,
+) -> DataFrame:
+    """ref: models/intermediate/stacked_users_partners.sql:1-118."""
+    attributions = attribution_routes(
+        eclm, ec, ece, eci, ecic, us, up, upic, uu, act
+    )
+
+    # GROUP BY 1..9 == distinct over the 9 selected columns (SURVEY §2.4 A2).
+    # Single-pass spelling (optimization r12): the reference dedups the same
+    # 4-route union once per id role (educator, then learner) — two FULL
+    # executions of the attribution tree, since Catalyst shares no subtree
+    # across a union's branches. Exploding each attribution row into its
+    # non-null (role, user_id) pairs and deduping over role + the 9 columns
+    # is bit-identical (role partitions the dedup space, so per-role dedups
+    # unioned == one dedup with role in the key) and runs the tree ONCE.
+    out_cols = [
+        "partner_id", "partner_name", "partner_code",
+        "classroom_id", "classroom_name", "classroom_code",
+        "site_id", "site_name",
+    ]
+    roles = F.array(
+        F.struct(F.lit(0).alias("role"), F.col("educator_id").alias("user_id")),
+        F.struct(F.lit(1).alias("role"), F.col("learner_id").alias("user_id")),
+    )
+    return (
+        attributions.select(F.explode(roles).alias("rk"), *out_cols)
+        .filter(F.col("rk.user_id").isNotNull())
+        .select(
+            F.col("rk.role").alias("_role"),
+            F.col("rk.user_id").alias("user_id"),
+            *out_cols,
         )
-
-    return keyed("educator_id").unionByName(keyed("learner_id"))
+        .dropDuplicates()
+        .select("user_id", *out_cols)
+    )
 
 
 def locations_clean_df(loc: DataFrame, llac: DataFrame, lltypes: DataFrame) -> DataFrame:
@@ -236,55 +265,59 @@ def locations_clean_df(loc: DataFrame, llac: DataFrame, lltypes: DataFrame) -> D
         )
     )
 
-    # QUALIFY row_number() ... = 1 rewrites (SURVEY §2.5 W2)
-    w_first = Window.partitionBy("from_location_id").orderBy("to_location_id")
-
-    def best_of(type_filter: Column, cols: list[str]) -> DataFrame:
-        return (
-            components.filter(type_filter)
-            .withColumn("rn", F.row_number().over(w_first))
-            .filter(F.col("rn") == 1)
-            .select("from_location_id", *cols)
+    # QUALIFY row_number() ... = 1 rewrites (SURVEY §2.5 W2), merged into
+    # ONE aggregation (optimization r12). The four per-type "first row by
+    # to_location_id" window passes each re-executed the `components` join
+    # tree and re-shuffled its filtered subset (4 window exchanges + sorts
+    # + 4 left joins into `flat`). min(when(type, struct(to_location_id,
+    # payload...))) per from_location_id is the same row: min over structs
+    # is lexicographic with to_location_id leading, min ignores NULLs (the
+    # other types' rows), equal to_location_id carries an identical payload
+    # (the same `tl`/`fl` source row), so the pick — and the certified
+    # hash — cannot move. One map-side-combinable aggregate, one exchange,
+    # one join, and `components` executes once for all four "best" columns.
+    def _best(type_filter: Column, cols: list[str]) -> Column:
+        return F.min(
+            F.when(type_filter, F.struct("to_location_id", *cols))
         )
 
-    best_country = best_of(F.col("locationtype_id") == 1, ["display_name", "long_name"])
-    best_state = best_of(F.col("locationtype_id") == 7, ["display_name"])
-    best_county = best_of(F.col("locationtype_id") == 8, ["display_name"])
-    best_city = best_of(
-        F.col("locationtype_id").isin(3, 4),
-        ["display_name", "latitude", "longitude"],
+    best = components.groupBy("from_location_id").agg(
+        _best(F.col("locationtype_id") == 1, ["display_name", "long_name"]).alias("bcn"),
+        _best(F.col("locationtype_id") == 7, ["display_name"]).alias("bst"),
+        _best(F.col("locationtype_id") == 8, ["display_name"]).alias("bco"),
+        _best(
+            F.col("locationtype_id").isin(3, 4),
+            ["display_name", "latitude", "longitude"],
+        ).alias("bci"),
     )
 
     flat = (
         loc.alias("fl")
         .join(replace.alias("rp"), F.col("fl.id") == F.col("rp.from_location_id"), "left")
-        .join(best_county.alias("bco"), F.col("fl.id") == F.col("bco.from_location_id"), "left")
-        .join(best_state.alias("bst"), F.col("fl.id") == F.col("bst.from_location_id"), "left")
-        .join(best_country.alias("bcn"), F.col("fl.id") == F.col("bcn.from_location_id"), "left")
+        .join(best.alias("bb"), F.col("fl.id") == F.col("bb.from_location_id"), "left")
         .join(lltypes.alias("ty"), F.col("fl.id") == F.col("ty.location_id"), "left")
-        .join(best_city.alias("bci"), F.col("fl.id") == F.col("bci.from_location_id"), "left")
         .select(
             F.col("fl.id").alias("from_location_id"),
             F.col("fl.display_name").alias("original_locale"),
             F.when(F.col("rp.city_replace").isNotNull(), F.col("rp.city_replace"))
             .when(F.col("ty.locationtype_id") == 1, F.lit(None).cast("string"))
-            .when(F.col("bci.display_name").isNotNull(), F.col("bci.display_name"))
+            .when(F.col("bb.bci.display_name").isNotNull(), F.col("bb.bci.display_name"))
             .when(F.col("fl.display_name") == "Seoul", F.col("fl.display_name"))
             .otherwise(F.lit(None).cast("string"))
             .alias("city"),
             F.coalesce(
-                F.col("rp.city_latitude_replace"), F.col("bci.latitude"), F.col("fl.latitude")
+                F.col("rp.city_latitude_replace"), F.col("bb.bci.latitude"), F.col("fl.latitude")
             ).alias("city_latitude"),
             F.coalesce(
-                F.col("rp.city_longitude_replace"), F.col("bci.longitude"), F.col("fl.longitude")
+                F.col("rp.city_longitude_replace"), F.col("bb.bci.longitude"), F.col("fl.longitude")
             ).alias("city_longitude"),
-            F.col("bco.display_name").alias("county"),
+            F.col("bb.bco.display_name").alias("county"),
             F.when(F.col("ty.locationtype_id") == 1, F.lit(None).cast("string"))
-            .when(F.col("bst.display_name") == F.col("bcn.long_name"), F.lit(None).cast("string"))
-            .when(F.col("bst.display_name").isNotNull(), F.col("bst.display_name"))
+            .when(F.col("bb.bst.display_name") == F.col("bb.bcn.long_name"), F.lit(None).cast("string"))
+            .when(F.col("bb.bst.display_name").isNotNull(), F.col("bb.bst.display_name"))
             .otherwise(F.lit(None).cast("string"))
             .alias("state"),
-            F.col("bcn.long_name").alias("country"),
+            F.col("bb.bcn.long_name").alias("country"),
             F.col("fl.latitude").alias("latitude"),
             F.col("fl.longitude").alias("longitude"),
         )

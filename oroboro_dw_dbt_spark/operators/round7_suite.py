@@ -1603,6 +1603,54 @@ def _cap_cell_occupancy(b: DataFrame, cap: int) -> DataFrame:
     )
 
 
+# Size boundary for the Lloyd-update spelling (optimization r12): below
+# it, the posexplode route is faster — the per-element-sums spelling
+# pays a fixed plan/codegen price for dim sum columns (~+0.4 s measured
+# at sf0.1) that tiny corpora never amortize; above it, the explode
+# route shuffles dim·N rows TWICE ((cell, i) then cell) where the sums
+# spelling ships one map-side-combinable aggregate. Both compute the
+# identical BIGINT sums and truncating divs (equality pytest-pinned),
+# so the dispatch — like assign_cells' flat/hier boundary — can never
+# move a result bit.
+_LLOYD_EXPLODE_MAX = 100_000
+
+
+def _lloyd_centroids(
+    v: DataFrame, a: DataFrame, n_rows: int | None = None
+) -> DataFrame:
+    """Exact integer Lloyd centroid update: (cell, c array<long>) with
+    c[i] = sum(vi[i]) div count per cell, size-dispatched (see
+    ``_LLOYD_EXPLODE_MAX``). ``n_rows`` unknown → the scale-safe sums
+    spelling."""
+    if n_rows is not None and n_rows <= _LLOYD_EXPLODE_MAX:
+        dims = (
+            v.join(a, "vec_id")
+            .select("cell", F.posexplode("vi").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.expr("sum(x) div count(*)").alias("cd"))
+        )
+        return dims.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cd"))),
+                lambda s: s["cd"],
+            ).alias("c")
+        )
+    _r0 = v.select("vi").head()  # checkpointed: a 1-row metadata-cheap job
+    dim = len(_r0["vi"]) if _r0 is not None and _r0["vi"] is not None else 1
+    sums = (
+        v.join(a, "vec_id")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(F.col("vi")[i]).alias(f"_s{i}") for i in range(dim)],
+        )
+    )
+    return sums.select(
+        "cell",
+        F.array(*[F.expr(f"_s{i} div _n") for i in range(dim)]).alias("c"),
+    )
+
+
 def semdedup_ivf_core(
     v: DataFrame,
     n_cells: int,
@@ -1687,18 +1735,7 @@ def semdedup_ivf_core(
 
     a0 = assign_fn(v, seeds, n_cells, n_rows=n_rows)
 
-    dims = (
-        v.join(a0, "vec_id")
-        .select("cell", F.posexplode("vi").alias("i", "x"))
-        .groupBy("cell", "i")
-        .agg(F.expr("sum(x) div count(*)").alias("cd"))
-    )
-    cents = dims.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "cd"))),
-            lambda s: s["cd"],
-        ).alias("c")
-    )
+    cents = _lloyd_centroids(v, a0, n_rows=n_rows)
     cents = cents.withColumn("cn", _int_dot(F.col("c"), F.col("c")))
     # the updated centroids feed TWO hierarchical stages (grouping +
     # probe + argmin); pin them so the Lloyd lineage isn't re-run

@@ -952,11 +952,22 @@ def q21_sole_supplier_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     delayed = F.col("l_discount") > 0.07
-    census = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(delayed, F.col("l_suppkey"))).alias("n_delayed"),
-        F.max(F.when(delayed, F.col("l_suppkey"))).alias("delayed_supp"),
-        F.sum(F.when(delayed, 1).otherwise(0)).alias("delayed_lines"),
+    # Two-level census (optimization r12): the one-shot spelling carried
+    # TWO count-distincts, which Catalyst plans as an Expand (3 copies of
+    # every lineitem row) feeding the shuffle. Aggregating per (order,
+    # supplier) first — plain map-side-combinable sums, no Expand — then
+    # folding supplier rows per order computes the identical census:
+    # count distinct supplier == count of (ok, sk) groups, distinct
+    # delayed == groups with a delayed line, and the delayed-line total
+    # sums exactly. Values and types match the old aggregate bit-for-bit.
+    per_supp = li.groupBy(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(F.when(delayed, 1).otherwise(0)).alias("dl"))
+    census = per_supp.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("dl") > 0, 1)).alias("n_delayed"),
+        F.max(F.when(F.col("dl") > 0, F.col("sk"))).alias("delayed_supp"),
+        F.sum("dl").alias("delayed_lines"),
     )
     qualifying = (
         census.filter((F.col("n_supp") > 1) & (F.col("n_delayed") == 1))

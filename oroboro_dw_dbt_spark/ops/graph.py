@@ -117,11 +117,15 @@ def pagerank(
     edges = edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     # carry each src's total out-weight on the edge rows once, so the
-    # per-iteration join is rank ⋈ edges only. Materialize ONCE: the
-    # edge build (often a window + aggregation over the raw fact) must
-    # not re-execute in every iteration's jobs — localCheckpoint here,
-    # persist(DISK_ONLY) + repartition(src) on a cluster.
-    ew = edges.join(outw, "src").localCheckpoint(eager=True)
+    # per-iteration join is rank ⋈ edges only. Materialize ONCE,
+    # hash-partitioned by src (optimization r12): localCheckpoint
+    # preserves outputPartitioning, so when ranks outgrow the broadcast
+    # threshold every iteration's sort-merge join reuses the edge
+    # side's exchange — the EDGE LIST (the scaling side at 100 TB) is
+    # shuffled once per run instead of once per iteration. Integer
+    # arithmetic is partition-order-free, so results are bit-unchanged.
+    # (persist(DISK_ONLY) replaces localCheckpoint on a cluster.)
+    ew = edges.join(outw, "src").repartition("src").localCheckpoint(eager=True)
     nodes = (
         ew.select(F.col("src").alias("node"))
         .union(ew.select(F.col("dst").alias("node")))
@@ -141,6 +145,13 @@ def pagerank(
     has_dangling = (
         nodes.join(out_nodes, "node", "left_anti").limit(1).count() > 0
     )
+    # zero-seed rows: one (node, 0) per node unioned into every
+    # iteration's contribution aggregate (optimization r12) — the same
+    # self-row trick sssp uses. sum(contribs ∪ {0}) == coalesce(left-
+    # joined sum, 0) exactly (integer sums, zero is the identity), so
+    # the per-iteration nodes ⋈ contribs join — an extra exchange +
+    # join of the |V|-row state every round — disappears from the loop.
+    zero_rows = nodes.select("node", F.lit(0).cast("bigint").alias("c"))
     for i in range(iterations):
         contribs = (
             ew.join(ranks, ew.src == ranks.node)
@@ -148,10 +159,11 @@ def pagerank(
                 F.col("dst").alias("node"),
                 F.expr("(r * w) div ow").alias("c"),
             )
+            .unionByName(zero_rows)
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        new_ranks = nodes.join(contribs, "node", "left")
+        new_ranks = contribs
         if has_dangling:
             dangling = (
                 ranks.join(out_nodes, "node", "left_anti")
@@ -349,9 +361,14 @@ def sssp(
     ``source`` over directed weighted ``edges`` (src, dst, w ≥ 0,
     integer). dist is NULL for nodes not reached within ``rounds``
     hops; with rounds ≥ |V|−1 that means truly unreachable."""
-    ew = edges.select(
-        "src", "dst", F.col("w").cast("bigint").alias("w")
-    ).localCheckpoint(eager=True)
+    # hash-partition the edge side once (optimization r12, same reuse
+    # argument as pagerank): each round's dist ⋈ edges sort-merge join
+    # then re-shuffles only the evolving dist frame, never the edges.
+    ew = (
+        edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         ew.select(F.col("src").alias("node"))
         .union(ew.select(F.col("dst").alias("node")))

@@ -250,3 +250,165 @@ class TestLocationsCleanBranches:
             .count()
         )
         assert seoul > 0
+
+
+class TestR12OptimizationEquivalence:
+    """Optimization r12 rewrote two model subtrees; each rewrite must be
+    row-multiset-identical to the spelling it replaced (the DuckDB
+    oracle pins them against SQL too — these pin them against the OLD
+    Spark spelling directly)."""
+
+    def test_stacked_single_pass_dedup_equals_two_branch(self, spark):
+        """The r12 role-explode dedup must be row-multiset-identical to
+        the pre-r12 per-role filter+dedup+union over the same routes."""
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        from oroboro_dw_dbt_spark.models import reference_models as rm
+        from oroboro_dw_dbt_spark.operators.reference_suite import (
+            _fixture_parquet_dir,
+        )
+
+        fixdir = _fixture_parquet_dir(spark, SF)
+        deps = [
+            "educator_classroomlearnermembership", "educator_classroom",
+            "educator_classroom_educators", "educator_classroominvitation",
+            "educator_classroominvitecode", "user_site", "user_partner",
+            "user_partnerinvitecode", "user_user", "action_userjoinsaction",
+        ]
+        args = [spark.read.parquet(f"{fixdir}/{n}") for n in deps]
+        got = Counter(
+            map(tuple, rm.stacked_users_partners_df(*args).collect())
+        )
+
+        # the pre-r12 spelling, verbatim, over the SAME route union
+        attributions = rm.attribution_routes(*args)
+
+        def keyed(id_col):
+            return (
+                attributions.filter(F.col(id_col).isNotNull())
+                .select(
+                    F.col(id_col).alias("user_id"),
+                    "partner_id", "partner_name", "partner_code",
+                    "classroom_id", "classroom_name", "classroom_code",
+                    "site_id", "site_name",
+                )
+                .dropDuplicates()
+            )
+
+        want = Counter(
+            map(
+                tuple,
+                keyed("educator_id").unionByName(keyed("learner_id")).collect(),
+            )
+        )
+        assert got == want
+        assert sum(got.values()) > 0
+
+    def test_locations_best_struct_equals_window_spelling(self, spark):
+        """min(when(type, struct(to_location_id, payload))) must pick the
+        same rows as the pre-r12 per-type row_number()=1 windows."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from oroboro_dw_dbt_spark.operators.reference_suite import (
+            _fixture_parquet_dir,
+        )
+
+        fixdir = _fixture_parquet_dir(spark, SF)
+        loc = spark.read.parquet(f"{fixdir}/location_location")
+        llac = spark.read.parquet(
+            f"{fixdir}/location_location_address_components"
+        )
+        lltypes = spark.read.parquet(f"{fixdir}/location_location_types")
+        valid_types = lltypes.filter(
+            F.col("locationtype_id").isin(1, 3, 4, 7, 8)
+        )
+        comp_from_links = (
+            llac.alias("llac")
+            .join(loc.alias("tl"), F.col("llac.to_location_id") == F.col("tl.id"))
+            .join(
+                valid_types.alias("t"),
+                F.col("llac.to_location_id") == F.col("t.location_id"),
+            )
+            .select(
+                F.col("llac.from_location_id"),
+                F.col("tl.id").alias("to_location_id"),
+                F.col("tl.display_name"), F.col("tl.long_name"),
+                F.col("tl.latitude"), F.col("tl.longitude"),
+                F.col("t.locationtype_id"),
+            )
+        )
+        comp_self = (
+            loc.alias("fl")
+            .join(valid_types.alias("t"), F.col("fl.id") == F.col("t.location_id"))
+            .select(
+                F.col("fl.id").alias("from_location_id"),
+                F.col("fl.id").alias("to_location_id"),
+                F.col("fl.display_name"), F.col("fl.long_name"),
+                F.col("fl.latitude"), F.col("fl.longitude"),
+                F.col("t.locationtype_id"),
+            )
+        )
+        components = comp_from_links.unionByName(comp_self)
+
+        # new spelling
+        best = components.groupBy("from_location_id").agg(
+            F.min(
+                F.when(
+                    F.col("locationtype_id") == 1,
+                    F.struct("to_location_id", "display_name", "long_name"),
+                )
+            ).alias("bcn"),
+            F.min(
+                F.when(
+                    F.col("locationtype_id").isin(3, 4),
+                    F.struct(
+                        "to_location_id", "display_name", "latitude", "longitude"
+                    ),
+                )
+            ).alias("bci"),
+        )
+        got_cn = {
+            r["from_location_id"]: (
+                None if r["bcn"] is None else (r["bcn"]["display_name"], r["bcn"]["long_name"])
+            )
+            for r in best.collect()
+        }
+        got_ci = {
+            r["from_location_id"]: (
+                None
+                if r["bci"] is None
+                else (r["bci"]["display_name"], r["bci"]["latitude"], r["bci"]["longitude"])
+            )
+            for r in best.collect()
+        }
+
+        # pre-r12 spelling, verbatim
+        w_first = Window.partitionBy("from_location_id").orderBy("to_location_id")
+
+        def best_of(type_filter, cols):
+            return (
+                components.filter(type_filter)
+                .withColumn("rn", F.row_number().over(w_first))
+                .filter(F.col("rn") == 1)
+                .select("from_location_id", *cols)
+            )
+
+        want_cn = {
+            r["from_location_id"]: (r["display_name"], r["long_name"])
+            for r in best_of(
+                F.col("locationtype_id") == 1, ["display_name", "long_name"]
+            ).collect()
+        }
+        want_ci = {
+            r["from_location_id"]: (r["display_name"], r["latitude"], r["longitude"])
+            for r in best_of(
+                F.col("locationtype_id").isin(3, 4),
+                ["display_name", "latitude", "longitude"],
+            ).collect()
+        }
+        assert {k: v for k, v in got_cn.items() if v is not None} == want_cn
+        assert {k: v for k, v in got_ci.items() if v is not None} == want_ci
+        assert len(want_ci) > 0

@@ -883,3 +883,54 @@ class TestSemDedupIvf:
             k: kv[1] for k, kv in dense.items()
         }
         assert len(sparse) == len(dense) > 0
+
+
+class TestLloydCentroidUpdate:
+    def test_sums_spelling_equals_posexplode(self, spark):
+        """Optimization r12: the per-element-sums Lloyd update must be
+        bit-identical to the posexplode spelling it replaced (same
+        BIGINT sums, same truncating div, same index order)."""
+        from oroboro_dw_dbt_spark.operators.round7_suite import (
+            _lloyd_centroids,
+        )
+
+        v = _quantized(spark, SF).localCheckpoint(eager=True)
+        n_cells = ivf_cells_for(v.count())
+        seeds = v.orderBy("vec_id").limit(n_cells).select(
+            F.col("vec_id").alias("cell"),
+            F.col("vi").alias("c"),
+            F.col("xn").alias("cn"),
+        )
+        a0 = assign_cells(v, seeds, n_cells)
+        got = {
+            r["cell"]: list(r["c"])
+            for r in _lloyd_centroids(v, a0).collect()
+        }
+        # the pre-r12 spelling, verbatim
+        dims = (
+            v.join(a0, "vec_id")
+            .select("cell", F.posexplode("vi").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.expr("sum(x) div count(*)").alias("cd"))
+        )
+        want = {
+            r["cell"]: list(r["c"])
+            for r in dims.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "cd"))),
+                    lambda s: s["cd"],
+                ).alias("c")
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_empty_input_yields_empty_centroids(self, spark):
+        from oroboro_dw_dbt_spark.operators.round7_suite import (
+            _lloyd_centroids,
+        )
+
+        v = _quantized(spark, SF).filter(F.lit(False))
+        a = spark.createDataFrame([], "vec_id long, cell long")
+        assert _lloyd_centroids(v, a).collect() == []
