@@ -139,33 +139,27 @@ def stacked_users_partners_df(
     )
 
     # GROUP BY 1..9 == distinct over the 9 selected columns (SURVEY §2.4 A2).
-    # Single-pass spelling (optimization r12): the reference dedups the same
-    # 4-route union once per id role (educator, then learner) — two FULL
-    # executions of the attribution tree, since Catalyst shares no subtree
-    # across a union's branches. Exploding each attribution row into its
-    # non-null (role, user_id) pairs and deduping over role + the 9 columns
-    # is bit-identical (role partitions the dedup space, so per-role dedups
-    # unioned == one dedup with role in the key) and runs the tree ONCE.
-    out_cols = [
-        "partner_id", "partner_name", "partner_code",
-        "classroom_id", "classroom_name", "classroom_code",
-        "site_id", "site_name",
-    ]
-    roles = F.array(
-        F.struct(F.lit(0).alias("role"), F.col("educator_id").alias("user_id")),
-        F.struct(F.lit(1).alias("role"), F.col("learner_id").alias("user_id")),
-    )
-    return (
-        attributions.select(F.explode(roles).alias("rk"), *out_cols)
-        .filter(F.col("rk.user_id").isNotNull())
-        .select(
-            F.col("rk.role").alias("_role"),
-            F.col("rk.user_id").alias("user_id"),
-            *out_cols,
+    # Two branches do NOT execute the route tree twice: each route sets
+    # exactly one of educator_id/learner_id to a NULL literal, so the
+    # pushed-down isNotNull filter constant-folds three routes out of the
+    # educator branch and one out of the learner branch — Catalyst splits
+    # the union between the branches rather than duplicating it. (An r12
+    # role-explode single-dedup spelling — bit-identical, pytest-pinned —
+    # measured slightly SLOWER here: it trades the two pruned half-unions
+    # for one full-width dedup exchange plus a per-row explode; reverted.)
+    def keyed(id_col: str) -> DataFrame:
+        return (
+            attributions.filter(F.col(id_col).isNotNull())
+            .select(
+                F.col(id_col).alias("user_id"),
+                "partner_id", "partner_name", "partner_code",
+                "classroom_id", "classroom_name", "classroom_code",
+                "site_id", "site_name",
+            )
+            .dropDuplicates()
         )
-        .dropDuplicates()
-        .select("user_id", *out_cols)
-    )
+
+    return keyed("educator_id").unionByName(keyed("learner_id"))
 
 
 def locations_clean_df(loc: DataFrame, llac: DataFrame, lltypes: DataFrame) -> DataFrame:

@@ -175,11 +175,25 @@ FRESH_PRIORITY: tuple[str, ...] = (
 # spill_cap parameter + routed margin/spill wiring (certified-path
 # results bit-identical — the closure path's kernels are untouched
 # for margin=None/spill=None — but the function bodies changed).
+# Round 12 optimization pass: every entry whose builder body changed in
+# the result-identical plan restructures (single-pass attribution dedup,
+# merged best-of aggregation, q21 two-level census, Lloyd size dispatch,
+# graph-loop edge pre-partitioning). All were re-verified against the
+# DuckDB oracle at both gate SFs this round; the driver rows re-earn the
+# record on current code.
 RECERTIFY: tuple[str, ...] = (
     "dd_minhash_lsh_star",
     "dd_semdedup_ivf_greedy",
     "dd_semdedup_ivf_greedy_np2",
     "dd_semdedup_ivf_greedy_margin",
+    "dd_semdedup_ivf",
+    "ref_stacked_users_partners",
+    "ref_locations_clean",
+    "ref_user_base",
+    "ref_user_base_ordered",
+    "q21_sole_supplier_delays",
+    "gr_pagerank",
+    "gr_sssp_weighted",
 )
 
 

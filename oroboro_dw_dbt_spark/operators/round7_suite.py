@@ -1603,51 +1603,34 @@ def _cap_cell_occupancy(b: DataFrame, cap: int) -> DataFrame:
     )
 
 
-# Size boundary for the Lloyd-update spelling (optimization r12): below
-# it, the posexplode route is faster — the per-element-sums spelling
-# pays a fixed plan/codegen price for dim sum columns (~+0.4 s measured
-# at sf0.1) that tiny corpora never amortize; above it, the explode
-# route shuffles dim·N rows TWICE ((cell, i) then cell) where the sums
-# spelling ships one map-side-combinable aggregate. Both compute the
-# identical BIGINT sums and truncating divs (equality pytest-pinned),
-# so the dispatch — like assign_cells' flat/hier boundary — can never
-# move a result bit.
-_LLOYD_EXPLODE_MAX = 100_000
-
-
 def _lloyd_centroids(
     v: DataFrame, a: DataFrame, n_rows: int | None = None
 ) -> DataFrame:
     """Exact integer Lloyd centroid update: (cell, c array<long>) with
-    c[i] = sum(vi[i]) div count per cell, size-dispatched (see
-    ``_LLOYD_EXPLODE_MAX``). ``n_rows`` unknown → the scale-safe sums
-    spelling."""
-    if n_rows is not None and n_rows <= _LLOYD_EXPLODE_MAX:
-        dims = (
-            v.join(a, "vec_id")
-            .select("cell", F.posexplode("vi").alias("i", "x"))
-            .groupBy("cell", "i")
-            .agg(F.expr("sum(x) div count(*)").alias("cd"))
-        )
-        return dims.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "cd"))),
-                lambda s: s["cd"],
-            ).alias("c")
-        )
-    _r0 = v.select("vi").head()  # checkpointed: a 1-row metadata-cheap job
-    dim = len(_r0["vi"]) if _r0 is not None and _r0["vi"] is not None else 1
-    sums = (
+    c[i] = sum(vi[i]) div count per cell.
+
+    Spelling note (optimization r12): an alternative "dim per-element
+    sum columns in one aggregate" spelling — first-principles fewer
+    shuffled bytes (C·(dim+1) partials vs dim·N exploded rows) — was
+    built and MEASURED SLOWER at both operating points: +0.4 s per ivf
+    entry at sf0.1 (fixed plan/codegen price of 64 aggregate columns)
+    and 2-3× the stage wall at sf30/600k vectors (31-40 s vs 12-17 s;
+    identical victims), so it was reverted (guide §1.1: the "ideal"
+    plan lost to the gotcha — wide multi-aggregate rows evaluate far
+    worse than Spark's columnar explode+narrow-agg path). ``n_rows``
+    is accepted for call-site stability and ignored."""
+    del n_rows
+    dims = (
         v.join(a, "vec_id")
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[F.sum(F.col("vi")[i]).alias(f"_s{i}") for i in range(dim)],
-        )
+        .select("cell", F.posexplode("vi").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.expr("sum(x) div count(*)").alias("cd"))
     )
-    return sums.select(
-        "cell",
-        F.array(*[F.expr(f"_s{i} div _n") for i in range(dim)]).alias("c"),
+    return dims.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cd"))),
+            lambda s: s["cd"],
+        ).alias("c")
     )
 
 

@@ -258,9 +258,12 @@ class TestR12OptimizationEquivalence:
     oracle pins them against SQL too — these pin them against the OLD
     Spark spelling directly)."""
 
-    def test_stacked_single_pass_dedup_equals_two_branch(self, spark):
-        """The r12 role-explode dedup must be row-multiset-identical to
-        the pre-r12 per-role filter+dedup+union over the same routes."""
+    def test_stacked_two_branch_dedup_equals_role_explode(self, spark):
+        """The production two-branch per-role dedup must be
+        row-multiset-identical to the role-explode single-dedup
+        alternative (built, measured slightly slower, reverted in r12 —
+        the equivalence pin stays so either spelling remains provably
+        swappable)."""
         from collections import Counter
 
         from pyspark.sql import functions as F
@@ -282,25 +285,34 @@ class TestR12OptimizationEquivalence:
             map(tuple, rm.stacked_users_partners_df(*args).collect())
         )
 
-        # the pre-r12 spelling, verbatim, over the SAME route union
+        # the role-explode alternative over the SAME route union
         attributions = rm.attribution_routes(*args)
-
-        def keyed(id_col):
-            return (
-                attributions.filter(F.col(id_col).isNotNull())
-                .select(
-                    F.col(id_col).alias("user_id"),
-                    "partner_id", "partner_name", "partner_code",
-                    "classroom_id", "classroom_name", "classroom_code",
-                    "site_id", "site_name",
-                )
-                .dropDuplicates()
-            )
-
+        out_cols = [
+            "partner_id", "partner_name", "partner_code",
+            "classroom_id", "classroom_name", "classroom_code",
+            "site_id", "site_name",
+        ]
+        roles = F.array(
+            F.struct(
+                F.lit(0).alias("role"), F.col("educator_id").alias("user_id")
+            ),
+            F.struct(
+                F.lit(1).alias("role"), F.col("learner_id").alias("user_id")
+            ),
+        )
         want = Counter(
             map(
                 tuple,
-                keyed("educator_id").unionByName(keyed("learner_id")).collect(),
+                attributions.select(F.explode(roles).alias("rk"), *out_cols)
+                .filter(F.col("rk.user_id").isNotNull())
+                .select(
+                    F.col("rk.role").alias("_role"),
+                    F.col("rk.user_id").alias("user_id"),
+                    *out_cols,
+                )
+                .dropDuplicates()
+                .select("user_id", *out_cols)
+                .collect(),
             )
         )
         assert got == want

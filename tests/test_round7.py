@@ -886,10 +886,12 @@ class TestSemDedupIvf:
 
 
 class TestLloydCentroidUpdate:
-    def test_sums_spelling_equals_posexplode(self, spark):
-        """Optimization r12: the per-element-sums Lloyd update must be
-        bit-identical to the posexplode spelling it replaced (same
-        BIGINT sums, same truncating div, same index order)."""
+    def test_helper_matches_posexplode_contract(self, spark):
+        """_lloyd_centroids' contract, pinned: bit-identical to the
+        verbatim posexplode spelling (same BIGINT sums, truncating div,
+        index order) — any future re-spelling must keep this green.
+        (An r12 per-element-sums spelling passed this test but measured
+        2-3× slower at sf30 and was reverted; the pin stays.)"""
         from oroboro_dw_dbt_spark.operators.round7_suite import (
             _lloyd_centroids,
         )
