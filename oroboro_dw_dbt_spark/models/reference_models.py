@@ -48,8 +48,8 @@ def attribution_routes(
     """The 4-route attribution union (stacked_users_partners.sql:1-98),
     pre-dedup: (educator_id, learner_id, site_id, site_name, partner_id,
     partner_name, partner_code, classroom_id, classroom_name,
-    classroom_code). Factored out so the single-pass dedup below — and
-    its old-vs-new equivalence test — share one route builder."""
+    classroom_code). Factored out so the per-role dedup below and the
+    dedup-spelling equivalence test share one route builder."""
     null_long = F.lit(None).cast("long")
     null_str = F.lit(None).cast("string")
 

@@ -176,8 +176,8 @@ FRESH_PRIORITY: tuple[str, ...] = (
 # results bit-identical — the closure path's kernels are untouched
 # for margin=None/spill=None — but the function bodies changed).
 # Round 12 optimization pass: every entry whose builder body changed in
-# the result-identical plan restructures (single-pass attribution dedup,
-# merged best-of aggregation, q21 two-level census, Lloyd size dispatch,
+# the result-identical plan restructures (route-union factoring, merged
+# best-of aggregation, q21 two-level census, Lloyd helper refactor,
 # graph-loop edge pre-partitioning). All were re-verified against the
 # DuckDB oracle at both gate SFs this round; the driver rows re-earn the
 # record on current code.
