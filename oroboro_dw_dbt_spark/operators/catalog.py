@@ -167,33 +167,22 @@ FRESH_PRIORITY: tuple[str, ...] = (
 # unchanged, but the function body was edited).
 # Round 12: the r11 list (t_char_entropy, dd_minhash_lsh_star, the
 # two greedy entries) landed fresh r11 green rows and rotates out
-# (VERDICT r11 Next #4). This round's certified-code changes:
-# dd_minhash_lsh_star via minhash_lsh_victims' default flip to
-# verify="auto" (VERDICT r11 Next #5 — auto picks carry at the gate
-# SFs, so certified hashes must be unchanged) plus the broadcast
-# heap gate; the two greedy entries and _margin via greedy_assign's
-# spill_cap parameter + routed margin/spill wiring (certified-path
-# results bit-identical — the closure path's kernels are untouched
-# for margin=None/spill=None — but the function bodies changed).
-# Round 12 optimization pass: every entry whose builder body changed in
-# the result-identical plan restructures (route-union factoring, merged
-# best-of aggregation, q21 two-level census, Lloyd helper refactor,
-# graph-loop edge pre-partitioning). All were re-verified against the
-# DuckDB oracle at both gate SFs this round; the driver rows re-earn the
+# (VERDICT r11 Next #4). All 12 round-12 names landed fresh green
+# driver rows in CORRECTNESS_r12 (VERDICT r12 Next #7: the list was
+# cleared so the bounded window spends every slot where it counts).
+# Round 13 optimization pass: the five cells ∝ N greedy builders now
+# pass ivf_cells_capped as a CALLABLE so semdedup_ivf_core sizes C from
+# its own checkpointed count — one corpus scan instead of two. Same C
+# by construction, results bit-identical (equivalence pinned in
+# tests/test_round7.py::test_callable_n_cells_matches_int_spelling),
+# but the builder bodies changed, so the driver rows re-earn the
 # record on current code.
 RECERTIFY: tuple[str, ...] = (
-    "dd_minhash_lsh_star",
     "dd_semdedup_ivf_greedy",
     "dd_semdedup_ivf_greedy_np2",
     "dd_semdedup_ivf_greedy_margin",
-    "dd_semdedup_ivf",
-    "ref_stacked_users_partners",
-    "ref_locations_clean",
-    "ref_user_base",
-    "ref_user_base_ordered",
-    "q21_sole_supplier_delays",
-    "gr_pagerank",
-    "gr_sssp_weighted",
+    "dd_semdedup_ivf_greedy_spill",
+    "dd_semdedup_ivf_greedy_ms",
 )
 
 

@@ -24,6 +24,7 @@ analog; SURVEY §6 scopes the dedup family.
 from __future__ import annotations
 
 import math
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1323,9 +1324,12 @@ def dd_semdedup_ivf_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap never triggers, so this certifies exactly the code path
     tools/pipeline_e2e.py runs at sf300."""
     v = _load_greedy_vectors(spark, sf_dir)
-    n_cells = ivf_cells_capped(v.count())
+    # the sizing RULE rides into the core as a callable: C is computed
+    # from the core's checkpointed count, so the corpus is scanned once,
+    # not once for ivf_cells_capped(v.count()) and again for the
+    # checkpoint (optimization r13; same C, bit-identical result)
     return semdedup_ivf_core(
-        v, n_cells, assign="greedy", occupancy_cap=8 * 128
+        v, ivf_cells_capped, assign="greedy", occupancy_cap=8 * 128
     )
 
 
@@ -1350,9 +1354,8 @@ def dd_semdedup_ivf_greedy_np2(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners exactly. The recall census (tools/greedy_recall_census.py)
     measures what the extra probe buys on uniform geometry."""
     v = _load_greedy_vectors(spark, sf_dir)
-    n_cells = ivf_cells_capped(v.count())
-    return semdedup_ivf_core(
-        v, n_cells, assign="greedy", occupancy_cap=8 * 128, nprobe=2
+    return semdedup_ivf_core(  # callable C rule: one corpus scan (r13)
+        v, ivf_cells_capped, assign="greedy", occupancy_cap=8 * 128, nprobe=2
     )
 
 
@@ -1380,10 +1383,9 @@ def dd_semdedup_ivf_greedy_margin(spark: SparkSession, sf_dir: str) -> DataFrame
     cost. The uniform-geometry recall census measures what the margin
     buys per wall-second (SCALE.md r11)."""
     v = _load_greedy_vectors(spark, sf_dir)
-    n_cells = ivf_cells_capped(v.count())
-    return semdedup_ivf_core(
-        v, n_cells, assign="greedy", occupancy_cap=8 * 128, nprobe=16,
-        probe_margin=_MARGIN_GATE,
+    return semdedup_ivf_core(  # callable C rule: one corpus scan (r13)
+        v, ivf_cells_capped, assign="greedy", occupancy_cap=8 * 128,
+        nprobe=16, probe_margin=_MARGIN_GATE,
     )
 
 
@@ -1413,9 +1415,8 @@ def dd_semdedup_ivf_greedy_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector fan-out; SCALE.md r11 census). Certifies the exact
     code path tools/pipeline_e2e.py engages with --spill 0.3."""
     v = _load_greedy_vectors(spark, sf_dir)
-    n_cells = ivf_cells_capped(v.count())
-    return semdedup_ivf_core(
-        v, n_cells, assign="greedy", occupancy_cap=8 * 128,
+    return semdedup_ivf_core(  # callable C rule: one corpus scan (r13)
+        v, ivf_cells_capped, assign="greedy", occupancy_cap=8 * 128,
         group_spill=_SPILL_GATE,
     )
 
@@ -1442,10 +1443,9 @@ def dd_semdedup_ivf_greedy_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned only; this entry gives it the same hash-green
     driver row as every other dedup spelling."""
     v = _load_greedy_vectors(spark, sf_dir)
-    n_cells = ivf_cells_capped(v.count())
-    return semdedup_ivf_core(
-        v, n_cells, assign="greedy", occupancy_cap=8 * 128, nprobe=16,
-        probe_margin=_MARGIN_GATE, group_spill=_SPILL_GATE,
+    return semdedup_ivf_core(  # callable C rule: one corpus scan (r13)
+        v, ivf_cells_capped, assign="greedy", occupancy_cap=8 * 128,
+        nprobe=16, probe_margin=_MARGIN_GATE, group_spill=_SPILL_GATE,
     )
 
 
@@ -1636,7 +1636,7 @@ def _lloyd_centroids(
 
 def semdedup_ivf_core(
     v: DataFrame,
-    n_cells: int,
+    n_cells: int | Callable[[int], int],
     tau: float = _IVF_TAU,
     assign: str = "exact",
     occupancy_cap: int | None = None,
@@ -1652,6 +1652,11 @@ def semdedup_ivf_core(
     this on the test embeddings; the end-to-end pipeline probe
     (tools/pipeline_e2e.py) chains it between near-dup removal and
     shard packing on the full corpus.
+
+    ``n_cells`` may be an int or a callable ``n_rows -> int`` (e.g.
+    :func:`ivf_cells_capped` itself): the callable is evaluated on the
+    core's own checkpointed count, so cells ∝ N callers don't pay a
+    separate pre-checkpoint corpus scan just to size C.
 
     ``assign``: "exact" (the certified path — :func:`assign_cells`,
     true nearest-centroid at N·C worst-case work) or "greedy" (the
@@ -1687,6 +1692,13 @@ def semdedup_ivf_core(
     v = v.withColumn("xn", _int_dot(F.col("vi"), F.col("vi")))
     v = v.localCheckpoint(eager=True)  # reused by 4 downstream stages
     n_rows = v.count()  # checkpointed: a metadata-cheap count
+    if callable(n_cells):
+        # cells ∝ N callers pass the sizing RULE, not a pre-computed
+        # count: counting the un-checkpointed input first cost one full
+        # extra corpus scan per run (optimization r13, guide §1.2 "don't
+        # compute things you throw away") — the checkpointed count above
+        # is the one N the whole pipeline needs.
+        n_cells = n_cells(n_rows)
 
     # seeds = the C lowest vec_ids PRESENT (ADVICE r08: `vec_id <
     # n_cells` assumed dense 0..N-1 ids; the pipeline feeds SURVIVOR

@@ -959,7 +959,10 @@ def q21_sole_supplier_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folding supplier rows per order computes the identical census:
     # count distinct supplier == count of (ok, sk) groups, distinct
     # delayed == groups with a delayed line, and the delayed-line total
-    # sums exactly. Values and types match the old aggregate bit-for-bit.
+    # sums exactly. Values and types match the old aggregate bit-for-bit
+    # GIVEN l_suppkey is non-null (TPC-H guarantees NOT NULL): a NULL
+    # suppkey would form its own (ok, NULL) group and count into n_supp,
+    # where the old countDistinct ignored NULLs (ADVICE r12).
     per_supp = li.groupBy(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
     ).agg(F.sum(F.when(delayed, 1).otherwise(0)).alias("dl"))

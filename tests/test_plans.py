@@ -38,6 +38,7 @@ class TestPlanShapes:
     def test_text_profile_stays_jvm_side(self, spark):
         plan = _plan(spark, "t_text_profile")
         assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
 
     def test_q21_census_has_no_expand(self, spark):
         """Optimization r12: the per-order census is a two-level
@@ -45,7 +46,6 @@ class TestPlanShapes:
         every lineitem row feeding the shuffle) must stay gone."""
         plan = _plan(spark, "q21_sole_supplier_delays")
         assert "Expand" not in plan, plan
-        assert "ArrowEvalPython" not in plan
 
     def test_range_join_is_not_a_nested_loop(self, spark):
         plan = _plan(spark, "tj_range_join")

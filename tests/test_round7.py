@@ -884,6 +884,32 @@ class TestSemDedupIvf:
         }
         assert len(sparse) == len(dense) > 0
 
+    def test_callable_n_cells_matches_int_spelling(self, spark):
+        """Optimization r13: the greedy builders pass ivf_cells_capped
+        as a CALLABLE so the core sizes C from its own checkpointed
+        count (one corpus scan, not two). Equivalence pinned: callable
+        and pre-counted int spellings must agree bit-for-bit."""
+        from oroboro_dw_dbt_spark.operators.round7_suite import (
+            ivf_cells_capped,
+            semdedup_ivf_core,
+        )
+
+        v = _quantized(spark, SF).localCheckpoint(eager=True)
+        n_int = ivf_cells_capped(v.count())
+        by_int = {
+            (r["vec_id"], r["cell"], r["keep"], r["removed_by"])
+            for r in semdedup_ivf_core(
+                v, n_int, assign="greedy", occupancy_cap=8 * 128
+            ).collect()
+        }
+        by_rule = {
+            (r["vec_id"], r["cell"], r["keep"], r["removed_by"])
+            for r in semdedup_ivf_core(
+                v, ivf_cells_capped, assign="greedy", occupancy_cap=8 * 128
+            ).collect()
+        }
+        assert by_rule == by_int and len(by_rule) > 0
+
 
 class TestLloydCentroidUpdate:
     def test_helper_matches_posexplode_contract(self, spark):
