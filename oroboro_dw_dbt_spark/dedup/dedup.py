@@ -28,6 +28,8 @@ exact DuckDB twin in operators/training_suite.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -241,6 +243,30 @@ def _per_jvm_heap_bytes(df: DataFrame) -> int:
 _CARRY_BYTES_PER_DOC = 720
 _AUTO_STORAGE_SHARE = 0.25
 
+# Measured footprint of the reshingle spelling's band-index checkpoint
+# (doc_id + band + band_key string, n_bands rows per doc): ~0.15 KB/doc.
+_INDEX_BYTES_PER_DOC = 150
+
+
+def _ckpt_scan_width(n_rows: int, bytes_per_row: int, inherited: int) -> int:
+    """Consumer-scan width for an eager checkpoint (optimization r13,
+    VERDICT r12 Next #6): the md5 stage must run 2×cores wide
+    (compute-bound — the 3.1→0.7 s widening above), but every
+    downstream stage then SCANS the checkpoint at that width — at tiny
+    carried state that is inherited-width × consumers near-empty tasks
+    (dd_minhash_lsh_star: 477 tasks at sf0.1, most over a ~3.5 MB
+    frame). AQE cannot help: it coalesces post-shuffle partitions, not
+    cached-block scans. Size the scan from the carried bytes instead
+    (~8 MB/task target), never wider than the checkpoint itself —
+    applied via coalesce() AFTER the eager materialization, so the
+    compute width and the materialized blocks are untouched and no
+    shuffle is added. At sf30+ the rule returns ≥ the inherited width
+    and the coalesce is a no-op."""
+    target = int(
+        os.environ.get("SPARK_GRAFT_CKPT_SCAN_BYTES", 8 * 1024 * 1024)
+    )
+    return max(1, min(inherited, -(-n_rows * bytes_per_row // target)))
+
 
 def _parse_mem(s: str) -> int:
     """'24g' / '512m' / '4gb' / '1t' / bare bytes → bytes.
@@ -429,8 +455,10 @@ def minhash_lsh_victims(
         raise ValueError(
             f"checkpoint_level must be None, 'disk' or 'auto', got {checkpoint_level!r}"
         )
+    n_docs = approx_docs  # known → post-checkpoint scans get data-sized
     if verify == "auto" or checkpoint_level == "auto":
         auto_v, auto_ckpt, rec = _auto_lsh_spelling(docs, approx_docs)
+        n_docs = rec["n_docs"]
         if verify == "auto":
             verify = auto_v
         if checkpoint_level == "auto":
@@ -454,6 +482,11 @@ def minhash_lsh_victims(
             # arrays; everything downstream (band explode ×2
             # consumers, verify ×2 sides) derives from this frame.
             base = base.localCheckpoint(eager=True, storageLevel=big_level)
+            if n_docs is not None:
+                base = base.coalesce(_ckpt_scan_width(
+                    n_docs, _CARRY_BYTES_PER_DOC,
+                    base.rdd.getNumPartitions(),
+                ))
         index = _band_explode(base, num_hashes, band_rows)
     else:
         sig = with_minhash_signature(sh, "sh", num_hashes, out="sig").select(
@@ -462,6 +495,11 @@ def minhash_lsh_victims(
         index = _band_explode(sig, num_hashes, band_rows)
         if materialize:
             index = index.localCheckpoint(eager=True, storageLevel=big_level)
+            if n_docs is not None:
+                index = index.coalesce(_ckpt_scan_width(
+                    n_docs, _INDEX_BYTES_PER_DOC,
+                    index.rdd.getNumPartitions(),
+                ))
     rep = index.groupBy("band", "band_key").agg(F.min("doc_id").alias("rep"))
     edges = (
         index.join(rep, ["band", "band_key"])
@@ -517,6 +555,11 @@ def minhash_lsh_victims(
         )
     if materialize:
         vh = vh.localCheckpoint(eager=True)
+        # n_cand is exact here (counted for the broadcast gate): the
+        # verify scans this frame twice (doc_a side, doc_b side)
+        vh = vh.coalesce(_ckpt_scan_width(
+            n_cand, _CARRY_BYTES_PER_DOC, vh.rdd.getNumPartitions()
+        ))
     jac = (
         F.size(F.array_intersect(F.col("sa.vh"), F.col("sb.vh"))).cast("double")
         / F.size(F.array_union(F.col("sa.vh"), F.col("sb.vh")))

@@ -183,6 +183,13 @@ RECERTIFY: tuple[str, ...] = (
     "dd_semdedup_ivf_greedy_margin",
     "dd_semdedup_ivf_greedy_spill",
     "dd_semdedup_ivf_greedy_ms",
+    # r13 batch 2: data-sized stream state width (jobs.py) and
+    # post-checkpoint scan width (dedup.py) — results identical
+    # (width-independent operators, oracle-green at both gate SFs),
+    # executed code changed.
+    "st_stream_windowed",
+    "st_drift_monitor",
+    "dd_minhash_lsh_star",
 )
 
 

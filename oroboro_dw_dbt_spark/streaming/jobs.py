@@ -23,6 +23,7 @@ state across executors — RocksDB state store in production.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import time
 from typing import Callable, Iterator
@@ -69,6 +70,55 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     return _STREAM_DIRS[sf_dir]
 
 
+def _stream_state_partitions(src_dir: str) -> int:
+    """Scale-adaptive state-partition width for a streaming query.
+
+    A stateful stream pins its state-store partition count to
+    ``spark.sql.shuffle.partitions`` at START and keeps it for the
+    query's whole life — and Spark disables AQE for stateful workloads,
+    so the batch-side safety net (coalesce tiny post-shuffle partitions
+    at runtime) does not exist here. The session default (core count)
+    is right for batch at any SF but is a pure fixed cost for a
+    KB-scale state store: every micro-batch pays per-partition state
+    store open/commit/close for partitions that hold a handful of rows.
+
+    Derive the width from the INPUT size instead — one partition per
+    ~32 MB of source bytes (the same bytes-per-partition discipline
+    AQE applies to batch shuffles, guide §2.2), clamped to [1, 4096].
+    At sf0.1 (events ≈ 2 MB) that is 1 partition; a 1 TB/trigger feed
+    gets its full multi-thousand width. SPARK_GRAFT_STREAM_STATE_PARTS
+    overrides for deployments that size state stores explicitly."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    if env:
+        return max(1, int(env))
+    target = 32 * 1024 * 1024
+    total = 0
+    try:
+        for entry in os.scandir(src_dir):
+            if entry.is_file():
+                total += entry.stat().st_size
+    except OSError:
+        return 0  # unknown input: keep the session default
+    return max(1, min(4096, -(-total // target)))
+
+
+class _state_width:
+    """Context manager: pin spark.sql.shuffle.partitions (the state
+    width a stream start captures) for the duration, then restore. A
+    width of 0 means "keep the session default"."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self._spark, self._n = spark, n
+
+    def __enter__(self) -> None:
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        if self._n > 0:
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc) -> None:
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+
+
 def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Hourly tumbling-window counts/sums per event_type. Works on both
     a static and a streaming DataFrame (same logical plan either way)."""
@@ -99,18 +149,18 @@ def run_stream_windowed_counts(
     """Execute the windowed agg as a REAL stream over the events parquet
     (file source, AvailableNow trigger, complete-mode memory sink) and
     return the settled result as a batch DataFrame."""
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
-        _events_stream_dir(spark, sf_dir)
-    )
-    q = (
-        windowed_event_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    src_dir = _events_stream_dir(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    with _state_width(spark, _stream_state_partitions(src_dir)):
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # settle: memory sink table is complete once the query terminates
     while q.isActive:  # pragma: no cover
         time.sleep(0.1)
@@ -470,9 +520,8 @@ def stream_binned_value_counts(
     The bin edges ride the exact-cents integer path (value →
     DECIMAL(12,4) cents → BIGINT div 10000, capped at 4) so binning can
     never straddle a float boundary differently than the batch oracle."""
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(
-        _events_stream_dir(spark, sf_dir)
-    )
+    src_dir = _events_stream_dir(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
     cents_div = F.expr(
         "CAST(round(CAST(value AS DECIMAL(12,4)) * 100, 0) AS BIGINT) div 10000"
     )
@@ -480,14 +529,15 @@ def stream_binned_value_counts(
         F.window("ts", "1 hour").alias("w"),
         F.least(cents_div, F.lit(4)).alias("bin"),
     )
-    q = (
-        binned.groupBy("w", "bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_width(spark, _stream_state_partitions(src_dir)):
+        q = (
+            binned.groupBy("w", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

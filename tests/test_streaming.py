@@ -38,6 +38,37 @@ class TestStreaming:
         }
         assert stream == batch
 
+    def test_stream_state_width_rule(self, spark, tmp_path, monkeypatch):
+        """Optimization r13: the stream's state-partition width is
+        sized from input bytes (1 per ~32 MB, clamped [1, 4096]) — AQE
+        cannot coalesce stateful shuffles, so the width must be derived,
+        not inherited from the batch core-count default. The width must
+        never change results (pinned by test_stream_equals_batch_windowed
+        running through the same path) and must restore the session
+        conf afterward."""
+        from oroboro_dw_dbt_spark.streaming.jobs import (
+            _stream_state_partitions,
+            _state_width,
+        )
+
+        d = tmp_path / "feed"
+        d.mkdir()
+        (d / "a.parquet").write_bytes(b"\0" * (5 * 1024 * 1024))
+        assert _stream_state_partitions(str(d)) == 1  # 5 MB -> 1
+        (d / "b.parquet").write_bytes(b"\0" * (60 * 1024 * 1024))
+        assert _stream_state_partitions(str(d)) == 3  # 65 MB -> ceil
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTS", "7")
+        assert _stream_state_partitions(str(d)) == 7  # override wins
+        monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTS")
+        assert _stream_state_partitions("/nonexistent_dir") == 0  # default
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        with _state_width(spark, 3):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+        with _state_width(spark, 0):  # 0 = keep the session default
+            assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
     def test_stateful_sessions_match_batch_closed_sessions(self, spark):
         """Every emitted (closed) session must exist identically in the
         batch sessionization; the only missing ones are each user's

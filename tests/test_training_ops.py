@@ -181,6 +181,32 @@ class TestDedup:
         assert hash_victims, "planted near-dups must fall"
         assert hash_victims == string_victims
 
+    def test_ckpt_scan_width_rule(self, spark):
+        """Optimization r13: downstream consumers scan the corpus
+        checkpoints at a width sized from carried bytes (~8 MB/task),
+        never wider than the checkpoint — at tiny SF that collapses
+        the 2×cores md5 width to a handful of scan tasks (477 → ~94
+        tasks at sf0.1); at sf30+ the rule returns ≥ the inherited
+        width and is a no-op. Victims are width-independent: pinned
+        here against an explicit approx_docs (which drives the rule)
+        and by the spellings-identical test below."""
+        from oroboro_dw_dbt_spark.dedup import minhash_lsh_victims
+        from oroboro_dw_dbt_spark.dedup.dedup import _ckpt_scan_width
+
+        assert _ckpt_scan_width(5_000, 720, 64) == 1  # 3.6 MB -> 1
+        assert _ckpt_scan_width(200_000, 720, 64) == 18  # 144 MB -> 18
+        assert _ckpt_scan_width(5_000_000, 720, 64) == 64  # clamped
+        assert _ckpt_scan_width(0, 720, 64) == 1  # floor
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        auto = {r["doc_id"] for r in minhash_lsh_victims(docs).collect()}
+        wide = {
+            r["doc_id"]
+            for r in minhash_lsh_victims(
+                docs, approx_docs=10_000_000  # forces inherited width
+            ).collect()
+        }
+        assert auto == wide and auto
+
     def test_lsh_victims_verify_spellings_identical(self, spark):
         """carry (corpus vh checkpoint) and reshingle (bounded
         candidate re-scan) are two physical plans for ONE function —
