@@ -59,6 +59,15 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Session-conf A/B hook (optimization r13, guide §9): semicolon-
+    # separated k=v pairs, applied last. The driver never sets this —
+    # defaults above are the product config; the hook exists so config
+    # candidates (shuffle codec, join strategy) can be benched with the
+    # IDENTICAL harness instead of hand-edited session code.
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
