@@ -190,6 +190,9 @@ RECERTIFY: tuple[str, ...] = (
     "st_stream_windowed",
     "st_drift_monitor",
     "dd_minhash_lsh_star",
+    # r13 batch 3: dd_semdedup_ivf joins the callable-C spelling
+    # (pre-count job removed, jobs 21→19; hash unchanged at both SFs).
+    "dd_semdedup_ivf",
 )
 
 

@@ -1557,8 +1557,10 @@ def dd_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v"), lambda x: F.floor(x * _IVF_FP).cast("long")
         ),
     )
-    n_cells = ivf_cells_for(v.count())
-    return semdedup_ivf_core(v, n_cells)
+    # sizing rule passed as a callable: the core computes C from its
+    # checkpointed count — no separate pre-checkpoint count job (r13,
+    # same as the greedy family; hash unchanged, C identical)
+    return semdedup_ivf_core(v, ivf_cells_for)
 
 
 # Sub-split id space: capped-cell ids are cell * 2^20 + sub, so cells
